@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles, mimicking the driver's
+DuckDB compare: run Verify first (sbt "runMain graft.Verify <sfDir> <outDir>"),
+then this script compares each <outDir>/<name> parquet against the oracle SQL
+in <outDir>/oracle_sql.json executed by DuckDB over the same sf tables.
+
+Usage: python3 dev/check.py <sfDir> <outDir>
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as pads
+
+def canon(val):
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return f"{val:.9g}"
+    if isinstance(val, bool):
+        return str(int(val))
+    return str(val)
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    pylists = [tbl.column(c).to_pylist() for c in cols]
+    return cols, [tuple(canon(v) for v in row) for row in zip(*pylists)]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_tbl = pads.dataset(f"{out_dir}/{name}", format="parquet").to_table()
+            gcols, grows = table_rows(got_tbl)
+            exp_tbl = con.execute(sql).fetch_arrow_table()
+            ecols, erows = table_rows(exp_tbl)
+            if gcols != ecols:
+                print(f"FAIL {name}: schema {gcols} != {ecols}")
+                n_fail += 1
+                continue
+            if len(grows) != len(erows):
+                print(f"FAIL {name}: rows {len(grows)} != {len(erows)}")
+                n_fail += 1
+                continue
+            # compare both ordered and as sorted multisets
+            if grows == erows or sorted(grows) == sorted(erows):
+                ordered = "ordered" if grows == erows else "UNORDERED-ONLY"
+                print(f"PASS {name}: {len(grows)} rows ({ordered})")
+                n_pass += 1
+            else:
+                diffs = [i for i, (g, e) in enumerate(zip(sorted(grows), sorted(erows))) if g != e][:3]
+                print(f"FAIL {name}: value mismatch at sorted rows {diffs}")
+                for i in diffs:
+                    print(f"   got {sorted(grows)[i]}\n   exp {sorted(erows)[i]}")
+                n_fail += 1
+        except Exception as ex:
+            print(f"FAIL {name}: {type(ex).__name__}: {ex}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

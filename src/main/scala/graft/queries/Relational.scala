@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered query: Spark implementation + optional DuckDB oracle SQL.
+  *
+  * Conventions that keep the driver's hash-compare deterministic:
+  *   - every query ends in an ORDER BY over a key set that is unique, in
+  *     BOTH the Spark plan and the oracle SQL;
+  *   - floating-point aggregates are rounded identically on both sides;
+  *   - output column names match exactly (driver sorts columns by name).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The relational operator surface of SURVEY.md §2.b (S1–S16), each
+  * exercised as a standalone query over the driver's TPC-H-ish tables.
+  *
+  * The reference composes these 16 Spark operators (cites in SURVEY §2.b,
+  * e.g. projection/alias at reference xgboost_core.py:439-467); here each is
+  * a declarative DataFrame plan so Catalyst gets pushdown/pruning for free.
+  */
+object Relational {
+  import graft.Tables
+
+  /** TPC-H Q1-style aggregate — the flagship query (entry()). Scans one
+    * table, map-side partial aggregation, 6-group result: at 100 TB this is
+    * a single shuffle of 6 rows per partition. */
+  val q1Agg = Q(
+    "q1_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** S1: projection + alias (reference selects feature/label/weight cols). */
+  val s1Project = Q(
+    "q_s1_project",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("okey"), $"l_linenumber".as("line"),
+          $"l_extendedprice".as("price"))
+        .orderBy($"okey", $"line")
+    },
+    Some("""SELECT l_orderkey AS okey, l_linenumber AS line,
+      l_extendedprice AS price FROM lineitem ORDER BY okey, line"""))
+
+  /** S4: cast — reference casts features to array<float> (xgboost_core.py:375);
+    * here the same narrowing cast discipline on a numeric column. */
+  val s4Cast = Q(
+    "q_s4_cast",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("okey"), $"l_linenumber".as("line"),
+          $"l_quantity".cast("int").as("qty_int"),
+          $"l_extendedprice".cast("float").cast("double").as("price_f"))
+        .orderBy($"okey", $"line")
+    },
+    Some("""SELECT l_orderkey AS okey, l_linenumber AS line,
+      CAST(l_quantity AS INTEGER) AS qty_int,
+      CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price_f
+      FROM lineitem ORDER BY okey, line"""))
+
+  /** S5: distinct aggregate — the reference's num_classes inference
+    * (countDistinct(label), xgboost_core.py:328-337). */
+  val s5CountDistinct = Q(
+    "q_s5_count_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).agg(
+        countDistinct($"o_custkey").as("n_cust"),
+        countDistinct($"o_orderstatus").as("n_status"))
+    },
+    Some("""SELECT count(DISTINCT o_custkey) AS n_cust,
+      count(DISTINCT o_orderstatus) AS n_status FROM orders"""))
+
+  /** S6: repartition (round-robin shuffle) — reference repartitions to
+    * num_workers before training. Result is partitioning-invariant. */
+  val s6Repartition = Q(
+    "q_s6_repartition",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).repartition(32)
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** S9: collect-driven scalar — reference collects the trained model to the
+    * driver; here a collected scalar parameterizes a second, fully
+    * distributed filter (no driver-side row loop). */
+  val s9Collect = Q(
+    "q_s9_collect_scalar",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val avgQty = li.agg(round(avg($"l_quantity"), 2)).collect()(0).getDouble(0)
+      li.filter($"l_quantity" > lit(avgQty))
+        .select($"l_orderkey".as("okey"), $"l_linenumber".as("line"),
+          $"l_quantity".as("qty"))
+        .orderBy($"okey", $"line")
+    },
+    Some("""SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty
+      FROM lineitem
+      WHERE l_quantity > (SELECT round(avg(l_quantity), 2) FROM lineitem)
+      ORDER BY okey, line"""))
+
+  /** S11 + S12: struct() pack, nested-field access, withColumn, drop —
+    * the reference packs features into a struct for its scoring UDF and
+    * splits a prediction struct back out (xgboost_core.py:615, 738-756). */
+  val s11Struct = Q(
+    "q_s11_struct_fields",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .withColumn("packed", struct($"o_orderkey".as("k"), $"o_totalprice".as("p")))
+        .withColumn("okey", col("packed.k"))
+        .withColumn("price2", round(col("packed.p") * 2, 2))
+        .drop("packed")
+        .select($"okey", $"price2")
+        .orderBy($"okey")
+    },
+    Some("""SELECT o_orderkey AS okey, round(o_totalprice * 2, 2) AS price2
+      FROM orders ORDER BY okey"""))
+
+  /** S13: boolean filter — reference splits train/validation rows on a
+    * boolean indicator column; timestamp predicate pushed to parquet. */
+  val s13Filter = Q(
+    "q_s13_filter",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          $"l_returnflag" === "R")
+        .select($"l_orderkey".as("okey"), $"l_linenumber".as("line"),
+          $"l_quantity".as("qty"))
+        .orderBy($"okey", $"line")
+    },
+    Some("""SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'
+      ORDER BY okey, line"""))
+
+  /** S16: createDataFrame from local rows (reference builds test/model DFs
+    * this way), joined against a real table — the local side broadcasts. */
+  val s16CreateDf = Q(
+    "q_s16_create_df",
+    (s, dir) => {
+      import s.implicits._
+      val statuses = s.createDataFrame(Seq(("O", "open"), ("F", "filled"))).toDF("code", "meaning")
+      Tables.orders(s, dir)
+        .join(broadcast(statuses), $"o_orderstatus" === $"code")
+        .groupBy($"meaning").agg(count(lit(1)).as("n"))
+        .orderBy($"meaning")
+    },
+    Some("""SELECT meaning, count(*) AS n FROM orders
+      JOIN (VALUES ('O','open'),('F','filled')) AS statuses(code, meaning)
+      ON o_orderstatus = code
+      GROUP BY meaning ORDER BY meaning"""))
+
+  def all: Seq[Q] = Seq(
+    q1Agg, s1Project, s4Cast, s5CountDistinct, s6Repartition,
+    s9Collect, s11Struct, s13Filter, s16CreateDf)
+}
