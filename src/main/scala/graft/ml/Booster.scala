@@ -1,0 +1,189 @@
+package graft.ml
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-feature histogram cut points.
+  *
+  * Bin semantics (XGBoost-hist style): for feature f with cuts c_0<…<c_{k-1},
+  * bin(v) = first b with v < c_b, else k; a split "after bin b" stores
+  * threshold c_b and routes v < c_b left. Missing (NaN) rows get the
+  * reserved bin [[BinCuts.MissingBin]] and follow the learned default
+  * direction. Cuts max out at 254 values so bin indices fit in a byte.
+  */
+final class BinCuts(val cuts: Array[Array[Float]]) extends Serializable {
+  val numFeatures: Int = cuts.length
+
+  def numBins(f: Int): Int = cuts(f).length + 1
+
+  def binOf(f: Int, v: Float): Int = {
+    if (v != v) return BinCuts.MissingBin // NaN
+    val c = cuts(f)
+    // first index with v < c(idx)  (binary search upper bound)
+    var lo = 0
+    var hi = c.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v < c(mid)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+}
+
+object BinCuts {
+  val MaxCuts = 254
+  val MissingBin = 255
+
+  /** Builds cuts from per-feature sampled values. Candidate thresholds are
+    * the distinct sorted values minus the minimum (a threshold at the min
+    * separates nothing); > MaxCuts distincts → evenly-spaced quantiles. */
+  def fromColumnSamples(cols: Array[Array[Float]]): BinCuts = {
+    val cuts = cols.map { raw =>
+      val clean = raw.filter(v => v == v) // drop NaN
+      java.util.Arrays.sort(clean)
+      val distinct = new ArrayBuffer[Float]()
+      var i = 0
+      while (i < clean.length) {
+        if (distinct.isEmpty || clean(i) != distinct.last) distinct += clean(i)
+        i += 1
+      }
+      if (distinct.length <= 1) Array.empty[Float]
+      else {
+        val cand = distinct.drop(1) // exclude min
+        if (cand.length <= MaxCuts) cand.toArray
+        else {
+          val out = new Array[Float](MaxCuts)
+          var j = 0
+          while (j < MaxCuts) {
+            out(j) = cand(((j + 1).toLong * cand.length / (MaxCuts + 1)).toInt)
+            j += 1
+          }
+          out.distinct
+        }
+      }
+    }
+    new BinCuts(cuts)
+  }
+
+  def fromMatrix(m: TrainMatrix, missing: Float): BinCuts = {
+    val cols = Array.tabulate(m.numCols) { f =>
+      val a = new Array[Float](m.numRows)
+      var i = 0
+      while (i < m.numRows) {
+        val v = m(i, f)
+        a(i) = if (!missing.isNaN && v == missing) Float.NaN else v
+        i += 1
+      }
+      a
+    }
+    fromColumnSamples(cols)
+  }
+
+  /** Row-major byte matrix of bin indices (0xff = missing). */
+  def binMatrix(m: TrainMatrix, cuts: BinCuts, missing: Float): Array[Byte] = {
+    val out = new Array[Byte](m.numRows * m.numCols)
+    var i = 0
+    while (i < m.numRows) {
+      var f = 0
+      val base = i * m.numCols
+      while (f < m.numCols) {
+        var v = m.values(base + f)
+        if (!missing.isNaN && v == missing) v = Float.NaN
+        out(base + f) = cuts.binOf(f, v).toByte
+        f += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** One regression tree, structure-of-arrays. Leaf iff left(i) < 0. */
+final class Tree(
+    val feature: Array[Int],
+    val threshold: Array[Float],
+    val defaultLeft: Array[Boolean],
+    val left: Array[Int],
+    val right: Array[Int],
+    val weight: Array[Float]) extends Serializable {
+
+  def numNodes: Int = feature.length
+
+  /** Margin contribution for a dense feature row (NaN = missing). */
+  def predict(x: Array[Float]): Float = {
+    var node = 0
+    while (left(node) >= 0) {
+      val v = x(feature(node))
+      node =
+        if (v != v) { if (defaultLeft(node)) left(node) else right(node) }
+        else if (v < threshold(node)) left(node)
+        else right(node)
+    }
+    weight(node)
+  }
+}
+
+/** Hyper-parameters for the native booster (xgboost 1.6 defaults). */
+final case class BoosterParams(
+    numRounds: Int = 100,
+    eta: Double = 0.3,
+    maxDepth: Int = 6,
+    lambda: Double = 1.0,
+    alpha: Double = 0.0,
+    gamma: Double = 0.0,
+    minChildWeight: Double = 1.0,
+    subsample: Double = 1.0,
+    colsampleBytree: Double = 1.0,
+    scalePosWeight: Double = 1.0,
+    objective: String = "reg:squarederror",
+    numClass: Int = 0,
+    baseScore: Double = 0.5,
+    missing: Float = Float.NaN,
+    seed: Long = 0L,
+    earlyStoppingRounds: Int = 0,
+    evalMetric: Option[String] = None,
+    minSplitGain: Double = 0.0) extends Serializable
+
+/** Trained model: trees (numRounds × numGroups, round-major), objective,
+  * base margin. Serialized as a JSON string of our own format
+  * ([[ModelJson]]) — analogous to the reference holding the xgboost JSON
+  * model string (reference `sparkdl/xgboost/model.py:35-59`). */
+final class BoosterModel(
+    val objectiveName: String,
+    val numClass: Int,
+    val numFeatures: Int,
+    val baseMargin: Float,
+    val trees: Array[Tree],
+    val missing: Float,
+    val bestScore: Option[Double],
+    val bestIteration: Option[Int]) extends Serializable {
+
+  @transient lazy val objective: Objective = Objective.fromName(objectiveName)
+  def numGroups: Int = math.max(1, if (objectiveName.startsWith("multi")) numClass else 1)
+
+  /** Raw margins for one row; treeLimit counts boosting rounds (0 = all). */
+  def predictMargin(x: Array[Float], treeLimit: Int = 0): Array[Float] = {
+    val k = numGroups
+    val out = Array.fill(k)(baseMargin)
+    val rounds = trees.length / k
+    val useRounds = if (treeLimit > 0) math.min(treeLimit, rounds) else rounds
+    var r = 0
+    while (r < useRounds) {
+      var g = 0
+      while (g < k) {
+        out(g) += trees(r * k + g).predict(x)
+        g += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Applies the `missing` sentinel remap then predicts margins. */
+  def predictMarginWithMissing(x: Array[Float], treeLimit: Int = 0): Array[Float] = {
+    if (!missing.isNaN) {
+      var i = 0
+      while (i < x.length) { if (x(i) == missing) x(i) = Float.NaN; i += 1 }
+    }
+    predictMargin(x, treeLimit)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Booster-core tests mirroring the reference's golden-fixture pattern
+  * (FIXTURES.md F1–F3, F7) under semantic tolerance: saturated predictions
+  * on the tiny overfit fixtures, monotone loss decrease on larger data —
+  * not bit-parity with xgboost (see SURVEY §7.3).
+  */
+class BoosterSpec extends AnyFunSuite {
+
+  private def mat(rows: Array[Array[Float]], labels: Array[Float],
+      weights: Array[Float] = null, margins: Array[Float] = null): TrainMatrix = {
+    val m = rows.head.length
+    new TrainMatrix(rows.length, m, rows.flatten, labels, weights, margins)
+  }
+
+  // F1: regression fixture (reference xgboost_local_test.py:47-55)
+  private val f1Rows = Array(
+    Array(1.0f, 2.0f, 3.0f),
+    Array(0.0f, 1.0f, 5.5f)) // sparse(3, {1:1.0, 2:5.5}) densified
+  private val f1Labels = Array(0.0f, 1.0f)
+
+  test("F1 regression: overfits the 2-row fixture to saturated predictions") {
+    val model = Trainer.train(mat(f1Rows, f1Labels), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 100))
+    val p0 = model.predictMargin(f1Rows(0).clone())(0)
+    val p1 = model.predictMargin(f1Rows(1).clone())(0)
+    assert(math.abs(p0 - 0.0) < 1e-2, s"p0=$p0")
+    assert(math.abs(p1 - 1.0) < 1e-2, s"p1=$p1")
+  }
+
+  test("F1 regression: treeLimit truncates the ensemble") {
+    val model = Trainer.train(mat(f1Rows, f1Labels), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 10, maxDepth = 5))
+    val full = model.predictMargin(f1Rows(1).clone())(0)
+    val limited = model.predictMargin(f1Rows(1).clone(), treeLimit = 5)(0)
+    assert(limited != full)
+    // with eta=0.3 after 5 rounds toward label 1.0 from base 0.5: partial way
+    assert(limited > 0.5f && limited < full)
+  }
+
+  test("F2 binary: learns separable labels with saturated probabilities") {
+    val rows = Array(
+      Array(1.0f, 2.0f, 3.0f), Array(0.0f, 1.0f, 5.5f),
+      Array(4.0f, 5.0f, 6.0f), Array(0.0f, 6.0f, 7.5f))
+    val labels = Array(0f, 0f, 1f, 1f)
+    // replicate ×50 like the reference's ×100 fixtures
+    val repRows = Array.fill(50)(rows).flatten
+    val repLabels = Array.fill(50)(labels).flatten
+    val model = Trainer.train(mat(repRows, repLabels), None,
+      BoosterParams(objective = "binary:logistic", numRounds = 50))
+    rows.zip(labels).foreach { case (r, y) =>
+      val margin = model.predictMargin(r.clone())(0)
+      val p = Objective.sigmoid(margin)
+      if (y == 1f) assert(p > 0.95, s"p=$p for label 1")
+      else assert(p < 0.05, s"p=$p for label 0")
+    }
+  }
+
+  test("F3 multiclass 4-row fixture: min_child_weight blocks splits → " +
+      "majority-class distribution, like the reference golden [.54,.23,.23]") {
+    val rows = Array(
+      Array(1.0f, 2.0f, 3.0f), Array(0.0f, 1.0f, 5.5f),
+      Array(4.0f, 5.0f, 6.0f), Array(0.0f, 6.0f, 7.5f))
+    val labels = Array(0f, 0f, 1f, 2f)
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "multi:softprob", numClass = 3, numRounds = 50))
+    val margins = model.predictMargin(Array(1.0f, 2.0f, 3.0f))
+    val mx = margins.map(_.toDouble).max
+    val exp = margins.map(m => math.exp(m - mx))
+    val probs = exp.map(_ / exp.sum)
+    // class 0 has 2 of 4 labels → its probability dominates, classes 1,2 tie
+    assert(probs(0) > 0.4 && probs(0) < 0.62, s"p0=${probs(0)}")
+    assert(math.abs(probs(1) - probs(2)) < 1e-6)
+  }
+
+  test("multiclass with replicated rows: learns every label") {
+    val base = Array(
+      Array(1.0f, 2.0f, 3.0f), Array(0.0f, 1.0f, 5.5f),
+      Array(4.0f, 5.0f, 6.0f), Array(0.0f, 6.0f, 7.5f))
+    val baseLabels = Array(0f, 0f, 1f, 2f)
+    val rows = Array.fill(50)(base).flatten
+    val labels = Array.fill(50)(baseLabels).flatten
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "multi:softprob", numClass = 3, numRounds = 50))
+    base.zip(baseLabels).foreach { case (r, y) =>
+      val margins = model.predictMargin(r.clone())
+      val pred = margins.indices.maxBy(margins(_))
+      assert(pred == y.toInt, s"pred=$pred expected=$y margins=${margins.mkString(",")}")
+    }
+  }
+
+  test("eval set: best_score and best_iteration are tracked; early stopping halts") {
+    val rng = new java.util.Random(7)
+    def gen(n: Int): (Array[Array[Float]], Array[Float]) = {
+      val rows = Array.fill(n)(Array.fill(5)(rng.nextFloat() * 10))
+      val labels = rows.map(r => r(0) * 2 + r(1) - r(2) + rng.nextFloat().toFloat)
+      (rows, labels)
+    }
+    val (trR, trY) = gen(500)
+    val (evR, evY) = gen(200)
+    val model = Trainer.train(mat(trR, trY), Some(mat(evR, evY)),
+      BoosterParams(objective = "reg:squarederror", numRounds = 200,
+        earlyStoppingRounds = 5, evalMetric = Some("rmse")))
+    assert(model.bestScore.isDefined && model.bestScore.get < 3.0)
+    assert(model.bestIteration.isDefined && model.bestIteration.get >= 0)
+  }
+
+  test("larger regression: rmse shrinks vs the constant predictor") {
+    val rng = new java.util.Random(42)
+    val n = 2000
+    val rows = Array.fill(n)(Array.fill(8)(rng.nextFloat() * 4 - 2))
+    val labels = rows.map(r => (math.sin(r(0)) + r(1) * r(1) * 0.5 + r(2)).toFloat)
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 60, maxDepth = 5))
+    val preds = rows.map(r => model.predictMargin(r.clone())(0))
+    def rmse(p: Array[Float]) = math.sqrt(
+      p.zip(labels).map { case (a, b) => (a - b) * (a - b) }.sum / n)
+    val base = rmse(Array.fill(n)(labels.sum / n))
+    val got = rmse(preds)
+    assert(got < base * 0.2, s"rmse=$got base=$base")
+  }
+
+  test("weights: heavily weighted duplicate dominates the leaf value") {
+    val rows = Array(Array(1.0f), Array(1.0f))
+    val labels = Array(0f, 1f)
+    // same feature value → single leaf; weighted mean pulls toward label 1
+    val model = Trainer.train(mat(rows, labels, weights = Array(1f, 9f)), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 100, lambda = 0.0))
+    val p = model.predictMargin(Array(1.0f))(0)
+    assert(math.abs(p - 0.9) < 1e-2, s"p=$p")
+  }
+
+  test("base margin shifts the starting point") {
+    val rows = Array(Array(1.0f, 0f), Array(2.0f, 0f))
+    val labels = Array(1f, 1f)
+    val m0 = Trainer.train(mat(rows, labels, margins = Array(0f, 0f)), None,
+      BoosterParams(objective = "binary:logistic", numRounds = 1, eta = 0.1))
+    val m1 = Trainer.train(mat(rows, labels, margins = Array(3f, 3f)), None,
+      BoosterParams(objective = "binary:logistic", numRounds = 1, eta = 0.1))
+    // higher starting margin → smaller gradient → smaller first-tree step,
+    // and the trained model's own predictions differ
+    assert(m0.trees.head.weight.max > m1.trees.head.weight.max)
+  }
+
+  test("missing sentinel: rows with missing==0.0 train and predict finitely") {
+    val rows = Array(
+      Array(0.0f, 2.0f), Array(1.0f, 0.0f), Array(2.0f, 3.0f), Array(3.0f, 1.0f))
+    val labels = Array(0f, 1f, 0f, 1f)
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "binary:logistic", numRounds = 10, missing = 0.0f))
+    rows.foreach { r =>
+      val p = model.predictMarginWithMissing(r.clone())(0)
+      assert(!p.isNaN && !p.isInfinite)
+    }
+  }
+
+  test("ModelJson: round-trip preserves predictions exactly") {
+    val rng = new java.util.Random(1)
+    val rows = Array.fill(200)(Array.fill(4)(rng.nextFloat() * 6))
+    val labels = rows.map(r => if (r(0) + r(1) > 6) 1f else 0f)
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "binary:logistic", numRounds = 20))
+    val back = ModelJson.fromJson(ModelJson.toJson(model))
+    assert(back.objectiveName == model.objectiveName)
+    assert(back.trees.length == model.trees.length)
+    rows.take(20).foreach { r =>
+      assert(back.predictMargin(r.clone())(0) == model.predictMargin(r.clone())(0))
+    }
+  }
+
+  test("softmax gradient: uniform margins give symmetric probabilities") {
+    val g = new Array[Float](3)
+    val h = new Array[Float](3)
+    Objective.Softprob.gradHess(Array(0f, 0f, 0f), Array(0f), null, 3, g, h)
+    assert(math.abs(g(0) - (1.0 / 3 - 1)) < 1e-6)
+    assert(math.abs(g(1) - 1.0 / 3) < 1e-6)
+    assert(h.forall(_ > 0))
+  }
+}
