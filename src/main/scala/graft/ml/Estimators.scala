@@ -1,0 +1,341 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared fit plumbing: column projection, objective inference, the
+  * single-node train kernel, and the distributed dispatch — the Scala
+  * re-expression of the reference's `_fit` (reference
+  * `sparkdl/xgboost/xgboost_core.py:435-518`, SURVEY §3.1–§3.2).
+  */
+private[ml] object FitSupport {
+
+  /** Normalizes the features column to VectorUDT (accepts array<numeric>
+    * via array_to_vector — reference uses vector_to_array for the inverse
+    * trip; both are codegen'd Catalyst expressions, not UDFs). */
+  def featuresAsVector(df: Dataset[_], colName: String): org.apache.spark.sql.Column = {
+    df.schema(colName).dataType match {
+      case dt if dt == org.apache.spark.ml.linalg.SQLDataTypes.VectorType => col(colName)
+      case ArrayType(_, _) => array_to_vector(col(colName))
+      case dt => throw new IllegalArgumentException(s"bad features type $dt")
+    }
+  }
+
+  /** Projects [features, label, [weight], [isVal], [margin]] — the fixed
+    * by-position layout TrainMatrix.fromRows expects (reference selects the
+    * same role columns at xgboost_core.py:439-467). */
+  def projectTrain(est: XGBoostParams, df: Dataset[_]): (DataFrame, Boolean, Boolean, Boolean) = {
+    val hasW = est.hasNonEmpty(est.weightCol)
+    val hasV = est.hasNonEmpty(est.validationIndicatorCol)
+    val hasM = est.hasNonEmpty(est.baseMarginCol)
+    val cols = Seq(
+      featuresAsVector(df, est.getOrDefault(est.featuresCol)).as("features"),
+      col(est.getOrDefault(est.labelCol)).cast(DoubleType).as("label")) ++
+      (if (hasW) Seq(col(est.getOrDefault(est.weightCol)).cast(DoubleType).as("weight")) else Nil) ++
+      (if (hasV) Seq(col(est.getOrDefault(est.validationIndicatorCol)).cast(BooleanType).as("validationIndicator")) else Nil) ++
+      (if (hasM) Seq(col(est.getOrDefault(est.baseMarginCol)).cast(DoubleType).as("baseMargin")) else Nil)
+    (df.select(cols: _*), hasW, hasV, hasM)
+  }
+
+  /** Objective inference via a countDistinct job, exactly the reference's
+    * `_get_distributed_config` heuristic (xgboost_core.py:328-337). */
+  def inferClassifierObjective(est: XGBoostParams, projected: DataFrame): (String, Int) = {
+    val declared = if (est.hasNonEmpty(est.objective)) Some(est.getOrDefault(est.objective)) else None
+    declared match {
+      case Some(o) if o.startsWith("binary") => (o, 0)
+      case Some(o) if o.startsWith("multi") =>
+        val k = est.getOrDefault(est.numClass)
+        require(k >= 2, s"numClass must be set >= 2 for $o")
+        (o, k)
+      case _ =>
+        val n = projected.select(countDistinct(col("label"))).collect()(0).getLong(0).toInt
+        if (n <= 2) ("binary:logistic", 0) else ("multi:softprob", n)
+    }
+  }
+
+  /** Single-node path: one full shuffle to one partition, train inside the
+    * task, collect the serialized model — `repartition(1).mapInPandas` +
+    * collect in the reference (xgboost_core.py:512-517). */
+  def trainSingleNode(projected: DataFrame, hasW: Boolean, hasV: Boolean,
+      hasM: Boolean, bp: BoosterParams): String = {
+    val modelJson = projected.repartition(1).rdd.mapPartitions { it =>
+      val (train, eval) = TrainMatrix.fromRows(it, hasW, hasV, hasM)
+      Iterator(ModelJson.toJson(Trainer.train(train, eval, bp)))
+    }.collect()
+    require(modelJson.nonEmpty, "training produced no model (empty input?)")
+    modelJson(0)
+  }
+
+  def fit(est: XGBoostParams, dataset: Dataset[_], isClassifier: Boolean): BoosterModel = {
+    val (projected, hasW, hasV, hasM) = projectTrain(est, dataset)
+    val (obj, k) =
+      if (isClassifier) inferClassifierObjective(est, projected)
+      else (if (est.hasNonEmpty(est.objective)) est.getOrDefault(est.objective)
+            else "reg:squarederror", est.getOrDefault(est.numClass))
+    val bp = est.boosterParams(obj, k)
+    val n = est.getOrDefault(est.numWorkers)
+    val json =
+      if (n <= 1) trainSingleNode(projected, hasW, hasV, hasM, bp)
+      else DistTrainer.train(projected, hasW, hasV, hasM, bp, n,
+        est.getOrDefault(est.forceRepartition))
+    ModelJson.fromJson(json)
+  }
+
+  /** Scoring UDF input: densified float row from a Vector. */
+  def toFloatRow(v: Vector): Array[Float] = {
+    val out = new Array[Float](v.size)
+    v.foreachActive((i, x) => out(i) = x.toFloat)
+    out
+  }
+}
+
+// =========================================================================
+// Regressor (reference sparkdl/xgboost/xgboost.py:7-92, xgboost_core.py:573-631)
+// =========================================================================
+
+class XgboostRegressor(override val uid: String)
+    extends Estimator[XgboostRegressorModel]
+    with XGBoostParams with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("XgboostRegressor"))
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setWeightCol(v: String): this.type = set(weightCol, v)
+  def setValidationIndicatorCol(v: String): this.type = set(validationIndicatorCol, v)
+  def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
+  def setNumWorkers(v: Int): this.type = set(numWorkers, v)
+  def setNEstimators(v: Int): this.type = set(nEstimators, v)
+  def setEta(v: Double): this.type = set(eta, v)
+  def setMaxDepth(v: Int): this.type = set(maxDepth, v)
+  def setObjective(v: String): this.type = set(objective, v)
+  def setMissing(v: Float): this.type = set(missing, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setEarlyStoppingRounds(v: Int): this.type = set(earlyStoppingRounds, v)
+  def setEvalMetric(v: String): this.type = set(evalMetric, v)
+  def setTreeLimit(v: Int): this.type = set(treeLimit, v)
+
+  override def fit(dataset: Dataset[_]): XgboostRegressorModel = {
+    transformSchema(dataset.schema)
+    val booster = FitSupport.fit(this, dataset, isClassifier = false)
+    copyValues(new XgboostRegressorModel(uid, booster)).setParent(this)
+  }
+
+  override def copy(extra: ParamMap): XgboostRegressor = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateFeaturesType(schema)
+    schema.add(StructField($(predictionCol), DoubleType, nullable = false))
+  }
+}
+
+object XgboostRegressor extends DefaultParamsReadable[XgboostRegressor]
+
+class XgboostRegressorModel(override val uid: String, val booster: BoosterModel)
+    extends Model[XgboostRegressorModel] with XGBoostParams with MLWritable {
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setTreeLimit(v: Int): this.type = set(treeLimit, v)
+
+  /** Batch inference: broadcast model, pipelined scan→UDF→project plan, no
+    * shuffle, no action (reference §3.3; mapInPandas there, in-JVM here). */
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    val sc = dataset.sparkSession.sparkContext
+    val bc = sc.broadcast(booster)
+    val limit = $(treeLimit)
+    val predictUdf = udf { (v: Vector) =>
+      bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)(0).toDouble
+    }
+    dataset.withColumn($(predictionCol),
+      predictUdf(FitSupport.featuresAsVector(dataset, $(featuresCol))))
+  }
+
+  override def copy(extra: ParamMap): XgboostRegressorModel =
+    copyValues(new XgboostRegressorModel(uid, booster), extra).setParent(parent)
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateFeaturesType(schema)
+    schema.add(StructField($(predictionCol), DoubleType, nullable = false))
+  }
+
+  override def write: MLWriter = new XgboostRegressorModel.Writer(this)
+}
+
+object XgboostRegressorModel extends MLReadable[XgboostRegressorModel] {
+  private[ml] val className = classOf[XgboostRegressorModel].getName
+
+  private[ml] class Writer(instance: XgboostRegressorModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftMLIO.saveMetadata(instance, className, path, sparkSession)
+      GraftMLIO.saveModelJson(ModelJson.toJson(instance.booster), path, sparkSession)
+    }
+  }
+
+  private class Reader extends MLReader[XgboostRegressorModel] {
+    override def load(path: String): XgboostRegressorModel = {
+      val booster = ModelJson.fromJson(GraftMLIO.loadModelJson(path, sparkSession))
+      val tmp = new XgboostRegressorModel("tmp", booster)
+      val uid = GraftMLIO.loadMetadata(tmp, className, path, sparkSession)
+      val out = new XgboostRegressorModel(uid, booster)
+      tmp.extractParamMap().toSeq.foreach { p =>
+        out.set(out.params.find(_.name == p.param.name).get
+          .asInstanceOf[org.apache.spark.ml.param.Param[Any]], p.value)
+      }
+      out
+    }
+  }
+
+  override def read: MLReader[XgboostRegressorModel] = new Reader
+}
+
+// =========================================================================
+// Classifier (reference sparkdl/xgboost/xgboost.py:98-189, xgboost_core.py:634-756)
+// =========================================================================
+
+class XgboostClassifier(override val uid: String)
+    extends Estimator[XgboostClassifierModel]
+    with XGBoostClassifierParams with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("XgboostClassifier"))
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setRawPredictionCol(v: String): this.type = set(rawPredictionCol, v)
+  def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
+  def setWeightCol(v: String): this.type = set(weightCol, v)
+  def setValidationIndicatorCol(v: String): this.type = set(validationIndicatorCol, v)
+  def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
+  def setNumWorkers(v: Int): this.type = set(numWorkers, v)
+  def setNEstimators(v: Int): this.type = set(nEstimators, v)
+  def setEta(v: Double): this.type = set(eta, v)
+  def setMaxDepth(v: Int): this.type = set(maxDepth, v)
+  def setObjective(v: String): this.type = set(objective, v)
+  def setNumClass(v: Int): this.type = set(numClass, v)
+  def setScalePosWeight(v: Double): this.type = set(scalePosWeight, v)
+  def setMissing(v: Float): this.type = set(missing, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setEarlyStoppingRounds(v: Int): this.type = set(earlyStoppingRounds, v)
+  def setEvalMetric(v: String): this.type = set(evalMetric, v)
+  def setTreeLimit(v: Int): this.type = set(treeLimit, v)
+
+  override def fit(dataset: Dataset[_]): XgboostClassifierModel = {
+    transformSchema(dataset.schema)
+    val booster = FitSupport.fit(this, dataset, isClassifier = true)
+    copyValues(new XgboostClassifierModel(uid, booster)).setParent(this)
+  }
+
+  override def copy(extra: ParamMap): XgboostClassifier = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateFeaturesType(schema)
+    schema.add(StructField($(predictionCol), DoubleType, nullable = false))
+  }
+}
+
+object XgboostClassifier extends DefaultParamsReadable[XgboostClassifier]
+
+class XgboostClassifierModel(override val uid: String, val booster: BoosterModel)
+    extends Model[XgboostClassifierModel] with XGBoostClassifierParams with MLWritable {
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setRawPredictionCol(v: String): this.type = set(rawPredictionCol, v)
+  def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
+  def setTreeLimit(v: Int): this.type = set(treeLimit, v)
+
+  /** Scoring math replicated from the reference (xgboost_core.py:661-685):
+    * the model predicts MARGINS; binary: raw=[-m,m], probs=[1-σ(m),σ(m)];
+    * multiclass: raw=margins, probs=softmax; prediction=argmax(probs).
+    * One UDF computes the (raw, prediction, probability) struct which is
+    * then split via array_to_vector / nested-field projection / drop —
+    * the reference's S10+S11+S12 plan shape (xgboost_core.py:723-756). */
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    val sc = dataset.sparkSession.sparkContext
+    val bc = sc.broadcast(booster)
+    val limit = $(treeLimit)
+    val scoreUdf = udf { (v: Vector) =>
+      val margins = bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)
+      if (margins.length == 1) {
+        val m = margins(0).toDouble
+        val p = Objective.sigmoid(m)
+        val probs = Array(1.0 - p, p)
+        val pred = if (probs(1) > probs(0)) 1.0 else 0.0
+        (Array(-m, m), pred, probs)
+      } else {
+        val raw = margins.map(_.toDouble)
+        val mx = raw.max
+        val exp = raw.map(x => math.exp(x - mx))
+        val s = exp.sum
+        val probs = exp.map(_ / s)
+        var best = 0
+        var i = 1
+        while (i < probs.length) { if (probs(i) > probs(best)) best = i; i += 1 }
+        (raw, best.toDouble, probs)
+      }
+    }
+    val tmp = s"_graft_pred_${uid.takeRight(8)}"
+    var out = dataset.withColumn(tmp,
+      scoreUdf(FitSupport.featuresAsVector(dataset, $(featuresCol))))
+    if (hasNonEmpty(rawPredictionCol))
+      out = out.withColumn($(rawPredictionCol), array_to_vector(col(s"$tmp._1")))
+    if (hasNonEmpty(predictionCol))
+      out = out.withColumn($(predictionCol), col(s"$tmp._2"))
+    if (hasNonEmpty(probabilityCol))
+      out = out.withColumn($(probabilityCol), array_to_vector(col(s"$tmp._3")))
+    out.drop(tmp)
+  }
+
+  def numClasses: Int = math.max(booster.numGroups, 2)
+
+  override def copy(extra: ParamMap): XgboostClassifierModel =
+    copyValues(new XgboostClassifierModel(uid, booster), extra).setParent(parent)
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateFeaturesType(schema)
+    var out = schema
+    if (hasNonEmpty(rawPredictionCol)) out = out.add($(rawPredictionCol), org.apache.spark.ml.linalg.SQLDataTypes.VectorType, false)
+    if (hasNonEmpty(predictionCol)) out = out.add($(predictionCol), DoubleType, false)
+    if (hasNonEmpty(probabilityCol)) out = out.add($(probabilityCol), org.apache.spark.ml.linalg.SQLDataTypes.VectorType, false)
+    out
+  }
+
+  override def write: MLWriter = new XgboostClassifierModel.Writer(this)
+}
+
+object XgboostClassifierModel extends MLReadable[XgboostClassifierModel] {
+  private[ml] val className = classOf[XgboostClassifierModel].getName
+
+  private[ml] class Writer(instance: XgboostClassifierModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftMLIO.saveMetadata(instance, className, path, sparkSession)
+      GraftMLIO.saveModelJson(ModelJson.toJson(instance.booster), path, sparkSession)
+    }
+  }
+
+  private class Reader extends MLReader[XgboostClassifierModel] {
+    override def load(path: String): XgboostClassifierModel = {
+      val booster = ModelJson.fromJson(GraftMLIO.loadModelJson(path, sparkSession))
+      val tmp = new XgboostClassifierModel("tmp", booster)
+      val uid = GraftMLIO.loadMetadata(tmp, className, path, sparkSession)
+      val out = new XgboostClassifierModel(uid, booster)
+      tmp.extractParamMap().toSeq.foreach { p =>
+        out.set(out.params.find(_.name == p.param.name).get
+          .asInstanceOf[org.apache.spark.ml.param.Param[Any]], p.value)
+      }
+      out
+    }
+  }
+
+  override def read: MLReader[XgboostClassifierModel] = new Reader
+}

@@ -1,0 +1,114 @@
+package graft.ml
+
+import org.apache.spark.ml.param._
+import org.apache.spark.sql.types._
+
+/** Explicit Spark `Param` surface mirroring the reference's dynamically
+  * generated params (reference `sparkdl/xgboost/xgboost_core.py:759-808`,
+  * `utils.py:14-26`). Scala has no runtime signature introspection, so the
+  * xgboost 1.6 keyword surface is frozen statically (SURVEY §1.4); unknown
+  * extras travel in [[arbitraryParams]] as a JSON object, the analogue of
+  * `arbitraryParamsDict` (reference `utils.py:29-45`).
+  */
+trait XGBoostParams extends Params {
+
+  // ---- column params (reference xgboost_core.py:439-467) ----
+  final val featuresCol = new Param[String](this, "featuresCol", "features column (VectorUDT)")
+  final val labelCol = new Param[String](this, "labelCol", "label column")
+  final val predictionCol = new Param[String](this, "predictionCol", "prediction output column")
+  final val weightCol = new Param[String](this, "weightCol", "instance weight column")
+  final val validationIndicatorCol = new Param[String](this, "validationIndicatorCol",
+    "boolean column marking validation rows")
+  final val baseMarginCol = new Param[String](this, "baseMarginCol", "per-row base margin column")
+
+  // ---- library params (reference xgboost_core.py:62-89, defaults :136-141) ----
+  final val numWorkers = new IntParam(this, "numWorkers",
+    "number of gang-scheduled training workers", ParamValidators.gtEq(1))
+  final val useGpu = new BooleanParam(this, "useGpu", "accepted for parity; no-op in this build")
+  final val forceRepartition = new BooleanParam(this, "forceRepartition",
+    "repartition even when the plan already matches numWorkers")
+  final val useExternalStorage = new BooleanParam(this, "useExternalStorage",
+    "spill partition matrices to local disk during training")
+  final val externalStoragePrecision = new IntParam(this, "externalStoragePrecision",
+    "significant digits for spilled values", ParamValidators.gt(0))
+
+  // ---- xgboost hyper-parameters (statically frozen, xgboost 1.6 defaults) ----
+  final val nEstimators = new IntParam(this, "nEstimators", "boosting rounds", ParamValidators.gtEq(1))
+  final val eta = new DoubleParam(this, "eta", "learning rate", ParamValidators.gtEq(0))
+  final val maxDepth = new IntParam(this, "maxDepth", "max tree depth", ParamValidators.gtEq(0))
+  final val lambda = new DoubleParam(this, "lambda", "L2 regularization", ParamValidators.gtEq(0))
+  final val alpha = new DoubleParam(this, "alpha", "L1 regularization", ParamValidators.gtEq(0))
+  final val gamma = new DoubleParam(this, "gamma", "min split loss", ParamValidators.gtEq(0))
+  final val minChildWeight = new DoubleParam(this, "minChildWeight",
+    "min child hessian sum", ParamValidators.gtEq(0))
+  final val subsample = new DoubleParam(this, "subsample", "row subsample ratio",
+    ParamValidators.inRange(0, 1, false, true))
+  final val colsampleBytree = new DoubleParam(this, "colsampleBytree",
+    "per-tree feature subsample ratio", ParamValidators.inRange(0, 1, false, true))
+  final val scalePosWeight = new DoubleParam(this, "scalePosWeight",
+    "positive-class weight multiplier", ParamValidators.gt(0))
+  final val objective = new Param[String](this, "objective",
+    "reg:squarederror | binary:logistic | multi:softprob (classifier infers when unset)")
+  final val numClass = new IntParam(this, "numClass", "number of classes (multiclass)",
+    ParamValidators.gtEq(0))
+  final val baseScore = new DoubleParam(this, "baseScore", "global bias / initial score")
+  final val missing = new FloatParam(this, "missing",
+    "value treated as missing; NaN by default — densified sparse zeros are VALUES " +
+    "unless missing=0.0 is set explicitly (reference xgboost_core.py:780-784)")
+  final val seed = new LongParam(this, "seed", "random seed")
+  final val earlyStoppingRounds = new IntParam(this, "earlyStoppingRounds",
+    "stop after this many rounds without eval improvement (0 = off)", ParamValidators.gtEq(0))
+  final val evalMetric = new Param[String](this, "evalMetric",
+    "rmse | mae | logloss | mlogloss | error | merror")
+  final val treeLimit = new IntParam(this, "treeLimit",
+    "use only the first N rounds at predict time (0 = all)", ParamValidators.gtEq(0))
+
+  /** JSON object of passthrough params (analogue of arbitraryParamsDict). */
+  final val arbitraryParams = new Param[String](this, "arbitraryParams",
+    "JSON object of additional passthrough params")
+
+  setDefault(
+    featuresCol -> "features", labelCol -> "label", predictionCol -> "prediction",
+    numWorkers -> 1, useGpu -> false, forceRepartition -> false,
+    useExternalStorage -> false, externalStoragePrecision -> 5,
+    nEstimators -> 100, eta -> 0.3, maxDepth -> 6, lambda -> 1.0, alpha -> 0.0,
+    gamma -> 0.0, minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
+    scalePosWeight -> 1.0, numClass -> 0, baseScore -> 0.5, missing -> Float.NaN,
+    seed -> 0L, earlyStoppingRounds -> 0, treeLimit -> 0,
+    arbitraryParams -> "{}")
+
+  // NB: Params.get returns only explicitly-set values; getOrDefault also
+  // sees defaults (isDefined guards params with neither).
+  private[ml] def hasNonEmpty(p: Param[String]): Boolean =
+    isDefined(p) && getOrDefault(p).nonEmpty
+
+  /** BoosterParams from the current param values; objective/numClass are
+    * resolved by the estimator (classifier infers from countDistinct). */
+  private[ml] def boosterParams(resolvedObjective: String, resolvedNumClass: Int): BoosterParams =
+    BoosterParams(
+      numRounds = $(nEstimators), eta = $(eta), maxDepth = $(maxDepth),
+      lambda = $(lambda), alpha = $(alpha), gamma = $(gamma),
+      minChildWeight = $(minChildWeight), subsample = $(subsample),
+      colsampleBytree = $(colsampleBytree), scalePosWeight = $(scalePosWeight),
+      objective = resolvedObjective, numClass = resolvedNumClass,
+      baseScore = $(baseScore), missing = $(missing), seed = $(seed),
+      earlyStoppingRounds = $(earlyStoppingRounds),
+      evalMetric = if (hasNonEmpty(evalMetric)) Some($(evalMetric)) else None)
+
+  private[ml] def validateFeaturesType(schema: StructType): Unit = {
+    val dt = schema($(featuresCol)).dataType
+    require(dt == org.apache.spark.ml.linalg.SQLDataTypes.VectorType ||
+      dt.isInstanceOf[ArrayType],
+      s"featuresCol must be VectorUDT or array<numeric>, got $dt")
+  }
+}
+
+/** Classifier-only output columns (reference xgboost_core.py:738-756:
+  * each is optional — set the param to "" to skip materializing it). */
+trait XGBoostClassifierParams extends XGBoostParams {
+  final val rawPredictionCol = new Param[String](this, "rawPredictionCol",
+    "raw margin vector output column (empty string = skip)")
+  final val probabilityCol = new Param[String](this, "probabilityCol",
+    "probability vector output column (empty string = skip)")
+  setDefault(rawPredictionCol -> "rawPrediction", probabilityCol -> "probability")
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.BarrierTaskContext
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.{XgboostClassifier, XgboostRegressor}
+
+/** ML-path queries over the embeddings table, plus the remaining §2.b
+  * operators that live on the ML path (S2/S3 vector conversions, S8
+  * barrier execution, S14 1-row-parquet persistence, S15 conf
+  * introspection). Training queries have no SQL oracle (driver rows-only
+  * check); the structural ones are oracle-checked.
+  */
+object MlQueriesImpl {
+
+  /** S2+S3: array_to_vector → vector_to_array round-trip (the reference's
+    * VectorUDT unwrap/rewrap, xgboost_core.py:441, 747). Exact float→double
+    * widening on both sides — no rounding needed. */
+  val vectorRoundtrip = Q(
+    "q_s2_s3_vector_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          element_at(vector_to_array(array_to_vector(col("embedding"))), 1).as("e0"),
+          element_at(vector_to_array(array_to_vector(col("embedding"))), 64).as("e63"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e0,
+      CAST(embedding[64] AS DOUBLE) AS e63 FROM embeddings ORDER BY vec_id"""))
+
+  /** S8: barrier execution + allGather — the gang-scheduling primitive under
+    * the reference's distributed train (xgboost_core.py:427-430); here every
+    * task learns the global row count collectively and partition 0 emits it. */
+  val barrierAllGather = Q(
+    "q_s8_barrier_allgather",
+    (s, dir) => {
+      val parts = math.max(1, math.min(s.sparkContext.defaultParallelism, 4))
+      // barrier() must sit directly on an RDD-level shuffle (a DataFrame
+      // repartition chain under AQE is rejected by the barrier checker)
+      val rdd = Tables.lineitem(s, dir).select("l_orderkey").rdd
+        .map(_ => 1L).repartition(parts)
+        .barrier().mapPartitions { it =>
+          val ctx = BarrierTaskContext.get()
+          val localCount = it.length
+          val all = ctx.allGather(localCount.toString)
+          if (ctx.partitionId() == 0) Iterator.single(Tuple1(all.map(_.toLong).sum))
+          else Iterator.empty
+        }
+      // collect the collective result (like the reference collects the
+      // booster, xgboost_core.py:430) so downstream plans — e.g. Verify's
+      // coalesce(1) write — don't merge into the barrier stage
+      val total = rdd.collect().head._1
+      s.createDataFrame(Seq(Tuple1(total))).toDF("total_rows")
+    },
+    Some("SELECT count(*) AS total_rows FROM lineitem"))
+
+  /** S14: 1-row parquet write/read round-trip — the reference's model
+    * persistence shape (model.py:127-128, 155-156). */
+  val parquetRoundtrip = Q(
+    "q_s14_parquet_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s14").toString + "/model"
+      s.createDataFrame(Seq(Tuple1("graft-model-roundtrip"))).toDF("model_json")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).select(col("model_json").as("tag"))
+    },
+    Some("SELECT 'graft-model-roundtrip' AS tag"))
+
+  /** S15: SparkConf / capacity introspection (xgboost_core.py:202-238,
+    * sparkdl/utils/__init__.py:37-44). Values depend on the session →
+    * rows-only check. */
+  val confIntrospection = Q(
+    "q_s15_conf",
+    (s, dir) => {
+      val sc = s.sparkContext
+      val taskCpus = sc.getConf.getInt("spark.task.cpus", 1)
+      // public-API capacity estimate: slots = Σ executor cores / task cpus
+      // (sc.maxNumConcurrentTasks is private[spark])
+      val totalCores = sc.statusTracker.getExecutorInfos.map(_.numRunningTasks()).length
+        .max(sc.defaultParallelism)
+      val maxConcurrent = totalCores / taskCpus
+      s.createDataFrame(Seq(("spark.task.cpus", taskCpus.toString),
+        ("maxNumConcurrentTasks", maxConcurrent.toString))).toDF("key", "value")
+    },
+    None)
+
+  /** C1+C3 regression: fit on the embeddings table (label as target),
+    * score it back. Rows-only (no SQL oracle can train a GBT). */
+  val trainPredictReg = Q(
+    "q_ml_train_predict_reg",
+    (s, dir) => {
+      val df = Tables.embeddings(s, dir)
+      val model = new XgboostRegressor()
+        .setFeaturesCol("embedding").setLabelCol("label")
+        .setNEstimators(20).setMaxDepth(4).fit(df)
+      model.transform(df)
+        .select(col("vec_id"), round(col("prediction"), 4).as("prediction"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  /** C2-path smoke at query level: distributed training (treeAggregate
+    * histogram path, numWorkers=2) then batch scoring. Rows-only. */
+  val trainPredictDist = Q(
+    "q_ml_train_predict_dist",
+    (s, dir) => {
+      val df = Tables.embeddings(s, dir)
+      val model = new XgboostRegressor()
+        .setFeaturesCol("embedding").setLabelCol("label")
+        .setNumWorkers(2).setNEstimators(10).setMaxDepth(4).fit(df)
+      model.transform(df)
+        .select(col("vec_id"), round(col("prediction"), 4).as("prediction"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  /** C3 classifier: multiclass fit + margin→softmax→argmax scoring with
+    * rawPrediction/probability/prediction outputs. Rows-only. */
+  val trainPredictCls = Q(
+    "q_ml_train_predict_cls",
+    (s, dir) => {
+      import org.apache.spark.ml.functions.vector_to_array
+      val df = Tables.embeddings(s, dir)
+      val model = new XgboostClassifier()
+        .setFeaturesCol("embedding").setLabelCol("label")
+        .setNEstimators(10).setMaxDepth(4).fit(df)
+      model.transform(df)
+        .select(col("vec_id"), col("prediction"),
+          round(element_at(vector_to_array(col("probability")), 1), 4).as("p0"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(vectorRoundtrip, barrierAllGather, parquetRoundtrip,
+    confIntrospection, trainPredictReg, trainPredictDist, trainPredictCls)
+}

@@ -1,0 +1,228 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Estimator/Model end-to-end tests over the FIXTURES.md schemas: mixed
+  * dense/sparse vectors, weights, validation indicator, base margin,
+  * persistence round-trips, Pipeline/CrossValidator interop, and the
+  * distributed (treeAggregate) path.
+  */
+class EstimatorSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  // F1 (reference tests/xgboost/xgboost_local_test.py:47-55)
+  private def regTrainDf = spark.createDataFrame(Seq(
+    (Vectors.dense(1.0, 2.0, 3.0), 0.0),
+    (Vectors.sparse(3, Seq((1, 1.0), (2, 5.5))), 1.0))).toDF("features", "label")
+
+  // F2-style binary, replicated so min_child_weight can split
+  private def clsTrainDf = {
+    val base = Seq(
+      (Vectors.dense(1.0, 2.0, 3.0), 0.0),
+      (Vectors.sparse(3, Seq((1, 1.0), (2, 5.5))), 0.0),
+      (Vectors.dense(4.0, 5.0, 6.0), 1.0),
+      (Vectors.sparse(3, Seq((1, 6.0), (2, 7.5))), 1.0))
+    spark.createDataFrame(Seq.fill(50)(base).flatten).toDF("features", "label")
+  }
+
+  test("F1: regressor overfits the 2-row fixture; sparse input densifies") {
+    val model = new XgboostRegressor().setNEstimators(100).fit(regTrainDf)
+    val preds = model.transform(regTrainDf)
+      .select("label", "prediction").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    preds.foreach { case (y, p) => assert(math.abs(y - p) < 1e-2, s"label=$y pred=$p") }
+  }
+
+  test("F1: treeLimit at transform time truncates the ensemble") {
+    val model = new XgboostRegressor().setNEstimators(10).setMaxDepth(5).fit(regTrainDf)
+    val full = model.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    model.setTreeLimit(5)
+    val limited = model.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    assert(full(1) != limited(1))
+    assert(limited(1) > 0.5 && limited(1) < full(1))
+  }
+
+  test("F2: binary classifier emits rawPrediction/probability/prediction with " +
+      "the reference's margin math (raw=[-m,m], probs=[1-sig,sig])") {
+    val model = new XgboostClassifier().setNEstimators(30).fit(clsTrainDf)
+    val rows = model.transform(clsTrainDf.limit(4).distinct())
+      .select("label", "rawPrediction", "probability", "prediction").collect()
+    rows.foreach { r =>
+      val raw = r.getAs[Vector](1)
+      val prob = r.getAs[Vector](2)
+      assert(math.abs(raw(0) + raw(1)) < 1e-9, "raw must be [-m, m]")
+      assert(math.abs(prob(0) + prob(1) - 1.0) < 1e-9)
+      assert(r.getDouble(3) == (if (prob(1) > prob(0)) 1.0 else 0.0))
+      assert(r.getDouble(3) == r.getDouble(0), s"misclassified: $r")
+      assert(math.max(prob(0), prob(1)) > 0.9, s"unsaturated prob: $prob")
+    }
+  }
+
+  test("F3: multiclass via inferred multi:softprob; probabilities sum to 1") {
+    val base = Seq(
+      (Vectors.dense(1.0, 2.0, 3.0), 0.0),
+      (Vectors.sparse(3, Seq((1, 1.0), (2, 5.5))), 0.0),
+      (Vectors.dense(4.0, 5.0, 6.0), 1.0),
+      (Vectors.sparse(3, Seq((1, 6.0), (2, 7.5))), 2.0))
+    val df = spark.createDataFrame(Seq.fill(50)(base).flatten).toDF("features", "label")
+    val model = new XgboostClassifier().setNEstimators(30).fit(df)
+    assert(model.booster.objectiveName == "multi:softprob")
+    assert(model.numClasses == 3)
+    val rows = model.transform(df.limit(4).distinct())
+      .select("label", "probability", "prediction").collect()
+    rows.foreach { r =>
+      val prob = r.getAs[Vector](1)
+      assert(math.abs(prob.toArray.sum - 1.0) < 1e-9)
+      assert(r.getDouble(2) == r.getDouble(0), s"misclassified: $r")
+    }
+  }
+
+  test("empty output-column params skip materialization (reference :744-754)") {
+    val model = new XgboostClassifier().setNEstimators(5).fit(clsTrainDf)
+    model.setRawPredictionCol("").setProbabilityCol("")
+    val out = model.transform(clsTrainDf)
+    assert(out.columns.toSet == Set("features", "label", "prediction"))
+  }
+
+  test("F4: weight + validation indicator + early stopping set best_score") {
+    val df = spark.createDataFrame(Seq(
+      (Vectors.dense(1.0, 2.0, 3.0), 0.0, false, 1.0),
+      (Vectors.sparse(3, Seq((1, 1.0), (2, 5.5))), 1.0, false, 2.0),
+      (Vectors.dense(4.0, 5.0, 6.0), 2.0, true, 1.0),
+      (Vectors.sparse(3, Seq((1, 6.0), (2, 7.5))), 3.0, true, 2.0)))
+      .toDF("features", "label", "isVal", "weight")
+    val model = new XgboostRegressor()
+      .setWeightCol("weight").setValidationIndicatorCol("isVal")
+      .setEarlyStoppingRounds(1).setEvalMetric("rmse").setNEstimators(100)
+      .fit(df)
+    assert(model.booster.bestScore.isDefined)
+    assert(model.booster.bestScore.get > 0)
+    assert(model.booster.bestIteration.isDefined)
+  }
+
+  test("F5: base margin column shifts predictions") {
+    val trainSame = spark.createDataFrame(Seq(
+      (Vectors.dense(1.0, 2.0, 3.0), 0.0, 1.0),
+      (Vectors.sparse(3, Seq((1, 1.0), (2, 5.5))), 1.0, 1.0)))
+      .toDF("features", "label", "margin")
+    val trainDiff = spark.createDataFrame(Seq(
+      (Vectors.dense(1.0, 2.0, 3.0), 0.0, 0.0),
+      (Vectors.sparse(3, Seq((1, 1.0), (2, 5.5))), 1.0, 1.0)))
+      .toDF("features", "label", "margin")
+    def preds(df: org.apache.spark.sql.DataFrame) =
+      new XgboostClassifier().setBaseMarginCol("margin").setNEstimators(5)
+        .fit(df).setProbabilityCol("probability")
+        .transform(df).select("probability").collect()
+        .map(_.getAs[Vector](0)(1))
+    val same = preds(trainSame)
+    val diff = preds(trainDiff)
+    assert(!same.sameElements(diff))
+  }
+
+  test("F8: model save/load round-trips params, uid, and predictions") {
+    val model = new XgboostRegressor().setNEstimators(20).setEta(0.2).fit(regTrainDf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = XgboostRegressorModel.load(dir)
+    assert(loaded.uid == model.uid)
+    assert(loaded.getOrDefault(loaded.eta) == 0.2)
+    val a = model.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    val b = loaded.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
+  test("F8: cross-class load fails with 'Expected class name'") {
+    val model = new XgboostClassifier().setNEstimators(3).fit(clsTrainDf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-x").toString + "/m"
+    model.write.overwrite().save(dir)
+    val ex = intercept[Exception] { XgboostRegressorModel.load(dir) }
+    assert(ex.getMessage.contains("Expected class name"))
+  }
+
+  test("F8: estimator save/load keeps params") {
+    val est = new XgboostRegressor().setNEstimators(7).setMaxDepth(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-est").toString + "/e"
+    est.write.overwrite().save(dir)
+    val loaded = XgboostRegressor.load(dir)
+    assert(loaded.getOrDefault(loaded.nEstimators) == 7)
+    assert(loaded.getOrDefault(loaded.maxDepth) == 3)
+    assert(loaded.uid == est.uid)
+  }
+
+  test("F8: Pipeline fit + save/load (reference local_test.py:432-476)") {
+    val pipeline = new Pipeline().setStages(Array(
+      new XgboostRegressor().setNEstimators(10)))
+    val pm: PipelineModel = pipeline.fit(regTrainDf)
+    val preds = pm.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/p"
+    pm.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val preds2 = loaded.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    assert(preds.sameElements(preds2))
+  }
+
+  test("CrossValidator interop (reference local_test.py:466-476)") {
+    val est = new XgboostRegressor().setNEstimators(5)
+    val grid = new ParamGridBuilder().addGrid(est.maxDepth, Array(2, 3)).build()
+    val cv = new CrossValidator().setEstimator(est)
+      .setEvaluator(new RegressionEvaluator())
+      .setEstimatorParamMaps(grid).setNumFolds(2)
+    val big = clsTrainDf // 200 rows, labels 0/1 work as regression targets
+    val cvModel = cv.fit(big)
+    assert(cvModel.bestModel.isInstanceOf[XgboostRegressorModel])
+  }
+
+  test("array<float> features column is accepted (embeddings-style input)") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), 0.0),
+      (Array(0.0f, 1.0f, 5.5f), 1.0)).toDF("features", "label")
+    val model = new XgboostRegressor().setNEstimators(50).fit(df)
+    val preds = model.transform(df).select("prediction").collect().map(_.getDouble(0))
+    assert(math.abs(preds(0)) < 0.05 && math.abs(preds(1) - 1.0) < 0.05)
+  }
+
+  test("distributed (numWorkers=2) regressor agrees with single-node") {
+    val rng = new scala.util.Random(3)
+    val rows = Seq.fill(400)({
+      val f = Array.fill(4)(rng.nextDouble() * 4)
+      (Vectors.dense(f), f(0) * 2 + f(1) - f(2) * 0.5)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    val single = new XgboostRegressor().setNEstimators(15).fit(df)
+    val dist = new XgboostRegressor().setNEstimators(15).setNumWorkers(2).fit(df)
+    val s = single.transform(df).select("prediction").collect().map(_.getDouble(0))
+    val d = dist.transform(df).select("prediction").collect().map(_.getDouble(0))
+    val rmseDiff = math.sqrt(s.zip(d).map { case (a, b) => (a - b) * (a - b) }.sum / s.length)
+    val spread = s.max - s.min
+    assert(rmseDiff < spread * 0.12, s"single vs dist rmse diff $rmseDiff spread $spread")
+  }
+
+  test("distributed binary classifier learns the replicated fixture (F6 shape)") {
+    val model = new XgboostClassifier().setNEstimators(20).setNumWorkers(2).fit(clsTrainDf)
+    val rows = model.transform(clsTrainDf.limit(4).distinct())
+      .select("label", "prediction", "probability").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(0), s"misclassified: $r")
+      val prob = r.getAs[Vector](2)
+      assert(math.max(prob(0), prob(1)) > 0.8, s"unsaturated: $prob")
+    }
+  }
+
+  test("distributed path with validation + early stopping records best_score") {
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(300)({
+      val f = Array.fill(3)(rng.nextDouble() * 2)
+      (Vectors.dense(f), f(0) + f(1), rng.nextDouble() < 0.25)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label", "isVal")
+    val model = new XgboostRegressor().setNumWorkers(2)
+      .setValidationIndicatorCol("isVal").setEarlyStoppingRounds(3)
+      .setNEstimators(60).fit(df)
+    assert(model.booster.bestScore.exists(_ < 0.5))
+  }
+}
