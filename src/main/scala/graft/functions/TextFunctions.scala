@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-pipeline scalar functions.
+  *
+  * The hot-path primitive (document fingerprinting) is a native Catalyst
+  * `Expression` WITH `doGenCode`, so it stays inside whole-stage codegen —
+  * preference order (b) from the build brief: composing built-ins was not
+  * possible (Spark has no rolling polynomial hash), and a Scala UDF would
+  * break codegen and add serialization per row.
+  */
+object TextFunctions {
+
+  /** 64-bit FNV-1a over UTF-8 bytes — deterministic rolling document
+    * fingerprint; same constants as the public FNV spec. */
+  case class Fnv64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bytes = ctx.freshName("bytes")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        s"""
+          byte[] $bytes = $c.getBytes();
+          long $h = 0xcbf29ce484222325L;
+          for (int $i = 0; $i < $bytes.length; $i++) {
+            $h ^= ($bytes[$i] & 0xffL);
+            $h *= 0x100000001b3L;
+          }
+          ${ev.value} = $h;
+        """
+      })
+    override protected def withNewChildInternal(newChild: Expression): Fnv64 = copy(newChild)
+  }
+
+  def fnv64(c: Column): Column =
+    ColumnBridge.column(Fnv64(ColumnBridge.expression(c)))
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subtoken split: word runs OR single non-word-non-space chars. */
+  def subtokens(c: Column): Column =
+    regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** 64-bit SimHash over whitespace tokens (sign-sum of token-hash bits).
+    * Token hashes reuse FNV via string concat trick is wasteful — this is a
+    * compact Scala UDF over the token array (cold path: fingerprinting runs
+    * once per corpus; candidate joins afterwards are hash-equality on the
+    * result). */
+  val simhash64 = udf { (toks: Seq[String]) =>
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      var h = 0xcbf29ce484222325L
+      val bytes = t.getBytes("UTF-8")
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Language ID by stopword-profile hit counting — a standard n-gram/
+    * function-word heuristic over public stopword lists. Returns the best
+    * lang code or "und". */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "las", "por", "con"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu", "den", "im"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "en", "que", "pour"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "con", "del", "sono", "non"),
+    "pt" -> Set("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "com", "para", "os"))
+
+  val langId = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) "und"
+    else {
+      var bestLang = "und"
+      var bestHits = 0
+      profiles.toSeq.sortBy(_._1).foreach { case (lang, stops) =>
+        val hits = toks.count(stops.contains)
+        if (hits > bestHits) { bestHits = hits; bestLang = lang }
+      }
+      bestLang
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers, by scale:
+  *   - bruteForceTopK: exact; the QUERY side is broadcast (small), the
+  *     corpus side streams — no shuffle of the corpus, no all-pairs
+  *     materialization beyond the per-partition top-k the window prunes.
+  *     Right answer when |queries| · |corpus| compute fits the cluster.
+  *   - lshTopK: random-hyperplane signs bucket the corpus; queries probe
+  *     their bucket plus single-bit flips. Corpus side shuffles once on
+  *     bucket id; candidate set is |corpus| / 2^bits · (bits+1) per query.
+  *   - ivfTopK: KMeans coarse quantizer (trained on a sample); corpus
+  *     partitioned by nearest centroid, queries probe nProbe cells. The
+  *     classic IVF-flat layout — at 100 TB the cells become partition keys
+  *     so a probe touches only its cells' files.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query row (same table by default).
+    * Output: (qid, rank, vid, cos) — cosine rounded for stable ordering. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"))
+    val cos = round(Dedup.cosine(col("qvec"), col("cvec")), 6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), returned as literal arrays. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of a float-array embedding under the planes. */
+  private def bucketUdf(planes: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      var dot = 0.0
+      val p = planes(b)
+      var i = 0
+      while (i < p.length && i < v.length) { dot += p(i) * v(i); i += 1 }
+      if (dot > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** Multi-table LSH ANN (textbook layout: L independent b-bit tables);
+    * each query probes its bucket plus all single-bit flips per table.
+    * Tune (bits, tables) with corpus size: candidates/query ≈
+    * |corpus| · L · (bits+1) / 2^bits. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 4, tables: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val allPlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
+    val bucketCols = (t: Column, b: Column) => t * lit(1 << bits) + b // (table, bucket) key
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
+        explode(array((0 until tables).map(t =>
+          bucketCols(lit(t), bucketUdf(allPlanes(t))(col(vecCol)))): _*)).as("bucket"))
+    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      array((0 until tables).map(t => bucketUdf(allPlanes(t))(col(vecCol))): _*).as("qbs"))
+    val probeArr = array((0 until tables).flatMap { t =>
+      (0 to bits).map { i =>
+        val base = element_at(col("qbs"), t + 1)
+        val b = if (i == 0) base else base.bitwiseXOR(lit(1 << (i - 1)))
+        bucketCols(lit(t), b)
+      }
+    }: _*)
+    val q = q0.select(col("qid"), col("qvec"), explode(probeArr).as("bucket"))
+    val cos = round(Dedup.cosine(col("qvec"), col("cvec")), 6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    c.join(broadcast(q), Seq("bucket"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), cos.as("cos"))
+      .dropDuplicates("qid", "vid")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid"), col("cos"))
+  }
+
+  /** IVF-flat ANN: KMeans coarse cells, probe the nProbe nearest cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val withVec = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
+      array_to_vector(col(vecCol)).as("fvec"))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fvec")
+      .setPredictionCol("cell").setMaxIter(10)
+    val model = km.fit(withVec)
+    val c = model.transform(withVec).select(col("vid"), col("cvec"), col("cell"))
+
+    // query → nProbe nearest centroids (tiny driver-side centroid table)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val centroidDf = spark.createDataFrame(centroids.toIndexedSeq).toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val qcos = Dedup.cosine(col("qvec"), col("centroid"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .select(col("qid"), col("qvec"), col("cell"), qcos.as("ccos"))
+      .withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+
+    val cos = round(Dedup.cosine(col("qvec"), col("cvec")), 6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    c.join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid"), col("cos"))
+  }
+}

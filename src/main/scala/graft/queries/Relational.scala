@@ -182,7 +182,44 @@ object Relational {
       ON o_orderstatus = code
       GROUP BY meaning ORDER BY meaning"""))
 
+  /** S7: partition map with schema change — the reference's mapInPandas
+    * train kernel shape (xgboost_core.py:512-513); here a typed
+    * Dataset.mapPartitions computing a derived row schema. */
+  val s7MapPartitions = Q(
+    "q_s7_mappartitions",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+        .as[(Long, Int, Double, Double)]
+        .mapPartitions(_.map { case (okey, line, price, disc) =>
+          (okey, line, math.round(price * (1 - disc) * 100).toDouble / 100)
+        })
+        .toDF("okey", "line", "revenue")
+        .orderBy($"okey", $"line")
+    },
+    Some("""SELECT l_orderkey AS okey, l_linenumber AS line,
+      round(l_extendedprice * (1 - l_discount), 2) AS revenue
+      FROM lineitem ORDER BY okey, line"""))
+
+  /** S10: scalar UDF — the reference's vectorized scoring UDF family
+    * (xgboost_core.py:590-612); here the same sigmoid post-processing
+    * math as a registered Scala UDF. */
+  val s10ScalarUdf = Q(
+    "q_s10_scalar_udf",
+    (s, dir) => {
+      import s.implicits._
+      val sigmoid = udf((x: Double) => 1.0 / (1.0 + math.exp(-x)))
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("okey"), $"l_linenumber".as("line"),
+          round(sigmoid($"l_discount" * 10 - 0.5), 6).as("sig"))
+        .orderBy($"okey", $"line")
+    },
+    Some("""SELECT l_orderkey AS okey, l_linenumber AS line,
+      round(1.0 / (1.0 + exp(-(l_discount * 10 - 0.5))), 6) AS sig
+      FROM lineitem ORDER BY okey, line"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, s1Project, s4Cast, s5CountDistinct, s6Repartition,
-    s9Collect, s11Struct, s13Filter, s16CreateDf)
+    s7MapPartitions, s9Collect, s10ScalarUdf, s11Struct, s13Filter, s16CreateDf)
 }

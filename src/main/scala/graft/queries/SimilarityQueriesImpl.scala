@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries over the embeddings table. */
+object SimilarityQueriesImpl {
+
+  private def queriesSlice(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir).where(col("vec_id") < 10)
+
+  /** Exact top-5 cosine neighbors for 10 query vectors — broadcast query
+    * side, streaming corpus. Oracle-checked against DuckDB. */
+  val bruteForce = Q(
+    "q_sim_topk_brute",
+    (s, dir) => {
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), queriesSlice(s, dir),
+          "vec_id", "embedding", 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id AS vid,
+          round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT qid, vid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        FROM pairs)
+      SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+      ORDER BY qid, rank"""))
+
+  /** LSH-bucketed ANN (random hyperplanes, single-bit multiprobe). */
+  val lsh = Q(
+    "q_sim_topk_lsh",
+    (s, dir) => {
+      Similarity.lshTopK(Tables.embeddings(s, dir), queriesSlice(s, dir),
+          "vec_id", "embedding", 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  /** IVF-flat ANN (KMeans coarse cells, nProbe=4). */
+  val ivf = Q(
+    "q_sim_topk_ivf",
+    (s, dir) => {
+      Similarity.ivfTopK(Tables.embeddings(s, dir), queriesSlice(s, dir),
+          "vec_id", "embedding", 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(bruteForce, lsh, ivf)
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis operators over the documents table: token counting,
+  * quality scoring, language ID, fingerprinting. All are single-scan,
+  * shuffle-free plans (scan → codegen'd projection), the shape that
+  * streams at 100 TB. SQL-expressible ones carry DuckDB oracles.
+  */
+object TextQueriesImpl {
+
+  private val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val stopSqlList = stopList.map(s => s"'$s'").mkString(", ")
+
+  /** Token counting: whitespace tokens + BPE-ish regex subtokens. */
+  val tokenCount = Q(
+    "q_text_tokens",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+        size(TextFunctions.subtokens(col("text"))).as("n_subtokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_subtokens
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: length/stopword/char-per-token signals composed into
+    * a bounded score — standard pretraining-corpus heuristics. */
+  val quality = Q(
+    "q_text_quality",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = TextFunctions.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val stopHits = size(filter(toks, t => t.isin(stopList: _*))).cast("double")
+      val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
+      val charsPerTok = when(nTok > 0, length(col("text")).cast("double") / nTok).otherwise(0.0)
+      docs.select(col("doc_id"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(charsPerTok, 4).as("chars_per_token"),
+        round(least(nTok / lit(64.0), lit(1.0)) * (lit(1.0) - stopRatio), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+      round(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END, 4) AS stop_ratio,
+      round(CASE WHEN n_tok > 0 THEN length(text) / n_tok ELSE 0 END, 4) AS chars_per_token,
+      round(least(n_tok / 64.0, 1.0) *
+        (1.0 - CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END), 4) AS quality
+      FROM (
+        SELECT doc_id, text,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+          CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            t -> t IN ($stopSqlList))) AS DOUBLE) AS stop_hits
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Language ID (stopword-profile heuristic) scored against the table's
+    * lang column. The heuristic is not SQL-expressible → rows-only. */
+  val langId = Q(
+    "q_text_langid",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), col("lang"),
+        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** Fingerprinting, oracle-checked variant: md5 of normalized text
+    * (byte-identical in Spark and DuckDB). */
+  val fingerprintMd5 = Q(
+    "q_text_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id"))
+
+  /** Fingerprinting, native-Expression variant: 64-bit FNV-1a rolling hash
+    * as a codegen'd Catalyst Expression (whole-stage-codegen friendly).
+    * Rows-only: DuckDB's hash() is a different function. */
+  val fingerprintFnv = Q(
+    "q_text_fingerprint_fnv",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fnv64(lower(trim(col("text")))).as("fp64"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprintMd5, fingerprintFnv)
+}

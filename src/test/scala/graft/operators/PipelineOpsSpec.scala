@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+
+/** Specs for the training-data-pipeline operators on CONSTRUCTED inputs
+  * (known duplicates, known languages) — the driver tables only contain
+  * organic near-dups, so these pin down semantics deterministically.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 0
+    (3L, "completely different words about spark histograms and gradient boosting trees"),
+    (4L, "el rapido zorro marron salta sobre el perro perezoso cerca del rio hoy")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val groups = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("copies"))
+      .where(col("copies") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep") == 0L)
+    assert(groups(0).getAs[Long]("copies") == 2L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"exact dup pair missing: $keys")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L)), s"near dup pair missing: $keys")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $keys")
+  }
+
+  test("simhash: identical docs get identical fingerprints; near dups are close") {
+    val t = Dedup.simhashTable(docs, "doc_id", "text")
+      .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(0L) == t(1L))
+    assert(java.lang.Long.bitCount(t(0L) ^ t(2L)) <= 16, "near dup should be hamming-close")
+    assert(java.lang.Long.bitCount(t(0L) ^ t(3L)) > 16, "unrelated doc should be far")
+    val pairs = Dedup.simhashNearPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("word-trigram jaccard: 1.0 for exact dup, high for near dup, 0 for unrelated") {
+    val d = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("grams"))
+    val a = d.alias("a"); val b = d.alias("b")
+    val rows = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        Dedup.jaccard(col("a.grams"), col("b.grams")).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((0L, 1L)) == 1.0)
+    assert(rows((0L, 2L)) > 0.7)
+    assert(rows((0L, 3L)) == 0.0)
+  }
+
+  test("langId identifies constructed English vs Spanish") {
+    val out = docs.select(col("doc_id"),
+      TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "es")
+  }
+
+  test("fnv64 expression matches a reference JVM implementation and survives codegen") {
+    def fnvRef(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val rows = docs.select(col("text"), TextFunctions.fnv64(col("text")).as("fp")).collect()
+    rows.foreach { r => assert(r.getLong(1) == fnvRef(r.getString(0))) }
+  }
+
+  test("brute-force topK returns k neighbors ranked by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 1L), (2, 2L)))
+  }
+
+  test("LSH and IVF ANN achieve reasonable recall@5 vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    def neighborSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val exact = neighborSet(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val lsh = neighborSet(Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5))
+    val ivf = neighborSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map(q => (approx.getOrElse(q, Set.empty) & exact(q)).size.toDouble / 5)
+        .sum / exact.size
+    val rl = recall(lsh)
+    val ri = recall(ivf)
+    assert(rl > 0.6, s"LSH recall too low: $rl")
+    assert(ri > 0.3, s"IVF recall too low: $ri")
+  }
+}
