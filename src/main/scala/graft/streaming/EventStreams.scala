@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events table.
+  *
+  * The reference has no streaming surface (SURVEY §2.c); these are the
+  * engine-completeness additions for a training-data pipeline: windowed
+  * aggregation with watermarking, and stateful sessionization via
+  * flatMapGroupsWithState. Batch parity: the windowed aggregate has an
+  * exact DuckDB oracle (time_bucket), which also pins the streaming
+  * result because processAllAvailable() drains the bounded input fully.
+  *
+  * Scale: state is keyed by (window,type) / user — O(active keys), and
+  * the watermark bounds retained state; both survive a 1000-executor
+  * deployment unchanged.
+  */
+object EventStreams {
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+    * timestamp type, so it is read as a long (legacy nanosAsLong conf)
+    * and truncated to microseconds on ingest. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def readEvents(spark: SparkSession, sfDir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** 5-minute tumbling-window counts/sums by event_type, run as a real
+    * streaming query (file source → watermark → window agg → memory sink)
+    * drained to completion, returned as a batch DataFrame. */
+  def windowedAggregate(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stream = readEvents(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class SessState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization (30-min inactivity) with
+    * flatMapGroupsWithState + event-time timeout. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = readEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[Ev]
+
+    val gapMs = 30L * 60 * 1000
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // no-data batch after the watermark passed last+gap: close out
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, new java.sql.Timestamp(st.start), st.n, st.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.last <= gapMs =>
+                  cur = Some(st.copy(last = t, n = st.n + 1, sum = st.sum + e.value))
+                case Some(st) =>
+                  out ::= Session(user, new java.sql.Timestamp(st.start), st.n, st.sum)
+                  cur = Some(SessState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+
+    val name = s"graft_sess_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("windowed streaming aggregate equals the batch computation") {
+    val streamed = EventStreams.windowedAggregate(spark, sfDir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.schema(EventStreams.eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+    val a = streamed.collect().map(_.toString)
+    val b = batch.collect().map(_.toString)
+    assert(a.length == b.length && a.sameElements(b),
+      s"stream/batch divergence: ${a.length} vs ${b.length}")
+  }
+
+  test("sessionization: session stats are consistent with raw events") {
+    val sessions = EventStreams.sessionize(spark, sfDir)
+    val rows = sessions.collect()
+    assert(rows.nonEmpty)
+    // every session has >= 1 event and positive value totals (values > 0 in data)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") >= 1)
+      assert(r.getAs[Double]("total_value") > 0)
+    }
+    // sessions for a user don't overlap: starts are strictly increasing
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val starts = ss.map(_.getAs[java.sql.Timestamp]("session_start").getTime)
+      assert(starts.sorted.sameElements(starts.distinct.sorted))
+    }
+  }
+}
