@@ -42,30 +42,41 @@ object Dedup {
 
   /** Column: array of K min-hashes over the shingle-hash array. The j-th
     * "permutation" is xxhash64(j, shingle) — overflow-free under ANSI mode
-    * (Spark 4 default), unlike the a·x+b family. */
+    * (Spark 4 default), unlike the a·x+b family.
+    *
+    * Built as ONE nested transform over sequence(0, K-1) so the shingle
+    * expression is evaluated once per row — an array(...) of K separate
+    * transforms re-evaluates tokenize→ngram→hash K times (measured 40×
+    * slower at sf0.1). */
   def minhashSignature(shingles: Column): Column =
-    array((0 until MinHashK).map { j =>
-      array_min(transform(shingles, h => xxhash64(lit(j), h)))
-    }: _*)
+    transform(sequence(lit(0), lit(MinHashK - 1)),
+      j => array_min(transform(shingles, h => xxhash64(j, h))))
 
   /** (doc_id, minhash) → candidate pairs (a, b, est_jaccard) via the LSH
-    * band-bucket self-join; est_jaccard = fraction of agreeing minhashes. */
+    * band-bucket self-join; est_jaccard = fraction of agreeing minhashes.
+    *
+    * The band join carries only (id, band, bandHash) — 24 bytes/row, not
+    * the 512-byte signature; signatures are joined back onto the deduped
+    * candidate pairs (candidates ≪ band rows at scale). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, minEstJaccard: Double): DataFrame = {
     val bandArr = array((0 until Bands).map { b =>
       xxhash64(lit(b), slice(col("mh"), b * RowsPerBand + 1, RowsPerBand))
     }: _*)
-    val bands = sigs.select(col(idCol), col("mh"), posexplode(bandArr).as(Seq("band", "bh")))
+    val bands = sigs.select(col(idCol), posexplode(bandArr).as(Seq("band", "bh")))
     val x = bands.alias("x")
     val y = bands.alias("y")
-    val agree = aggregate(
-      zip_with(col("x.mh"), col("y.mh"), (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    x.join(y,
+    val candidates = x.join(y,
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
-        (agree.cast("double") / MinHashK).as("est_jaccard"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .dropDuplicates("a", "b")
+    val agree = aggregate(
+      zip_with(col("mha"), col("mhb"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    candidates
+      .join(sigs.select(col(idCol).as("a"), col("mh").as("mha")), "a")
+      .join(sigs.select(col(idCol).as("b"), col("mh").as("mhb")), "b")
+      .select(col("a"), col("b"), (agree.cast("double") / MinHashK).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -115,13 +126,14 @@ object Dedup {
 
   // ---- embedding cosine --------------------------------------------------
 
-  /** Cosine similarity between two float-array columns, computed in double. */
+  /** Cosine similarity between two numeric-array columns, computed in
+    * double via the codegen'd native dot product. For pair loops, prefer
+    * precomputing [[graft.functions.VectorFunctions.unitVector]] on each
+    * side and taking a single array_dot per pair. */
   def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+    import graft.functions.VectorFunctions._
+    val ad = toDoubleArray(a)
+    val bd = toDoubleArray(b)
+    array_dot(ad, bd) / (sqrt(array_dot(ad, ad)) * sqrt(array_dot(bd, bd)))
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{array_dot, unitVector}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -27,9 +28,9 @@ object Similarity {
     * Output: (qid, rank, vid, cos) — cosine rounded for stable ordering. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"))
-    val cos = round(Dedup.cosine(col("qvec"), col("cvec")), 6)
+    val q = queries.select(col(idCol).as("qid"), unitVector(col(vecCol)).as("qvec"))
+    val c = corpus.select(col(idCol).as("vid"), unitVector(col(vecCol)).as("cvec"))
+    val cos = round(array_dot(col("qvec"), col("cvec")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     c.crossJoin(broadcast(q))
       .where(col("qid") =!= col("vid"))
@@ -70,10 +71,10 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val allPlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
     val bucketCols = (t: Column, b: Column) => t * lit(1 << bits) + b // (table, bucket) key
-    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
+    val c = corpus.select(col(idCol).as("vid"), unitVector(col(vecCol)).as("cvec"),
         explode(array((0 until tables).map(t =>
           bucketCols(lit(t), bucketUdf(allPlanes(t))(col(vecCol)))): _*)).as("bucket"))
-    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+    val q0 = queries.select(col(idCol).as("qid"), unitVector(col(vecCol)).as("qvec"),
       array((0 until tables).map(t => bucketUdf(allPlanes(t))(col(vecCol))): _*).as("qbs"))
     val probeArr = array((0 until tables).flatMap { t =>
       (0 to bits).map { i =>
@@ -83,7 +84,7 @@ object Similarity {
       }
     }: _*)
     val q = q0.select(col("qid"), col("qvec"), explode(probeArr).as("bucket"))
-    val cos = round(Dedup.cosine(col("qvec"), col("cvec")), 6)
+    val cos = round(array_dot(col("qvec"), col("cvec")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("vid"))
@@ -99,7 +100,7 @@ object Similarity {
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
-    val withVec = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
+    val withVec = corpus.select(col(idCol).as("vid"), unitVector(col(vecCol)).as("cvec"),
       array_to_vector(col(vecCol)).as("fvec"))
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fvec")
       .setPredictionCol("cell").setMaxIter(10)
@@ -109,7 +110,7 @@ object Similarity {
     // query → nProbe nearest centroids (tiny driver-side centroid table)
     val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
     val centroidDf = spark.createDataFrame(centroids.toIndexedSeq).toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val q = queries.select(col(idCol).as("qid"), unitVector(col(vecCol)).as("qvec"))
     val qcos = Dedup.cosine(col("qvec"), col("centroid"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centroidDf))
@@ -118,7 +119,7 @@ object Similarity {
       .where(col("crank") <= nProbe)
       .select(col("qid"), col("qvec"), col("cell"))
 
-    val cos = round(Dedup.cosine(col("qvec"), col("cvec")), 6)
+    val cos = round(array_dot(col("qvec"), col("cvec")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     c.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("vid"))
