@@ -61,27 +61,6 @@ object TextFunctions {
   def subtokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
-  /** 64-bit SimHash over whitespace tokens (sign-sum of token-hash bits).
-    * Token hashes reuse FNV via string concat trick is wasteful — this is a
-    * compact Scala UDF over the token array (cold path: fingerprinting runs
-    * once per corpus; candidate joins afterwards are hash-equality on the
-    * result). */
-  val simhash64 = udf { (toks: Seq[String]) =>
-    val counts = new Array[Int](64)
-    toks.foreach { t =>
-      var h = 0xcbf29ce484222325L
-      val bytes = t.getBytes("UTF-8")
-      var i = 0
-      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-
   /** Language ID by stopword-profile hit counting — a standard n-gram/
     * function-word heuristic over public stopword lists. Returns the best
     * lang code or "und". */

@@ -54,10 +54,8 @@ object VectorFunctions {
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** L2-normalized double array — precompute ONCE per row so pair loops
-    * reduce to a single codegen'd dot product. */
-  def unitVector(c: Column): Column = {
-    val d = toDoubleArray(c)
-    val n = sqrt(array_dot(d, d))
-    transform(d, x => x / n)
-  }
+    * reduce to a single codegen'd dot product. Delegates to the fused
+    * native kernel: the composed transform/sqrt version re-evaluated the
+    * norm subexpression per element (O(dim²) interpreted). */
+  def unitVector(c: Column): Column = KernelExpressions.unit_vector(c)
 }

@@ -160,12 +160,20 @@ final class BoosterModel(
   @transient lazy val objective: Objective = Objective.fromName(objectiveName)
   def numGroups: Int = math.max(1, if (objectiveName.startsWith("multi")) numClass else 1)
 
-  /** Raw margins for one row; treeLimit counts boosting rounds (0 = all). */
+  /** Raw margins for one row; treeLimit counts boosting rounds. 0 means
+    * "default": all rounds, unless early stopping recorded a best
+    * iteration — then rounds up to bestIteration+1, matching xgboost's
+    * sklearn predict which drops the overfit tail past the best round. */
   def predictMargin(x: Array[Float], treeLimit: Int = 0): Array[Float] = {
     val k = numGroups
     val out = Array.fill(k)(baseMargin)
     val rounds = trees.length / k
-    val useRounds = if (treeLimit > 0) math.min(treeLimit, rounds) else rounds
+    val useRounds =
+      if (treeLimit > 0) math.min(treeLimit, rounds)
+      else bestIteration match {
+        case Some(bi) if bi >= 0 => math.min(bi + 1, rounds)
+        case _ => rounds
+      }
     var r = 0
     while (r < useRounds) {
       var g = 0

@@ -34,13 +34,26 @@ object DistTrainer {
   private val SampleForCuts = 200000
   private val CheckpointEvery = 16
 
-  /** Per-partition training state. Immutable; each round maps to a new one. */
+  /** Per-partition training state. Immutable per round; margin advance
+    * maps to a new instance, so `margins` always holds ROUND-START margins
+    * while the round's trees grow — the invariant that keeps numWorkers>1
+    * multiclass training equal to the single-node path (gradients for all
+    * K class trees of a round come from the same margins).
+    *
+    * `gCache`/`hCache` memoize the per-round gradients (they depend only
+    * on the round-start margins): the first treeAggregate level computes
+    * them, later levels and later classes of the round reuse. @transient —
+    * a partition recomputed or re-read from disk just recomputes them
+    * (idempotent), and they never travel over the wire. */
   private final class PartState(
       val train: TrainMatrix,
       val eval: TrainMatrix, // null when absent
       val binned: Array[Byte],
       val margins: Array[Float],
-      val evalMargins: Array[Float]) extends Serializable
+      val evalMargins: Array[Float]) extends Serializable {
+    @transient var gCache: Array[Float] = _
+    @transient var hCache: Array[Float] = _
+  }
 
   /** Partial tree broadcast to workers for row routing during growth. */
   private final case class PartialTree(
@@ -100,26 +113,31 @@ object DistTrainer {
     val rng = new java.util.Random(p.seed)
 
     while (round < p.numRounds && !stop) {
+      // Grow ALL K class trees of the round from the same (round-start)
+      // margins — xgboost computes grad/hess once per round for all
+      // classes; advancing margins between classes trains a different
+      // multi:softprob model than the single-node path.
+      val roundTrees = new Array[Tree](k)
       var cls = 0
       while (cls < k) {
         val features = sampleFeaturesSeeded(numFeatures, p.colsampleBytree, rng)
-        val tree = growTree(state, cutsBc, numFeatures, k, cls, round, p, obj, features)
-        trees += tree
-
-        // advance margins with the finished tree (pure map — replayable)
-        val treeBc = sc.broadcast(tree)
-        val prev = state
-        state = prev.map { ps =>
-          new PartState(ps.train, ps.eval, ps.binned,
-            addTreeMargins(ps.train, treeBc.value, ps.margins, k, cls, p.missing),
-            if (ps.eval == null) null
-            else addTreeMargins(ps.eval, treeBc.value, ps.evalMargins, k, cls, p.missing))
-        }.persist(StorageLevel.MEMORY_AND_DISK)
-        if ((round * k + cls) % CheckpointEvery == CheckpointEvery - 1) state.localCheckpoint()
-        state.count()
-        prev.unpersist(blocking = false)
+        roundTrees(cls) = growTree(state, cutsBc, numFeatures, k, cls, round, p, obj, features)
+        trees += roundTrees(cls)
         cls += 1
       }
+
+      // one margin-advance map per round with all K trees (pure — replayable)
+      val treesBc = sc.broadcast(roundTrees)
+      val prev = state
+      state = prev.map { ps =>
+        new PartState(ps.train, ps.eval, ps.binned,
+          addTreesMargins(ps.train, treesBc.value, ps.margins, k, p.missing),
+          if (ps.eval == null) null
+          else addTreesMargins(ps.eval, treesBc.value, ps.evalMargins, k, p.missing))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      if (round % CheckpointEvery == CheckpointEvery - 1) state.localCheckpoint()
+      state.count()
+      prev.unpersist(blocking = false)
 
       if (hasEval) {
         val (num, den) = state.treeAggregate((0.0, 0.0))(
@@ -144,7 +162,7 @@ object DistTrainer {
     val model = new BoosterModel(obj.name, p.numClass, numFeatures, baseMargin,
       trees.toArray, p.missing,
       if (hasEval) Some(bestScore) else None,
-      if (hasEval) Some(bestIter) else None)
+      if (hasEval && p.earlyStoppingRounds > 0) Some(bestIter) else None)
     ModelJson.toJson(model)
   }
 
@@ -230,8 +248,10 @@ object DistTrainer {
       left.toArray, right.toArray, w)
   }
 
-  /** Worker-side: recompute g/h from margins, route rows through the
-    * partial tree on binned values, accumulate the level histogram. */
+  /** Worker-side: gradients from ROUND-START margins (memoized on the
+    * PartState — identical for every level and class of the round), route
+    * rows through the partial tree on binned values, accumulate the level
+    * histogram. */
   private def accumulateLevel(ps: PartState, t: PartialTree, features: Array[Int],
       cuts: BinCuts, levelStart: Int, levelEnd: Int, k: Int, cls: Int,
       round: Int, p: BoosterParams, obj: Objective,
@@ -240,10 +260,15 @@ object DistTrainer {
     val n = mat.numRows
     if (n == 0) return
     val m = mat.numCols
-    val g = new Array[Float](n * k)
-    val h = new Array[Float](n * k)
-    val weights = effectiveWeights(mat, p)
-    obj.gradHess(ps.margins, mat.labels, weights, k, g, h)
+    if (ps.gCache == null) {
+      val g0 = new Array[Float](n * k)
+      val h0 = new Array[Float](n * k)
+      obj.gradHess(ps.margins, mat.labels, effectiveWeights(mat, p), k, g0, h0)
+      ps.gCache = g0
+      ps.hCache = h0
+    }
+    val g = ps.gCache
+    val h = ps.hCache
 
     var i = 0
     while (i < n) {
@@ -319,8 +344,10 @@ object DistTrainer {
     out
   }
 
-  private def addTreeMargins(mat: TrainMatrix, tree: Tree, margins: Array[Float],
-      k: Int, cls: Int, missing: Float): Array[Float] = {
+  /** New margins after one full round: trees(c) contributes to class
+    * column c. One row-materialization pass serves all K trees. */
+  private def addTreesMargins(mat: TrainMatrix, trees: Array[Tree],
+      margins: Array[Float], k: Int, missing: Float): Array[Float] = {
     val out = margins.clone()
     val m = mat.numCols
     val row = new Array[Float](m)
@@ -331,7 +358,8 @@ object DistTrainer {
         var f = 0
         while (f < m) { if (row(f) == missing) row(f) = Float.NaN; f += 1 }
       }
-      out(i * k + cls) += tree.predict(row)
+      var c = 0
+      while (c < k) { out(i * k + c) += trees(c).predict(row); c += 1 }
       i += 1
     }
     out

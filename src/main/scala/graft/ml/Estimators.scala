@@ -43,19 +43,35 @@ private[ml] object FitSupport {
     (df.select(cols: _*), hasW, hasV, hasM)
   }
 
-  /** Objective inference via a countDistinct job, exactly the reference's
-    * `_get_distributed_config` heuristic (xgboost_core.py:328-337). */
+  /** Objective inference + label validation in ONE aggregate job: the
+    * reference's countDistinct heuristic (xgboost_core.py:328-337) fused
+    * with the check that labels are integers in [0, numClass) — without
+    * it, labels like {0,1,5} silently train wrong gradients (softprob
+    * indexes the margin array by label) or crash metric evaluation. */
   def inferClassifierObjective(est: XGBoostParams, projected: DataFrame): (String, Int) = {
+    val r = projected.agg(
+      countDistinct(col("label")).as("n"),
+      min(col("label")).as("lo"),
+      max(col("label")).as("hi"),
+      max(abs(col("label") - round(col("label")))).as("frac")).collect()(0)
+    val nDistinct = r.getLong(0).toInt
+    val lo = r.getDouble(1)
+    val hi = r.getDouble(2)
+    val frac = r.getDouble(3)
+    def validate(k: Int): Unit = require(frac == 0.0 && lo >= 0.0 && hi <= k - 1,
+      s"classifier labels must be integers in [0, $k); got range [$lo, $hi]" +
+        (if (frac != 0.0) " with non-integer values" else ""))
     val declared = if (est.hasNonEmpty(est.objective)) Some(est.getOrDefault(est.objective)) else None
     declared match {
-      case Some(o) if o.startsWith("binary") => (o, 0)
+      case Some(o) if o.startsWith("binary") =>
+        validate(2); (o, 0)
       case Some(o) if o.startsWith("multi") =>
         val k = est.getOrDefault(est.numClass)
         require(k >= 2, s"numClass must be set >= 2 for $o")
-        (o, k)
+        validate(k); (o, k)
       case _ =>
-        val n = projected.select(countDistinct(col("label"))).collect()(0).getLong(0).toInt
-        if (n <= 2) ("binary:logistic", 0) else ("multi:softprob", n)
+        if (nDistinct <= 2) { validate(2); ("binary:logistic", 0) }
+        else { validate(nDistinct); ("multi:softprob", nDistinct) }
     }
   }
 
@@ -143,20 +159,33 @@ class XgboostRegressorModel(override val uid: String, val booster: BoosterModel)
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
   def setTreeLimit(v: Int): this.type = set(treeLimit, v)
 
   /** Batch inference: broadcast model, pipelined scan→UDF→project plan, no
-    * shuffle, no action (reference §3.3; mapInPandas there, in-JVM here). */
+    * shuffle, no action (reference §3.3; mapInPandas there, in-JVM here).
+    * When baseMarginCol is set and present, the per-row margin is added to
+    * the predicted margin — the reference's predict-time base margin
+    * (xgboost_core.py predict_udf base-margin variant), matching how
+    * training seeds margins with base + user margin. */
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
     val sc = dataset.sparkSession.sparkContext
     val bc = sc.broadcast(booster)
     val limit = $(treeLimit)
-    val predictUdf = udf { (v: Vector) =>
-      bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)(0).toDouble
+    val features = FitSupport.featuresAsVector(dataset, $(featuresCol))
+    if (hasNonEmpty(baseMarginCol) && dataset.columns.contains($(baseMarginCol))) {
+      val predictUdf = udf { (v: Vector, bm: Double) =>
+        bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)(0).toDouble + bm
+      }
+      dataset.withColumn($(predictionCol),
+        predictUdf(features, col($(baseMarginCol)).cast(DoubleType)))
+    } else {
+      val predictUdf = udf { (v: Vector) =>
+        bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)(0).toDouble
+      }
+      dataset.withColumn($(predictionCol), predictUdf(features))
     }
-    dataset.withColumn($(predictionCol),
-      predictUdf(FitSupport.featuresAsVector(dataset, $(featuresCol))))
   }
 
   override def copy(extra: ParamMap): XgboostRegressorModel =
@@ -251,11 +280,14 @@ class XgboostClassifierModel(override val uid: String, val booster: BoosterModel
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
   def setRawPredictionCol(v: String): this.type = set(rawPredictionCol, v)
   def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
+  def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
   def setTreeLimit(v: Int): this.type = set(treeLimit, v)
 
   /** Scoring math replicated from the reference (xgboost_core.py:661-685):
     * the model predicts MARGINS; binary: raw=[-m,m], probs=[1-σ(m),σ(m)];
     * multiclass: raw=margins, probs=softmax; prediction=argmax(probs).
+    * A set baseMarginCol shifts every class margin BEFORE the
+    * sigmoid/softmax, mirroring training's margin initialization.
     * One UDF computes the (raw, prediction, probability) struct which is
     * then split via array_to_vector / nested-field projection / drop —
     * the reference's S10+S11+S12 plan shape (xgboost_core.py:723-756). */
@@ -264,16 +296,16 @@ class XgboostClassifierModel(override val uid: String, val booster: BoosterModel
     val sc = dataset.sparkSession.sparkContext
     val bc = sc.broadcast(booster)
     val limit = $(treeLimit)
-    val scoreUdf = udf { (v: Vector) =>
+    def score(v: Vector, bm: Double): (Array[Double], Double, Array[Double]) = {
       val margins = bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)
       if (margins.length == 1) {
-        val m = margins(0).toDouble
+        val m = margins(0).toDouble + bm
         val p = Objective.sigmoid(m)
         val probs = Array(1.0 - p, p)
         val pred = if (probs(1) > probs(0)) 1.0 else 0.0
         (Array(-m, m), pred, probs)
       } else {
-        val raw = margins.map(_.toDouble)
+        val raw = margins.map(_.toDouble + bm)
         val mx = raw.max
         val exp = raw.map(x => math.exp(x - mx))
         val s = exp.sum
@@ -284,9 +316,16 @@ class XgboostClassifierModel(override val uid: String, val booster: BoosterModel
         (raw, best.toDouble, probs)
       }
     }
+    val features = FitSupport.featuresAsVector(dataset, $(featuresCol))
     val tmp = s"_graft_pred_${uid.takeRight(8)}"
-    var out = dataset.withColumn(tmp,
-      scoreUdf(FitSupport.featuresAsVector(dataset, $(featuresCol))))
+    var out =
+      if (hasNonEmpty(baseMarginCol) && dataset.columns.contains($(baseMarginCol))) {
+        val scoreUdf = udf { (v: Vector, bm: Double) => score(v, bm) }
+        dataset.withColumn(tmp, scoreUdf(features, col($(baseMarginCol)).cast(DoubleType)))
+      } else {
+        val scoreUdf = udf { (v: Vector) => score(v, 0.0) }
+        dataset.withColumn(tmp, scoreUdf(features))
+      }
     if (hasNonEmpty(rawPredictionCol))
       out = out.withColumn($(rawPredictionCol), array_to_vector(col(s"$tmp._1")))
     if (hasNonEmpty(predictionCol))

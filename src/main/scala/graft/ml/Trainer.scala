@@ -193,7 +193,10 @@ object Trainer {
     new BoosterModel(obj.name, p.numClass, m, obj.baseMargin(p.baseScore),
       trees.toArray, p.missing,
       if (evalM.isDefined) Some(bestScore) else None,
-      if (evalM.isDefined) Some(bestIter) else None)
+      // best_iteration is recorded only when early stopping is enabled —
+      // predict then defaults to the best rounds (xgboost sklearn
+      // semantics); without early stopping all rounds score.
+      if (evalM.isDefined && p.earlyStoppingRounds > 0) Some(bestIter) else None)
   }
 
   private def initMargins(mat: TrainMatrix, obj: Objective, p: BoosterParams, k: Int): Array[Float] = {

@@ -30,27 +30,19 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** 64-bit hashes of word-trigram shingles. */
-  def shingleHashes(text: Column): Column =
-    transform(wordNgrams(text, 3), g => xxhash64(g))
-
   // ---- MinHash + LSH -----------------------------------------------------
 
-  val MinHashK = 64
+  val MinHashK: Int = graft.functions.Kernels.MinHashK
   val Bands = 16
   val RowsPerBand: Int = MinHashK / Bands
 
-  /** Column: array of K min-hashes over the shingle-hash array. The j-th
-    * "permutation" is xxhash64(j, shingle) — overflow-free under ANSI mode
-    * (Spark 4 default), unlike the a·x+b family.
-    *
-    * Built as ONE nested transform over sequence(0, K-1) so the shingle
-    * expression is evaluated once per row — an array(...) of K separate
-    * transforms re-evaluates tokenize→ngram→hash K times (measured 40×
-    * slower at sf0.1). */
-  def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(MinHashK - 1)),
-      j => array_min(transform(shingles, h => xxhash64(j, h))))
+  /** Column: array of K min-hashes over word-trigram shingles of the text,
+    * computed by the native [[graft.functions.KernelExpressions.MinHashSig]]
+    * expression — one tight JVM pass per row inside whole-stage codegen.
+    * (The round-1 nested-transform formulation was interpreted per element
+    * and measured 356 s at sf0.1; the kernel does the same math in ~1 s.) */
+  def minhashSignature(text: Column): Column =
+    graft.functions.KernelExpressions.minhash_sig(text)
 
   /** (doc_id, minhash) → candidate pairs (a, b, est_jaccard) via the LSH
     * band-bucket self-join; est_jaccard = fraction of agreeing minhashes.
@@ -70,21 +62,18 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .dropDuplicates("a", "b")
-    val agree = aggregate(
-      zip_with(col("mha"), col("mhb"), (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     candidates
       .join(sigs.select(col(idCol).as("a"), col("mh").as("mha")), "a")
       .join(sigs.select(col(idCol).as("b"), col("mh").as("mhb")), "b")
-      .select(col("a"), col("b"), (agree.cast("double") / MinHashK).as("est_jaccard"))
+      .select(col("a"), col("b"),
+        graft.functions.KernelExpressions.sig_agree(col("mha"), col("mhb")).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
   /** Full MinHash+LSH near-dup pipeline over a document table. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       minEstJaccard: Double): DataFrame = {
-    val sigs = docs.select(col(idCol),
-      minhashSignature(shingleHashes(col(textCol))).as("mh"))
+    val sigs = docs.select(col(idCol), minhashSignature(col(textCol)).as("mh"))
     lshCandidatePairs(sigs, idCol, minEstJaccard)
   }
 
@@ -96,6 +85,14 @@ object Dedup {
     when(union > 0, inter / union).otherwise(0.0)
   }
 
+  /** Distinct sorted 64-bit hashes of word n-grams — the pair-loop-ready
+    * shingle form: Jaccard over these equals Jaccard over the gram strings
+    * (modulo 64-bit collisions), and the sorted-merge kernel
+    * [[graft.functions.KernelExpressions.jaccard_sorted]] scores a pair in
+    * O(|a|+|b|) with zero allocation, vs hash-set array_intersect/union. */
+  def sortedGramHashes(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(wordNgrams(text, n), g => xxhash64(g))))
+
   // ---- SimHash -----------------------------------------------------------
 
   /** (id, simhash, 4×16-bit segments) — segments drive candidate joins. */
@@ -103,7 +100,7 @@ object Dedup {
     val segCols = (0 until 4).map(s =>
       shiftrightunsigned(col("simhash"), s * 16).bitwiseAND(lit(0xffffL)).as(s"seg$s"))
     docs.select(col(idCol),
-      TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+      graft.functions.KernelExpressions.simhash64(col(textCol)).as("simhash"))
       .select(col(idCol) +: col("simhash") +: segCols: _*)
   }
 
@@ -126,14 +123,11 @@ object Dedup {
 
   // ---- embedding cosine --------------------------------------------------
 
-  /** Cosine similarity between two numeric-array columns, computed in
-    * double via the codegen'd native dot product. For pair loops, prefer
-    * precomputing [[graft.functions.VectorFunctions.unitVector]] on each
-    * side and taking a single array_dot per pair. */
-  def cosine(a: Column, b: Column): Column = {
-    import graft.functions.VectorFunctions._
-    val ad = toDoubleArray(a)
-    val bd = toDoubleArray(b)
-    array_dot(ad, bd) / (sqrt(array_dot(ad, ad)) * sqrt(array_dot(bd, bd)))
-  }
+  /** Cosine similarity between two numeric-array columns — one fused
+    * codegen'd pass ([[graft.functions.KernelExpressions.CosineSim]]).
+    * For pair loops, precomputing
+    * [[graft.functions.KernelExpressions.unit_vector]] on each side and
+    * taking a single array_dot per pair is cheaper still. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.KernelExpressions.cosine_sim(a, b)
 }

@@ -5,7 +5,8 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.{array_dot, unitVector}
+import graft.functions.KernelExpressions.unit_vector
+import graft.functions.VectorFunctions.array_dot
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -28,8 +29,8 @@ object Similarity {
     * Output: (qid, rank, vid, cos) — cosine rounded for stable ordering. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), unitVector(col(vecCol)).as("qvec"))
-    val c = corpus.select(col(idCol).as("vid"), unitVector(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), unit_vector(col(vecCol)).as("qvec"))
+    val c = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"))
     val cos = round(array_dot(col("qvec"), col("cvec")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     c.crossJoin(broadcast(q))
@@ -71,10 +72,10 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val allPlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
     val bucketCols = (t: Column, b: Column) => t * lit(1 << bits) + b // (table, bucket) key
-    val c = corpus.select(col(idCol).as("vid"), unitVector(col(vecCol)).as("cvec"),
+    val c = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"),
         explode(array((0 until tables).map(t =>
           bucketCols(lit(t), bucketUdf(allPlanes(t))(col(vecCol)))): _*)).as("bucket"))
-    val q0 = queries.select(col(idCol).as("qid"), unitVector(col(vecCol)).as("qvec"),
+    val q0 = queries.select(col(idCol).as("qid"), unit_vector(col(vecCol)).as("qvec"),
       array((0 until tables).map(t => bucketUdf(allPlanes(t))(col(vecCol))): _*).as("qbs"))
     val probeArr = array((0 until tables).flatMap { t =>
       (0 to bits).map { i =>
@@ -100,7 +101,7 @@ object Similarity {
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
-    val withVec = corpus.select(col(idCol).as("vid"), unitVector(col(vecCol)).as("cvec"),
+    val withVec = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"),
       array_to_vector(col(vecCol)).as("fvec"))
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fvec")
       .setPredictionCol("cell").setMaxIter(10)
@@ -110,7 +111,7 @@ object Similarity {
     // query → nProbe nearest centroids (tiny driver-side centroid table)
     val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
     val centroidDf = spark.createDataFrame(centroids.toIndexedSeq).toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("qid"), unitVector(col(vecCol)).as("qvec"))
+    val q = queries.select(col(idCol).as("qid"), unit_vector(col(vecCol)).as("qvec"))
     val qcos = Dedup.cosine(col("qvec"), col("centroid"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centroidDf))

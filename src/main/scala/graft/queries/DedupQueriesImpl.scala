@@ -57,12 +57,13 @@ object DedupQueriesImpl {
     "q_dedup_ngram_jaccard",
     (s, dir) => {
       val d = Tables.documents(s, dir).where(col("doc_id") < 200)
-        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("grams"))
+        .select(col("doc_id"), Dedup.sortedGramHashes(col("text"), 3).as("grams"))
       val a = d.alias("a")
       val b = d.alias("b")
       a.join(b, col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
-          round(Dedup.jaccard(col("a.grams"), col("b.grams")), 4).as("jaccard"))
+          round(graft.functions.KernelExpressions.jaccard_sorted(
+            col("a.grams"), col("b.grams")), 4).as("jaccard"))
         .where(col("jaccard") >= 0.8)
         .orderBy(col("a"), col("b"))
     },

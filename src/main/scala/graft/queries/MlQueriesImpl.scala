@@ -75,11 +75,10 @@ object MlQueriesImpl {
     (s, dir) => {
       val sc = s.sparkContext
       val taskCpus = sc.getConf.getInt("spark.task.cpus", 1)
-      // public-API capacity estimate: slots = Σ executor cores / task cpus
-      // (sc.maxNumConcurrentTasks is private[spark])
-      val totalCores = sc.statusTracker.getExecutorInfos.map(_.numRunningTasks()).length
-        .max(sc.defaultParallelism)
-      val maxConcurrent = totalCores / taskCpus
+      // public-API capacity estimate (sc.maxNumConcurrentTasks is
+      // private[spark]): defaultParallelism = total cores across
+      // executors in local/standalone mode, so slots = cores / task cpus
+      val maxConcurrent = math.max(sc.defaultParallelism / taskCpus, 1)
       s.createDataFrame(Seq(("spark.task.cpus", taskCpus.toString),
         ("maxNumConcurrentTasks", maxConcurrent.toString))).toDF("key", "value")
     },
