@@ -72,7 +72,8 @@ object DistTrainer {
     }
 
   def train(projected: DataFrame, hasW: Boolean, hasV: Boolean, hasM: Boolean,
-      p: BoosterParams, numWorkers: Int, forceRepartition: Boolean): String = {
+      p: BoosterParams, numWorkers: Int, forceRepartition: Boolean,
+      useExt: Boolean = false, esp: Int = 5): String = {
     val spark = projected.sparkSession
     val sc = spark.sparkContext
     val input =
@@ -95,7 +96,9 @@ object DistTrainer {
     // ---- build per-partition state ----
     val baseMargin = obj.baseMargin(p.baseScore)
     var state: RDD[PartState] = rowsRdd.mapPartitions { it =>
-      val (train, evalOpt) = TrainMatrix.fromRows(it, hasW, hasV, hasM)
+      val (train, evalOpt) =
+        if (useExt) ExternalStorage.buildMatrices(it, hasW, hasV, hasM, esp)
+        else TrainMatrix.fromRows(it, hasW, hasV, hasM)
       val eval = evalOpt.orNull
       val binned = BinCuts.binMatrix(train, cutsBc.value, p.missing)
       Iterator.single(new PartState(train, eval, binned,
@@ -308,7 +311,7 @@ object DistTrainer {
     }
   }
 
-  private def effectiveWeights(mat: TrainMatrix, p: BoosterParams): Array[Float] = {
+  private[ml] def effectiveWeights(mat: TrainMatrix, p: BoosterParams): Array[Float] = {
     if (p.scalePosWeight != 1.0 && p.objective == "binary:logistic") {
       val w = new Array[Float](mat.numRows)
       var i = 0
@@ -382,7 +385,7 @@ object DistTrainer {
   }
 
   /** Decomposable metric pieces (weighted numerator, weight sum). */
-  private def metricParts(metric: String, margins: Array[Float], labels: Array[Float],
+  private[ml] def metricParts(metric: String, margins: Array[Float], labels: Array[Float],
       weights: Array[Float], numClass: Int): (Double, Double) = {
     val n = labels.length
     var num = 0.0
@@ -441,7 +444,7 @@ object DistTrainer {
     (num, den)
   }
 
-  private def finishMetric(metric: String, num: Double, den: Double): Double =
+  private[ml] def finishMetric(metric: String, num: Double, den: Double): Double =
     if (den == 0) Double.NaN
     else if (metric == "rmse") math.sqrt(num / den)
     else num / den

@@ -77,11 +77,16 @@ private[ml] object FitSupport {
 
   /** Single-node path: one full shuffle to one partition, train inside the
     * task, collect the serialized model — `repartition(1).mapInPandas` +
-    * collect in the reference (xgboost_core.py:512-517). */
+    * collect in the reference (xgboost_core.py:512-517). With external
+    * storage on, the partition spills to a local libsvm file and the
+    * matrix is rebuilt from disk (C5, reference data.py:51-92; note the
+    * reference's spill path drops base margins, and so does ours). */
   def trainSingleNode(projected: DataFrame, hasW: Boolean, hasV: Boolean,
-      hasM: Boolean, bp: BoosterParams): String = {
+      hasM: Boolean, bp: BoosterParams, useExt: Boolean, esp: Int): String = {
     val modelJson = projected.repartition(1).rdd.mapPartitions { it =>
-      val (train, eval) = TrainMatrix.fromRows(it, hasW, hasV, hasM)
+      val (train, eval) =
+        if (useExt) ExternalStorage.buildMatrices(it, hasW, hasV, hasM, esp)
+        else TrainMatrix.fromRows(it, hasW, hasV, hasM)
       Iterator(ModelJson.toJson(Trainer.train(train, eval, bp)))
     }.collect()
     require(modelJson.nonEmpty, "training produced no model (empty input?)")
@@ -96,10 +101,15 @@ private[ml] object FitSupport {
             else "reg:squarederror", est.getOrDefault(est.numClass))
     val bp = est.boosterParams(obj, k)
     val n = est.getOrDefault(est.numWorkers)
+    val useExt = est.getOrDefault(est.useExternalStorage)
+    val esp = est.getOrDefault(est.externalStoragePrecision)
     val json =
-      if (n <= 1) trainSingleNode(projected, hasW, hasV, hasM, bp)
+      if (n <= 1) trainSingleNode(projected, hasW, hasV, hasM, bp, useExt, esp)
+      else if (est.getOrDefault(est.useBarrierMode))
+        BarrierTrainer.train(projected, hasW, hasV, hasM, bp, n,
+          est.getOrDefault(est.forceRepartition), useExt, esp)
       else DistTrainer.train(projected, hasW, hasV, hasM, bp, n,
-        est.getOrDefault(est.forceRepartition))
+        est.getOrDefault(est.forceRepartition), useExt, esp)
     ModelJson.fromJson(json)
   }
 
@@ -128,6 +138,11 @@ class XgboostRegressor(override val uid: String)
   def setValidationIndicatorCol(v: String): this.type = set(validationIndicatorCol, v)
   def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
   def setNumWorkers(v: Int): this.type = set(numWorkers, v)
+  def setUseGpu(v: Boolean): this.type = set(useGpu, v)
+  def setForceRepartition(v: Boolean): this.type = set(forceRepartition, v)
+  def setUseBarrierMode(v: Boolean): this.type = set(useBarrierMode, v)
+  def setUseExternalStorage(v: Boolean): this.type = set(useExternalStorage, v)
+  def setExternalStoragePrecision(v: Int): this.type = set(externalStoragePrecision, v)
   def setNEstimators(v: Int): this.type = set(nEstimators, v)
   def setEta(v: Double): this.type = set(eta, v)
   def setMaxDepth(v: Int): this.type = set(maxDepth, v)
@@ -245,6 +260,11 @@ class XgboostClassifier(override val uid: String)
   def setValidationIndicatorCol(v: String): this.type = set(validationIndicatorCol, v)
   def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
   def setNumWorkers(v: Int): this.type = set(numWorkers, v)
+  def setUseGpu(v: Boolean): this.type = set(useGpu, v)
+  def setForceRepartition(v: Boolean): this.type = set(forceRepartition, v)
+  def setUseBarrierMode(v: Boolean): this.type = set(useBarrierMode, v)
+  def setUseExternalStorage(v: Boolean): this.type = set(useExternalStorage, v)
+  def setExternalStoragePrecision(v: Int): this.type = set(externalStoragePrecision, v)
   def setNEstimators(v: Int): this.type = set(nEstimators, v)
   def setEta(v: Double): this.type = set(eta, v)
   def setMaxDepth(v: Int): this.type = set(maxDepth, v)

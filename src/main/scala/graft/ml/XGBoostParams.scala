@@ -29,6 +29,10 @@ trait XGBoostParams extends Params {
     "repartition even when the plan already matches numWorkers")
   final val useExternalStorage = new BooleanParam(this, "useExternalStorage",
     "spill partition matrices to local disk during training")
+  final val useBarrierMode = new BooleanParam(this, "useBarrierMode",
+    "distributed training runs as gang-scheduled barrier tasks with an " +
+    "allGather-based histogram allreduce (the reference's Rabit shape, " +
+    "xgboost_core.py:379-430) instead of driver-coordinated treeAggregate")
   final val externalStoragePrecision = new IntParam(this, "externalStoragePrecision",
     "significant digits for spilled values", ParamValidators.gt(0))
 
@@ -71,6 +75,7 @@ trait XGBoostParams extends Params {
     featuresCol -> "features", labelCol -> "label", predictionCol -> "prediction",
     numWorkers -> 1, useGpu -> false, forceRepartition -> false,
     useExternalStorage -> false, externalStoragePrecision -> 5,
+    useBarrierMode -> false,
     nEstimators -> 100, eta -> 0.3, maxDepth -> 6, lambda -> 1.0, alpha -> 0.0,
     gamma -> 0.0, minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
     scalePosWeight -> 1.0, numClass -> 0, baseScore -> 0.5, missing -> Float.NaN,

@@ -114,6 +114,23 @@ object MlQueriesImpl {
     },
     None)
 
+  /** C2+C8 faithful path: gang-scheduled barrier training with the
+    * socket-collective histogram allreduce (partition 0 = tracker,
+    * bootstrap via ONE allGather), then batch scoring. Rows-only. */
+  val trainPredictBarrier = Q(
+    "q_ml_train_predict_barrier",
+    (s, dir) => {
+      val df = Tables.embeddings(s, dir)
+      val model = new XgboostRegressor()
+        .setFeaturesCol("embedding").setLabelCol("label")
+        .setNumWorkers(2).setUseBarrierMode(true)
+        .setNEstimators(10).setMaxDepth(4).fit(df)
+      model.transform(df)
+        .select(col("vec_id"), round(col("prediction"), 4).as("prediction"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
   /** C3 classifier: multiclass fit + margin→softmax→argmax scoring with
     * rawPrediction/probability/prediction outputs. Rows-only. */
   val trainPredictCls = Q(
@@ -132,5 +149,6 @@ object MlQueriesImpl {
     None)
 
   def all: Seq[Q] = Seq(vectorRoundtrip, barrierAllGather, parquetRoundtrip,
-    confIntrospection, trainPredictReg, trainPredictDist, trainPredictCls)
+    confIntrospection, trainPredictReg, trainPredictDist, trainPredictBarrier,
+    trainPredictCls)
 }

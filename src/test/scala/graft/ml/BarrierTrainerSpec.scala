@@ -1,0 +1,90 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C2/C8 barrier-collective training tests: gang-scheduled allGather
+  * allreduce must produce the SAME model as the other paths when the
+  * histograms are exact (no sampling, cuts from the full data).
+  */
+class BarrierTrainerSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+
+  private def mkDf(n: Int, seed: Int) = {
+    val rng = new scala.util.Random(seed)
+    // 4-decimal values: exact under float32 → bit-identical binning
+    def r4() = math.round(rng.nextDouble() * 4 * 1e4) / 1e4
+    val rows = Seq.fill(n)({
+      val f = Array.fill(4)(r4())
+      (Vectors.dense(f), f(0) * 2 + f(1) - f(2) * 0.5)
+    })
+    spark.createDataFrame(rows).toDF("features", "label")
+  }
+
+  test("barrier regressor agrees with the treeAggregate path (identical collectives)") {
+    val df = mkDf(400, 3)
+    val agg = new XgboostRegressor().setNEstimators(10).setNumWorkers(2).fit(df)
+    val bar = new XgboostRegressor().setNEstimators(10).setNumWorkers(2)
+      .setUseBarrierMode(true).fit(df)
+    val a = agg.transform(df).select("prediction").collect().map(_.getDouble(0))
+    val b = bar.transform(df).select("prediction").collect().map(_.getDouble(0))
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6, s"treeAggregate $x vs barrier $y")
+    }
+  }
+
+  test("barrier multiclass classifier learns the replicated fixture") {
+    val base = Seq(
+      (Vectors.dense(1.0, 2.0, 3.0), 0.0),
+      (Vectors.dense(0.0, 1.0, 5.5), 0.0),
+      (Vectors.dense(4.0, 5.0, 6.0), 1.0),
+      (Vectors.dense(0.0, 6.0, 7.5), 2.0))
+    val df = spark.createDataFrame(Seq.fill(50)(base).flatten).toDF("features", "label")
+    val model = new XgboostClassifier().setNEstimators(20).setNumWorkers(2)
+      .setUseBarrierMode(true).fit(df)
+    assert(model.booster.objectiveName == "multi:softprob")
+    val rows = model.transform(df.limit(4).distinct())
+      .select("label", "prediction", "probability").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(0), s"misclassified: $r")
+      val prob = r.getAs[Vector](2)
+      assert(prob.toArray.max > 0.8, s"unsaturated: $prob")
+    }
+  }
+
+  test("barrier multiclass agrees with single-node (round-start gradients)") {
+    val rng = new scala.util.Random(17)
+    def r4() = math.round(rng.nextDouble() * 4 * 1e4) / 1e4
+    val rows = Seq.fill(300)({
+      val f = Array.fill(3)(r4())
+      val label = (if (f(0) > 2.6) 2 else if (f(1) > 2.0) 1 else 0).toDouble
+      (Vectors.dense(f), label)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    val single = new XgboostClassifier().setNEstimators(8).fit(df)
+    val bar = new XgboostClassifier().setNEstimators(8).setNumWorkers(2)
+      .setUseBarrierMode(true).fit(df)
+    val s = single.transform(df).select("probability").collect()
+      .map(_.getAs[Vector](0).toArray)
+    val b = bar.transform(df).select("probability").collect()
+      .map(_.getAs[Vector](0).toArray)
+    val maxDiff = s.zip(b).map { case (x, y) =>
+      x.zip(y).map { case (p, q) => math.abs(p - q) }.max
+    }.max
+    assert(maxDiff < 0.05, s"single vs barrier max prob diff $maxDiff")
+  }
+
+  test("barrier with validation + early stopping records best_score on all paths") {
+    val rng = new scala.util.Random(23)
+    val rows = Seq.fill(300)({
+      val f = Array.fill(3)(rng.nextDouble() * 2)
+      (Vectors.dense(f), f(0) + f(1), rng.nextDouble() < 0.25)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label", "isVal")
+    val model = new XgboostRegressor().setNumWorkers(2).setUseBarrierMode(true)
+      .setValidationIndicatorCol("isVal").setEarlyStoppingRounds(3)
+      .setNEstimators(40).fit(df)
+    assert(model.booster.bestScore.exists(_ < 0.5))
+    assert(model.booster.bestIteration.isDefined)
+  }
+}
