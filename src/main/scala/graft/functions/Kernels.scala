@@ -132,6 +132,41 @@ object Kernels {
     out
   }
 
+  /** Distinct sorted 64-bit FNV hashes of word n-grams. Gram identity is
+    * the SPACE-JOINED token string (same as `concat_ws(" ", slice(...))`
+    * in the composed wordNgrams column), so Jaccard over these hashes
+    * equals Jaccard over the gram strings — the DuckDB oracle's view —
+    * modulo 64-bit collisions. Fewer than n tokens → one clamped gram. */
+  def sortedGramHashes(text: UTF8String, n: Int): ArrayData = {
+    val tk = toks(text)
+    val nTok = tk.length
+    val nGr = math.max(nTok - (n - 1), 1)
+    val hs = new Array[Long](nGr)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nGr) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, nTok)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tk(j))
+        j += 1
+      }
+      hs(i) = fnv64(sb.toString)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedup in place (array is sorted)
+    var w = 0
+    i = 0
+    while (i < nGr) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
   /** Jaccard similarity of two SORTED long arrays (distinct elements) via
     * linear merge — zero allocation per pair, the exact-verifier inner
     * loop for LSH candidate sets. */
@@ -219,6 +254,17 @@ object KernelExpressions {
       copy(l, r)
   }
 
+  case class SortedGramHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.sortedGramHashes(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.sortedGramHashes($c, $n);")
+    override protected def withNewChildInternal(c: Expression): SortedGramHashes =
+      copy(child = c)
+  }
+
   case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -277,6 +323,9 @@ object KernelExpressions {
 
   def jaccard_sorted(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sorted_gram_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(SortedGramHashes(ColumnBridge.expression(text), n))
 
   def unit_vector(a: Column): Column =
     ColumnBridge.column(UnitVector(ColumnBridge.expression(a)))

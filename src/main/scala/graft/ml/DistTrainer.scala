@@ -14,15 +14,23 @@ import scala.collection.mutable.ArrayBuffer
   * a Rabit allreduce ring (reference `xgboost_core.py:379-430`,
   * `utils.py:64-126`). The idiomatic Spark re-expression (SURVEY §7.1
   * step 7, option b) keeps ONE global model on the driver and aggregates
-  * per-partition gradient histograms with `treeAggregate` per tree level:
+  * per-partition gradient histograms with `treeAggregate` per tree level
+  * ([[BarrierTrainer]] is the gang-scheduled faithful alternative):
   *
-  *   - data: RDD[PartState] — per-partition binned matrix + running margins,
-  *     persisted MEMORY_AND_DISK; margins advance by pure `map` (correct
-  *     under recomputation), lineage truncated by periodic localCheckpoint;
+  *   - data: ONE cached RDD[PartState] (binned matrix per partition),
+  *     persisted MEMORY_AND_DISK and never re-mapped — margins live as
+  *     @transient worker-side state, deterministically REPLAYED from the
+  *     broadcast tree prefix if a partition is evicted or recomputed, so
+  *     there is no per-round lineage growth, no re-persist churn, and no
+  *     per-round materialization job;
   *   - per level: one treeAggregate of (node × feature × bin) grad/hess
-  *     sums → driver finds splits with the same [[SplitFinder]] as the
-  *     single-node path → every worker sees the identical tree, which is
-  *     the invariant Rabit provided ("all workers end with the same model");
+  *     sums (zero value is lazily allocated on the executors — a null
+  *     zero keeps multi-MB arrays out of the job closure) → driver finds
+  *     splits with the same [[SplitFinder]] as the single-node path →
+  *     every worker sees the identical tree, the invariant Rabit provided;
+  *   - gradients: computed once per round from ROUND-START margins for
+  *     all K classes (xgboost semantics — numWorkers must not change the
+  *     model), memoized on the PartState;
   *   - cuts: driver-side quantile sketch over a bounded sample, broadcast.
   *
   * At scale this shuffles the training set once (the repartition), then
@@ -31,34 +39,23 @@ import scala.collection.mutable.ArrayBuffer
   */
 object DistTrainer {
   private val MaxBins = 256
-  private val SampleForCuts = 200000
-  private val CheckpointEvery = 16
+  private val SampleForCuts = 100000
 
-  /** Per-partition training state. Immutable per round; margin advance
-    * maps to a new instance, so `margins` always holds ROUND-START margins
-    * while the round's trees grow — the invariant that keeps numWorkers>1
-    * multiclass training equal to the single-node path (gradients for all
-    * K class trees of a round come from the same margins).
-    *
-    * `gCache`/`hCache` memoize the per-round gradients (they depend only
-    * on the round-start margins): the first treeAggregate level computes
-    * them, later levels and later classes of the round reuse. @transient —
-    * a partition recomputed or re-read from disk just recomputes them
-    * (idempotent), and they never travel over the wire. */
+  /** Per-partition training state. The matrix/binned payload is the only
+    * serialized state; margins and gradients are @transient caches,
+    * rebuilt deterministically (replay of the broadcast tree prefix) on
+    * deserialization or recompute. */
   private final class PartState(
       val train: TrainMatrix,
       val eval: TrainMatrix, // null when absent
-      val binned: Array[Byte],
-      val margins: Array[Float],
-      val evalMargins: Array[Float]) extends Serializable {
+      val binned: Array[Byte]) extends Serializable {
+    @transient var margins: Array[Float] = _
+    @transient var evalMargins: Array[Float] = _
+    @transient var applied: Int = 0 // trees already folded into margins
     @transient var gCache: Array[Float] = _
     @transient var hCache: Array[Float] = _
+    @transient var cacheRound: Int = -1
   }
-
-  /** Partial tree broadcast to workers for row routing during growth. */
-  private final case class PartialTree(
-      feature: Array[Int], binIdx: Array[Int], defaultLeft: Array[Boolean],
-      left: Array[Int], right: Array[Int])
 
   /** C7: skip the shuffle iff the optimized plan already ends in a
     * round-robin Repartition with the target partition count — a direct
@@ -86,26 +83,25 @@ object DistTrainer {
 
     // ---- quantile cuts from a bounded driver-side sample ----
     val rowsRdd = input.rdd
-    val sampleRows = rowsRdd.takeSample(withReplacement = false, SampleForCuts min 100000, p.seed)
+    val sampleRows = rowsRdd.takeSample(withReplacement = false, SampleForCuts, p.seed)
     require(sampleRows.nonEmpty, "empty training input")
     val (sampleM, _) = TrainMatrix.fromRows(sampleRows.iterator, hasW, hasV, hasM)
     val cuts = BinCuts.fromMatrix(sampleM, p.missing)
     val numFeatures = cuts.numFeatures
     val cutsBc = sc.broadcast(cuts)
 
-    // ---- build per-partition state ----
-    val baseMargin = obj.baseMargin(p.baseScore)
-    var state: RDD[PartState] = rowsRdd.mapPartitions { it =>
+    // ---- build per-partition state ONCE ----
+    val state: RDD[PartState] = rowsRdd.mapPartitions { it =>
       val (train, evalOpt) =
         if (useExt) ExternalStorage.buildMatrices(it, hasW, hasV, hasM, esp)
         else TrainMatrix.fromRows(it, hasW, hasV, hasM)
       val eval = evalOpt.orNull
-      val binned = BinCuts.binMatrix(train, cutsBc.value, p.missing)
-      Iterator.single(new PartState(train, eval, binned,
-        initMargins(train, baseMargin, k), if (eval == null) null else initMargins(eval, baseMargin, k)))
+      Iterator.single(new PartState(train, eval,
+        BinCuts.binMatrix(train, cutsBc.value, p.missing)))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     state.count() // materialize once
 
+    val baseMargin = obj.baseMargin(p.baseScore)
     val trees = new ArrayBuffer[Tree]
     val metric = p.evalMetric.getOrElse(obj.defaultMetric(p.numClass))
     val hasEval = hasV
@@ -114,52 +110,49 @@ object DistTrainer {
     var round = 0
     var stop = false
     val rng = new java.util.Random(p.seed)
+    var lastBc: Broadcast[Array[Tree]] = null
 
     while (round < p.numRounds && !stop) {
-      // Grow ALL K class trees of the round from the same (round-start)
-      // margins — xgboost computes grad/hess once per round for all
-      // classes; advancing margins between classes trains a different
-      // multi:softprob model than the single-node path.
-      val roundTrees = new Array[Tree](k)
+      // Round-start tree prefix: gradients for ALL K class trees of the
+      // round derive from these margins (xgboost computes grad/hess once
+      // per round; advancing margins between classes would train a
+      // different multi:softprob model than the single-node path).
+      val prefixBc = sc.broadcast(trees.toArray)
+      if (lastBc != null) lastBc.destroy()
       var cls = 0
       while (cls < k) {
         val features = sampleFeaturesSeeded(numFeatures, p.colsampleBytree, rng)
-        roundTrees(cls) = growTree(state, cutsBc, numFeatures, k, cls, round, p, obj, features)
-        trees += roundTrees(cls)
+        trees += growTree(state, prefixBc, cutsBc, numFeatures, k, cls, round, p, obj, features)
         cls += 1
       }
-
-      // one margin-advance map per round with all K trees (pure — replayable)
-      val treesBc = sc.broadcast(roundTrees)
-      val prev = state
-      state = prev.map { ps =>
-        new PartState(ps.train, ps.eval, ps.binned,
-          addTreesMargins(ps.train, treesBc.value, ps.margins, k, p.missing),
-          if (ps.eval == null) null
-          else addTreesMargins(ps.eval, treesBc.value, ps.evalMargins, k, p.missing))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-      if (round % CheckpointEvery == CheckpointEvery - 1) state.localCheckpoint()
-      state.count()
-      prev.unpersist(blocking = false)
+      lastBc = prefixBc
 
       if (hasEval) {
-        val (num, den) = state.treeAggregate((0.0, 0.0))(
-          seqOp = { case ((a, b), ps) =>
-            if (ps.eval == null || ps.eval.numRows == 0) (a, b)
-            else {
+        val fullBc = sc.broadcast(trees.toArray) // margins incl. this round
+        val agg = state.treeAggregate(null: Array[Double])(
+          seqOp = { (acc, ps) =>
+            ensureMargins(ps, fullBc.value, k, p, obj, baseMargin)
+            val a = if (acc == null) new Array[Double](2) else acc
+            if (ps.eval != null && ps.eval.numRows > 0) {
               val (n2, d2) = metricParts(metric, ps.evalMargins, ps.eval.labels,
                 ps.eval.weights, math.max(k, 2))
-              (a + n2, b + d2)
+              a(0) += n2; a(1) += d2
             }
+            a
           },
-          combOp = { case ((a, b), (c, d)) => (a + c, b + d) })
-        val s = finishMetric(metric, num, den)
+          combOp = { (x, y) =>
+            if (x == null) y else if (y == null) x
+            else { x(0) += y(0); x(1) += y(1); x }
+          })
+        val s = if (agg == null) Double.NaN else finishMetric(metric, agg(0), agg(1))
         if (s < bestScore) { bestScore = s; bestIter = round }
         else if (p.earlyStoppingRounds > 0 && round - bestIter >= p.earlyStoppingRounds)
           stop = true
+        fullBc.destroy()
       }
       round += 1
     }
+    if (lastBc != null) lastBc.destroy()
     state.unpersist(blocking = false)
 
     val model = new BoosterModel(obj.name, p.numClass, numFeatures, baseMargin,
@@ -170,10 +163,11 @@ object DistTrainer {
   }
 
   // ---- one tree, depth-wise; one treeAggregate per level ----
-  private def growTree(state: RDD[PartState], cutsBc: Broadcast[BinCuts],
-      m: Int, k: Int, cls: Int, round: Int, p: BoosterParams,
-      obj: Objective, features: Array[Int]): Tree = {
+  private def growTree(state: RDD[PartState], prefixBc: Broadcast[Array[Tree]],
+      cutsBc: Broadcast[BinCuts], m: Int, k: Int, cls: Int, round: Int,
+      p: BoosterParams, obj: Objective, features: Array[Int]): Tree = {
     val sc = state.sparkContext
+    val baseMargin = obj.baseMargin(p.baseScore)
     val feature = new ArrayBuffer[Int]
     val binIdx = new ArrayBuffer[Int]
     val defaultLeft = new ArrayBuffer[Boolean]
@@ -195,27 +189,40 @@ object DistTrainer {
     var depth = 0
     while (depth < p.maxDepth && levelStart < levelEnd) {
       val nActive = levelEnd - levelStart
-      val partial = PartialTree(feature.toArray, binIdx.toArray,
-        defaultLeft.toArray, left.toArray, right.toArray)
+      val partial = (feature.toArray, binIdx.toArray, defaultLeft.toArray,
+        left.toArray, right.toArray)
       val partialBc = sc.broadcast(partial)
       val featuresBc = sc.broadcast(features)
       val histLen = nActive * m * MaxBins * 2
-      val (hist, nodeG, nodeH) = state.treeAggregate(
-        (new Array[Double](histLen), new Array[Double](nActive), new Array[Double](nActive)))(
-        seqOp = { case ((h0, ng, nh), ps) =>
-          accumulateLevel(ps, partialBc.value, featuresBc.value, cutsBc.value,
-            levelStart, levelEnd, k, cls, round, p, obj, h0, ng, nh)
-          (h0, ng, nh)
+      // null zero: the (possibly multi-MB) histogram buffers are
+      // allocated executor-side, not serialized into the closure
+      val agg = state.treeAggregate(null: (Array[Double], Array[Double], Array[Double]))(
+        seqOp = { (acc, ps) =>
+          ensureMargins(ps, prefixBc.value, k, p, obj, baseMargin)
+          ensureGrads(ps, round, k, p, obj)
+          val a = if (acc == null)
+            (new Array[Double](histLen), new Array[Double](nActive), new Array[Double](nActive))
+          else acc
+          val (pf, pb, pd, pl, pr) = partialBc.value
+          accumulateLevel(ps, pf, pb, pd, pl, pr, featuresBc.value,
+            levelStart, levelEnd, k, cls, round, p, a._1, a._2, a._3)
+          a
         },
-        combOp = { case ((h1, g1, hh1), (h2, g2, hh2)) =>
-          var i = 0
-          while (i < h1.length) { h1(i) += h2(i); i += 1 }
-          i = 0
-          while (i < g1.length) { g1(i) += g2(i); hh1(i) += hh2(i); i += 1 }
-          (h1, g1, hh1)
+        combOp = { (x, y) =>
+          if (x == null) y else if (y == null) x
+          else {
+            var i = 0
+            while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+            i = 0
+            while (i < x._2.length) { x._2(i) += y._2(i); x._3(i) += y._3(i); i += 1 }
+            x
+          }
         })
       partialBc.destroy()
       featuresBc.destroy()
+      val (hist, nodeG, nodeH) =
+        if (agg == null) (new Array[Double](histLen), new Array[Double](nActive), new Array[Double](nActive))
+        else agg
 
       var s = 0
       while (s < nActive) {
@@ -251,25 +258,54 @@ object DistTrainer {
       left.toArray, right.toArray, w)
   }
 
-  /** Worker-side: gradients from ROUND-START margins (memoized on the
-    * PartState — identical for every level and class of the round), route
-    * rows through the partial tree on binned values, accumulate the level
-    * histogram. */
-  private def accumulateLevel(ps: PartState, t: PartialTree, features: Array[Int],
-      cuts: BinCuts, levelStart: Int, levelEnd: Int, k: Int, cls: Int,
-      round: Int, p: BoosterParams, obj: Objective,
+  /** Worker-side: fold any not-yet-applied trees of the broadcast prefix
+    * into the transient margins (replay is deterministic, so a recomputed
+    * or re-deserialized partition converges to the same state). Trees are
+    * round-major: tree i contributes to class column i % k. */
+  private def ensureMargins(ps: PartState, prefix: Array[Tree], k: Int,
+      p: BoosterParams, obj: Objective, baseMargin: Float): Unit = {
+    if (ps.margins == null) {
+      ps.margins = initMargins(ps.train, baseMargin, k)
+      ps.evalMargins = if (ps.eval == null) null else initMargins(ps.eval, baseMargin, k)
+      ps.applied = 0
+    }
+    while (ps.applied < prefix.length) {
+      val t = prefix(ps.applied)
+      val cls = ps.applied % k
+      addTreeMargins(ps.train, t, ps.margins, k, cls, p.missing)
+      if (ps.eval != null) addTreeMargins(ps.eval, t, ps.evalMargins, k, cls, p.missing)
+      ps.applied += 1
+    }
+  }
+
+  /** Gradients for the whole round, from round-start margins, memoized. */
+  private def ensureGrads(ps: PartState, round: Int, k: Int,
+      p: BoosterParams, obj: Objective): Unit = {
+    if (ps.cacheRound != round) {
+      val n = ps.train.numRows
+      if (ps.gCache == null || ps.gCache.length != n * k) {
+        ps.gCache = new Array[Float](n * k)
+        ps.hCache = new Array[Float](n * k)
+      }
+      if (n > 0)
+        obj.gradHess(ps.margins, ps.train.labels, effectiveWeights(ps.train, p),
+          k, ps.gCache, ps.hCache)
+      ps.cacheRound = round
+    }
+  }
+
+  /** Worker-side: route rows through the partial tree on binned values,
+    * accumulate the level histogram from the memoized gradients. */
+  private def accumulateLevel(ps: PartState,
+      tFeature: Array[Int], tBinIdx: Array[Int], tDefaultLeft: Array[Boolean],
+      tLeft: Array[Int], tRight: Array[Int], features: Array[Int],
+      levelStart: Int, levelEnd: Int, k: Int, cls: Int,
+      round: Int, p: BoosterParams,
       hist: Array[Double], nodeG: Array[Double], nodeH: Array[Double]): Unit = {
     val mat = ps.train
     val n = mat.numRows
     if (n == 0) return
     val m = mat.numCols
-    if (ps.gCache == null) {
-      val g0 = new Array[Float](n * k)
-      val h0 = new Array[Float](n * k)
-      obj.gradHess(ps.margins, mat.labels, effectiveWeights(mat, p), k, g0, h0)
-      ps.gCache = g0
-      ps.hCache = h0
-    }
     val g = ps.gCache
     val h = ps.hCache
 
@@ -279,12 +315,12 @@ object DistTrainer {
         // route through partial tree on bins
         var node = 0
         var depth = 0
-        while (t.left(node) >= 0 && depth < 64) {
-          val b = ps.binned(i * m + t.feature(node)) & 0xff
+        while (tLeft(node) >= 0 && depth < 64) {
+          val b = ps.binned(i * m + tFeature(node)) & 0xff
           val goLeft =
-            if (b == BinCuts.MissingBin) t.defaultLeft(node)
-            else b <= t.binIdx(node)
-          node = if (goLeft) t.left(node) else t.right(node)
+            if (b == BinCuts.MissingBin) tDefaultLeft(node)
+            else b <= tBinIdx(node)
+          node = if (goLeft) tLeft(node) else tRight(node)
           depth += 1
         }
         if (node >= levelStart && node < levelEnd) {
@@ -347,12 +383,12 @@ object DistTrainer {
     out
   }
 
-  /** New margins after one full round: trees(c) contributes to class
-    * column c. One row-materialization pass serves all K trees. */
-  private def addTreesMargins(mat: TrainMatrix, trees: Array[Tree],
-      margins: Array[Float], k: Int, missing: Float): Array[Float] = {
-    val out = margins.clone()
+  /** Folds one tree's contribution into class column `cls` in place (all
+    * rows, raw feature values — same as the single-node trainer). */
+  private def addTreeMargins(mat: TrainMatrix, tree: Tree, margins: Array[Float],
+      k: Int, cls: Int, missing: Float): Unit = {
     val m = mat.numCols
+    if (mat.numRows == 0) return
     val row = new Array[Float](m)
     var i = 0
     while (i < mat.numRows) {
@@ -361,11 +397,9 @@ object DistTrainer {
         var f = 0
         while (f < m) { if (row(f) == missing) row(f) = Float.NaN; f += 1 }
       }
-      var c = 0
-      while (c < k) { out(i * k + c) += trees(c).predict(row); c += 1 }
+      margins(i * k + cls) += tree.predict(row)
       i += 1
     }
-    out
   }
 
   private def sampleFeaturesSeeded(m: Int, colsample: Double, rng: java.util.Random): Array[Int] = {

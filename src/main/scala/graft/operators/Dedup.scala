@@ -89,9 +89,11 @@ object Dedup {
     * shingle form: Jaccard over these equals Jaccard over the gram strings
     * (modulo 64-bit collisions), and the sorted-merge kernel
     * [[graft.functions.KernelExpressions.jaccard_sorted]] scores a pair in
-    * O(|a|+|b|) with zero allocation, vs hash-set array_intersect/union. */
+    * O(|a|+|b|) with zero allocation, vs hash-set array_intersect/union.
+    * One native pass (tokenize → gram-string hash → sort-dedup) — the
+    * composed transform/distinct/sort chain was interpreted. */
   def sortedGramHashes(text: Column, n: Int): Column =
-    array_sort(array_distinct(transform(wordNgrams(text, n), g => xxhash64(g))))
+    graft.functions.KernelExpressions.sorted_gram_hashes(text, n)
 
   // ---- SimHash -----------------------------------------------------------
 

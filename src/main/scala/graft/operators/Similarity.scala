@@ -103,8 +103,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val withVec = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"),
       array_to_vector(col(vecCol)).as("fvec"))
+    // random init skips the kmeans|| init passes (several Spark jobs) and
+    // 5 iterations is plenty for a coarse quantizer — cell assignment
+    // quality barely moves the recall of an nProbe=4 probe
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fvec")
-      .setPredictionCol("cell").setMaxIter(10)
+      .setPredictionCol("cell").setMaxIter(5).setInitMode("random")
     val model = km.fit(withVec)
     val c = model.transform(withVec).select(col("vid"), col("cvec"), col("cell"))
 

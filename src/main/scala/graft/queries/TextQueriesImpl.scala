@@ -60,7 +60,9 @@ object TextQueriesImpl {
       ORDER BY doc_id"""))
 
   /** Language ID (stopword-profile heuristic) scored against the table's
-    * lang column. The heuristic is not SQL-expressible → rows-only. */
+    * lang column. Oracle: the same argmax-of-stopword-hits heuristic in
+    * DuckDB SQL (ties go to the alphabetically-first language, matching
+    * the Scala loop over profiles sorted by code; zero hits → 'und'). */
   val langId = Q(
     "q_text_langid",
     (s, dir) => {
@@ -69,7 +71,26 @@ object TextQueriesImpl {
         TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      h AS (SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','ein','eine','zu','den','im'))) AS h_de,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as'))) AS h_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','los','las','por','con'))) AS h_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','est','un','une','du','en','que','pour'))) AS h_fr,
+        len(list_filter(toks, x -> x IN ('il','la','di','che','e','un','una','per','con','del','sono','non'))) AS h_it,
+        len(list_filter(toks, x -> x IN ('o','a','de','que','e','do','da','em','um','uma','com','para','os'))) AS h_pt
+        FROM t)
+      SELECT doc_id, lang,
+        CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) = 0 THEN 'und'
+             WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'de'
+             WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'en'
+             WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'es'
+             WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'fr'
+             WHEN h_it = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'it'
+             ELSE 'pt' END AS lang_pred
+      FROM h ORDER BY doc_id"""))
 
   /** Fingerprinting, oracle-checked variant: md5 of normalized text
     * (byte-identical in Spark and DuckDB). */

@@ -31,6 +31,17 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Runs a streaming drain with a bounded state-store count: each state
+    * partition is its own store instance with per-batch maintenance, so
+    * 32 stores for a 6-key aggregation is pure overhead. At real scale
+    * this would be sized to key cardinality, not the session default. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def readEvents(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
@@ -43,7 +54,7 @@ object EventStreams {
   /** 5-minute tumbling-window counts/sums by event_type, run as a real
     * streaming query (file source → watermark → window agg → memory sink)
     * drained to completion, returned as a batch DataFrame. */
-  def windowedAggregate(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowedAggregate(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
     val stream = readEvents(spark, sfDir)
       .withWatermark("ts", "10 minutes")
@@ -69,7 +80,7 @@ object EventStreams {
 
   /** Gap-based sessionization (30-min inactivity) with
     * flatMapGroupsWithState + event-time timeout. */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     import spark.implicits._
     val events = readEvents(spark, sfDir)
       .withWatermark("ts", "1 hour")
