@@ -88,9 +88,14 @@ trait XGBoostParams extends Params {
     isDefined(p) && getOrDefault(p).nonEmpty
 
   /** BoosterParams from the current param values; objective/numClass are
-    * resolved by the estimator (classifier infers from countDistinct). */
-  private[ml] def boosterParams(resolvedObjective: String, resolvedNumClass: Int): BoosterParams =
-    BoosterParams(
+    * resolved by the estimator (classifier infers from countDistinct).
+    * Keys in [[arbitraryParams]] override the explicit params — the
+    * analogue of the reference merging arbitraryParamsDict over the
+    * generated params (reference xgboost_core.py:249-258); xgboost alias
+    * names (learning_rate, reg_lambda, …) are honored, unrecognized keys
+    * pass through silently like xgboost's own kwargs handling. */
+  private[ml] def boosterParams(resolvedObjective: String, resolvedNumClass: Int): BoosterParams = {
+    var bp = BoosterParams(
       numRounds = $(nEstimators), eta = $(eta), maxDepth = $(maxDepth),
       lambda = $(lambda), alpha = $(alpha), gamma = $(gamma),
       minChildWeight = $(minChildWeight), subsample = $(subsample),
@@ -99,6 +104,40 @@ trait XGBoostParams extends Params {
       baseScore = $(baseScore), missing = $(missing), seed = $(seed),
       earlyStoppingRounds = $(earlyStoppingRounds),
       evalMetric = if (hasNonEmpty(evalMetric)) Some($(evalMetric)) else None)
+    val json = getOrDefault(arbitraryParams)
+    if (json.nonEmpty && json.trim != "{}") {
+      import org.json4s._
+      val fields = org.json4s.jackson.JsonMethods.parse(json) match {
+        case JObject(fs) => fs.toMap
+        case other => throw new IllegalArgumentException(s"arbitraryParams must be a JSON object, got $other")
+      }
+      def num(v: JValue): Double = v match {
+        case JDouble(d) => d
+        case JInt(i) => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other => throw new IllegalArgumentException(s"expected number, got $other")
+      }
+      fields.foreach {
+        case ("eta" | "learning_rate", v) => bp = bp.copy(eta = num(v))
+        case ("max_depth", v) => bp = bp.copy(maxDepth = num(v).toInt)
+        case ("lambda" | "reg_lambda", v) => bp = bp.copy(lambda = num(v))
+        case ("alpha" | "reg_alpha", v) => bp = bp.copy(alpha = num(v))
+        case ("gamma" | "min_split_loss", v) => bp = bp.copy(gamma = num(v))
+        case ("min_child_weight", v) => bp = bp.copy(minChildWeight = num(v))
+        case ("subsample", v) => bp = bp.copy(subsample = num(v))
+        case ("colsample_bytree", v) => bp = bp.copy(colsampleBytree = num(v))
+        case ("scale_pos_weight", v) => bp = bp.copy(scalePosWeight = num(v))
+        case ("base_score", v) => bp = bp.copy(baseScore = num(v))
+        case ("n_estimators" | "num_boost_round", v) => bp = bp.copy(numRounds = num(v).toInt)
+        case ("early_stopping_rounds", v) => bp = bp.copy(earlyStoppingRounds = num(v).toInt)
+        case ("seed" | "random_state", v) => bp = bp.copy(seed = num(v).toLong)
+        case ("missing", v) => bp = bp.copy(missing = num(v).toFloat)
+        case ("eval_metric", JString(s)) => bp = bp.copy(evalMetric = Some(s))
+        case _ => // unknown passthrough: accepted, no effect on this booster
+      }
+    }
+    bp
+  }
 
   private[ml] def validateFeaturesType(schema: StructType): Unit = {
     val dt = schema($(featuresCol)).dataType

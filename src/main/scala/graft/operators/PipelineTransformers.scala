@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param.{DoubleParam, Param, ParamMap}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{KernelExpressions, TextFunctions}
+
+/** The training-data-pipeline operators as `org.apache.spark.ml`
+  * Transformers (SURVEY §7.1 step 9): the same Estimator/Transformer
+  * skeleton the XGBoost layer uses, so dedup/text/embedding stages
+  * compose with `Pipeline`/`PipelineModel` and persist via
+  * DefaultParamsWritable like any MLlib stage.
+  */
+trait DocColumnsParams extends org.apache.spark.ml.param.Params {
+  final val idCol = new Param[String](this, "idCol", "document id column")
+  final val textCol = new Param[String](this, "textCol", "document text column")
+  setDefault(idCol -> "doc_id", textCol -> "text")
+}
+
+/** Exact dedup: keeps the lowest-id row of every identical-text group.
+  * One shuffle on a 128-bit digest — the text bytes never shuffle. */
+class ExactDeduper(override val uid: String) extends Transformer
+    with DocColumnsParams with DefaultParamsWritable {
+  def this() = this(Identifiable.randomUID("ExactDeduper"))
+  def setIdCol(v: String): this.type = set(idCol, v)
+  def setTextCol(v: String): this.type = set(textCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val w = Window.partitionBy(col("_graft_fp")).orderBy(col($(idCol)))
+    ds.toDF.withColumn("_graft_fp", md5(col($(textCol))))
+      .withColumn("_graft_rn", row_number().over(w))
+      .where(col("_graft_rn") === 1)
+      .drop("_graft_fp", "_graft_rn")
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): ExactDeduper = defaultCopy(extra)
+}
+object ExactDeduper extends DefaultParamsReadable[ExactDeduper]
+
+/** MinHash/LSH near-dedup: drops every document that has a near-duplicate
+  * with a smaller id (the standard greedy keep-first policy — not a full
+  * transitive clustering, which would need connected components). The
+  * candidate set is produced by the band-bucket join (no all-pairs), and
+  * the removal is a left-anti join against the (small) duplicate-id set. */
+class MinHashDeduper(override val uid: String) extends Transformer
+    with DocColumnsParams with DefaultParamsWritable {
+  def this() = this(Identifiable.randomUID("MinHashDeduper"))
+  final val minJaccard = new DoubleParam(this, "minJaccard",
+    "estimated-jaccard threshold for a near-duplicate pair")
+  setDefault(minJaccard -> 0.8)
+  def setIdCol(v: String): this.type = set(idCol, v)
+  def setTextCol(v: String): this.type = set(textCol, v)
+  def setMinJaccard(v: Double): this.type = set(minJaccard, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF
+    val dupIds = Dedup.minhashNearDups(df, $(idCol), $(textCol), $(minJaccard))
+      .select(col("b").as($(idCol))).distinct()
+    df.join(dupIds, Seq($(idCol)), "left_anti")
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): MinHashDeduper = defaultCopy(extra)
+}
+object MinHashDeduper extends DefaultParamsReadable[MinHashDeduper]
+
+/** Adds a language-id column from the stopword-profile heuristic. */
+class LanguageTagger(override val uid: String) extends Transformer
+    with DocColumnsParams with DefaultParamsWritable {
+  def this() = this(Identifiable.randomUID("LanguageTagger"))
+  final val outputCol = new Param[String](this, "outputCol", "predicted language column")
+  setDefault(outputCol -> "lang_pred")
+  def setTextCol(v: String): this.type = set(textCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.toDF.withColumn($(outputCol),
+      TextFunctions.langId(TextFunctions.tokens(col($(textCol)))))
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), StringType, nullable = true)
+  override def copy(extra: ParamMap): LanguageTagger = defaultCopy(extra)
+}
+object LanguageTagger extends DefaultParamsReadable[LanguageTagger]
+
+/** Adds quality-signal columns (stopword ratio, chars/token, composite
+  * score) — the standard pretraining-corpus heuristics, all codegen'd
+  * single-scan projections. */
+class TextQualityScorer(override val uid: String) extends Transformer
+    with DocColumnsParams with DefaultParamsWritable {
+  def this() = this(Identifiable.randomUID("TextQualityScorer"))
+  final val outputCol = new Param[String](this, "outputCol", "quality score column")
+  setDefault(outputCol -> "quality")
+  def setTextCol(v: String): this.type = set(textCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  private val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val toks = TextFunctions.tokens(col($(textCol)))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopList: _*))).cast("double")
+    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
+    ds.toDF
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("chars_per_token",
+        when(nTok > 0, length(col($(textCol))).cast("double") / nTok).otherwise(0.0))
+      .withColumn($(outputCol), least(nTok / lit(64.0), lit(1.0)) * (lit(1.0) - stopRatio))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    schema.add("stop_ratio", DoubleType, nullable = false)
+      .add("chars_per_token", DoubleType, nullable = false)
+      .add($(outputCol), DoubleType, nullable = false)
+  override def copy(extra: ParamMap): TextQualityScorer = defaultCopy(extra)
+}
+object TextQualityScorer extends DefaultParamsReadable[TextQualityScorer]
+
+/** L2-normalizes an embedding column (array<float|double> → unit
+  * array<double>) with the fused native kernel, so downstream cosine
+  * scoring reduces to one dot product per pair. */
+class EmbeddingNormalizer(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
+  def this() = this(Identifiable.randomUID("EmbeddingNormalizer"))
+  final val inputCol = new Param[String](this, "inputCol", "embedding column")
+  final val outputCol = new Param[String](this, "outputCol", "unit-vector output column")
+  setDefault(inputCol -> "embedding", outputCol -> "unit_embedding")
+  def setInputCol(v: String): this.type = set(inputCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.toDF.withColumn($(outputCol), KernelExpressions.unit_vector(col($(inputCol))))
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), ArrayType(DoubleType, containsNull = false), nullable = true)
+  override def copy(extra: ParamMap): EmbeddingNormalizer = defaultCopy(extra)
+}
+object EmbeddingNormalizer extends DefaultParamsReadable[EmbeddingNormalizer]

@@ -177,6 +177,28 @@ class EstimatorSpec extends AnyFunSuite {
     assert(cvModel.bestModel.isInstanceOf[XgboostRegressorModel])
   }
 
+  test("arbitraryParams JSON overrides explicit params with xgboost alias names " +
+      "(analogue of arbitraryParamsDict merge, reference xgboost_core.py:249-258)") {
+    val est = new XgboostRegressor().setNEstimators(50).setEta(0.3)
+    est.set(est.arbitraryParams, """{"learning_rate": 0.05, "num_boost_round": 3, "unknown_extra": true}""")
+    val bp = est.boosterParams("reg:squarederror", 0)
+    assert(bp.eta == 0.05)
+    assert(bp.numRounds == 3)
+    val model = est.fit(regTrainDf)
+    assert(model.booster.trees.length == 3, "rounds must come from arbitraryParams")
+  }
+
+  test("classifier rejects labels outside [0, numClass)") {
+    val df = spark.createDataFrame(Seq(
+      (Vectors.dense(1.0, 2.0), 0.0),
+      (Vectors.dense(2.0, 3.0), 1.0),
+      (Vectors.dense(3.0, 4.0), 5.0))).toDF("features", "label")
+    val ex = intercept[IllegalArgumentException] {
+      new XgboostClassifier().setNEstimators(3).fit(df)
+    }
+    assert(ex.getMessage.contains("labels must be integers"))
+  }
+
   test("array<float> features column is accepted (embeddings-style input)") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), 0.0),

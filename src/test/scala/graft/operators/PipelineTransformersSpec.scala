@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pipeline operators as ml.Transformer stages: composition inside a
+  * Pipeline, persistence, and the dedup keep-smallest policy.
+  */
+class PipelineTransformersSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "completely different words about spark histograms and gradient boosting trees"),
+    (4L, "el rapido zorro marron salta sobre el perro perezoso cerca del rio hoy")
+  ).toDF("doc_id", "text")
+
+  test("ExactDeduper keeps the lowest id per identical text") {
+    val out = new ExactDeduper().transform(docs)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 2L, 3L, 4L))
+    assert(out.columns.toSeq == docs.columns.toSeq, "schema must be unchanged")
+  }
+
+  test("MinHashDeduper drops near-duplicates, keeps unrelated docs") {
+    val out = new MinHashDeduper().setMinJaccard(0.3).transform(docs)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(0L) && ids.contains(3L) && ids.contains(4L))
+    assert(!ids.contains(1L), "exact dup must be dropped")
+    assert(!ids.contains(2L), "near dup must be dropped")
+  }
+
+  test("full pipeline: tag language -> score quality -> dedup; save/load") {
+    val pipeline = new Pipeline().setStages(Array(
+      new LanguageTagger(),
+      new TextQualityScorer(),
+      new MinHashDeduper().setMinJaccard(0.3)))
+    val model = pipeline.fit(docs)
+    val out = model.transform(docs)
+    assert(out.columns.contains("lang_pred") && out.columns.contains("quality"))
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(0L).getAs[String]("lang_pred") == "en")
+    assert(byId(4L).getAs[String]("lang_pred") == "es")
+    assert(byId.keySet == Set(0L, 3L, 4L))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ops-pipe").toString + "/p"
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val out2 = loaded.transform(docs)
+    assert(out2.collect().map(_.getAs[Long]("doc_id")).toSet == Set(0L, 3L, 4L))
+  }
+
+  test("EmbeddingNormalizer emits unit vectors") {
+    val df = Seq((0L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = new EmbeddingNormalizer().transform(df)
+      .select("unit_embedding").collect()(0).getSeq[Double](0)
+    assert(math.abs(out(0) - 0.6) < 1e-9 && math.abs(out(1) - 0.8) < 1e-9)
+  }
+}
