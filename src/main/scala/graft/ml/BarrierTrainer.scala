@@ -35,7 +35,8 @@ object BarrierTrainer {
 
   def train(projected: DataFrame, hasW: Boolean, hasV: Boolean, hasM: Boolean,
       p: BoosterParams, numWorkers: Int, forceRepartition: Boolean,
-      useExt: Boolean = false, esp: Int = 5): String = {
+      useExt: Boolean = false, esp: Int = 5,
+      initTrees: Array[Tree] = Array.empty): String = {
     val sc = projected.sparkSession.sparkContext
     val input =
       if (forceRepartition || DistTrainer.needsRepartition(projected, numWorkers))
@@ -65,7 +66,7 @@ object BarrierTrainer {
       // then run over persistent TCP, like the Rabit ring
       val coll = Collective.bootstrap(ctx)
       val json =
-        try trainWorker(coll, ctx.partitionId(), train, evalOpt.orNull, cutsBc.value, k, p, obj, hasV)
+        try trainWorker(coll, ctx.partitionId(), train, evalOpt.orNull, cutsBc.value, k, p, obj, hasV, initTrees)
         finally coll.close()
       // only partition 0 yields (reference xgboost_core.py:423-425) —
       // every worker holds the identical model at this point
@@ -81,7 +82,7 @@ object BarrierTrainer {
     * deadlocks otherwise — same constraint Rabit had). */
   private def trainWorker(coll: Collective, pid: Int, mat: TrainMatrix,
       eval: TrainMatrix, cuts: BinCuts, k: Int, p: BoosterParams,
-      obj: Objective, hasEval: Boolean): String = {
+      obj: Objective, hasEval: Boolean, initTrees: Array[Tree]): String = {
     val n = mat.numRows
     val m = cuts.numFeatures
     val binned = BinCuts.binMatrix(mat, cuts, p.missing)
@@ -104,11 +105,18 @@ object BarrierTrainer {
 
     val margins = initMargins(mat)
     val evalMargins = if (eval != null) initMargins(eval) else null
+    // warm start: fold init trees into local margins (identical on all
+    // workers — no collective needed)
+    initTrees.zipWithIndex.foreach { case (t, i) =>
+      updateMargins(mat, t, margins, k, i % k, p.missing)
+      if (eval != null) updateMargins(eval, t, evalMargins, k, i % k, p.missing)
+    }
     val g = new Array[Float](n * k)
     val h = new Array[Float](n * k)
     val gk = new Array[Float](n)
     val hk = new Array[Float](n)
     val trees = new ArrayBuffer[Tree]
+    trees ++= initTrees
     val metric = p.evalMetric.getOrElse(obj.defaultMetric(p.numClass))
     var bestScore = Double.MaxValue
     var bestIter = -1
@@ -174,9 +182,10 @@ object BarrierTrainer {
     val right = new ArrayBuffer[Int]
     val gSum = new ArrayBuffer[Double]
     val hSum = new ArrayBuffer[Double]
+    val gain = new ArrayBuffer[Float]
     def addNode(gs: Double, hs: Double): Int = {
       feature += -1; threshold += 0f; binIdx += -1; defaultLeft += true
-      left += -1; right += -1; gSum += gs; hSum += hs
+      left += -1; right += -1; gSum += gs; hSum += hs; gain += 0f
       feature.length - 1
     }
 
@@ -234,6 +243,7 @@ object BarrierTrainer {
           threshold(node) = sp.threshold
           binIdx(node) = sp.binIdx
           defaultLeft(node) = sp.defaultLeft
+          gain(node) = sp.gain.toFloat
           left(node) = addNode(sp.gl, sp.hl)
           right(node) = addNode(sp.gr, sp.hr)
         }
@@ -269,7 +279,7 @@ object BarrierTrainer {
       i += 1
     }
     new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,
-      left.toArray, right.toArray, w)
+      left.toArray, right.toArray, w, gain.toArray)
   }
 
   /** Deterministic per-(partition, round, row) subsample mask — stable

@@ -97,14 +97,22 @@ object BinCuts {
   }
 }
 
-/** One regression tree, structure-of-arrays. Leaf iff left(i) < 0. */
+/** One regression tree, structure-of-arrays. Leaf iff left(i) < 0.
+  * `gain` holds the split gain per internal node (0 at leaves) — the
+  * ingredient for gain-type feature importances. */
 final class Tree(
     val feature: Array[Int],
     val threshold: Array[Float],
     val defaultLeft: Array[Boolean],
     val left: Array[Int],
     val right: Array[Int],
-    val weight: Array[Float]) extends Serializable {
+    val weight: Array[Float],
+    val gain: Array[Float]) extends Serializable {
+
+  def this(feature: Array[Int], threshold: Array[Float], defaultLeft: Array[Boolean],
+      left: Array[Int], right: Array[Int], weight: Array[Float]) =
+    this(feature, threshold, defaultLeft, left, right, weight,
+      new Array[Float](feature.length))
 
   def numNodes: Int = feature.length
 
@@ -193,5 +201,28 @@ final class BoosterModel(
       while (i < x.length) { if (x(i) == missing) x(i) = Float.NaN; i += 1 }
     }
     predictMargin(x, treeLimit)
+  }
+
+  /** Per-feature importances, normalized to sum 1 (the reference exposes
+    * sklearn's `feature_importances_`; xgboost_local_test.py:645-653):
+    * "gain" = total split gain per feature, "weight" = split count. */
+  def featureImportances(importanceType: String = "gain"): Array[Double] = {
+    val imp = new Array[Double](numFeatures)
+    trees.foreach { t =>
+      var i = 0
+      while (i < t.numNodes) {
+        if (t.left(i) >= 0) {
+          importanceType match {
+            case "gain" => imp(t.feature(i)) += t.gain(i)
+            case "weight" => imp(t.feature(i)) += 1.0
+            case other => throw new IllegalArgumentException(s"unsupported importance type: $other")
+          }
+        }
+        i += 1
+      }
+    }
+    val s = imp.sum
+    if (s > 0) { var i = 0; while (i < imp.length) { imp(i) /= s; i += 1 } }
+    imp
   }
 }

@@ -70,7 +70,8 @@ object DistTrainer {
 
   def train(projected: DataFrame, hasW: Boolean, hasV: Boolean, hasM: Boolean,
       p: BoosterParams, numWorkers: Int, forceRepartition: Boolean,
-      useExt: Boolean = false, esp: Int = 5): String = {
+      useExt: Boolean = false, esp: Int = 5,
+      initTrees: Array[Tree] = Array.empty): String = {
     val spark = projected.sparkSession
     val sc = spark.sparkContext
     val input =
@@ -103,6 +104,9 @@ object DistTrainer {
 
     val baseMargin = obj.baseMargin(p.baseScore)
     val trees = new ArrayBuffer[Tree]
+    // warm start: init trees head the ensemble; the broadcast-prefix
+    // margin replay folds them in on every worker automatically
+    trees ++= initTrees
     val metric = p.evalMetric.getOrElse(obj.defaultMetric(p.numClass))
     val hasEval = hasV
     var bestScore = Double.MaxValue
@@ -176,10 +180,11 @@ object DistTrainer {
     val threshold = new ArrayBuffer[Float]
     val gSum = new ArrayBuffer[Double]
     val hSum = new ArrayBuffer[Double]
+    val gain = new ArrayBuffer[Float]
 
     def addNode(g: Double, h: Double): Int = {
       feature += -1; binIdx += -1; defaultLeft += true; left += -1; right += -1
-      threshold += 0f; gSum += g; hSum += h
+      threshold += 0f; gSum += g; hSum += h; gain += 0f
       feature.length - 1
     }
     addNode(Double.NaN, Double.NaN) // root stats discovered by level-0 aggregate
@@ -236,6 +241,7 @@ object DistTrainer {
           binIdx(node) = sp.binIdx
           threshold(node) = sp.threshold
           defaultLeft(node) = sp.defaultLeft
+          gain(node) = sp.gain.toFloat
           left(node) = addNode(sp.gl, sp.hl)
           right(node) = addNode(sp.gr, sp.hr)
         }
@@ -255,7 +261,7 @@ object DistTrainer {
       i += 1
     }
     new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,
-      left.toArray, right.toArray, w)
+      left.toArray, right.toArray, w, gain.toArray)
   }
 
   /** Worker-side: fold any not-yet-applied trees of the broadcast prefix

@@ -82,12 +82,13 @@ private[ml] object FitSupport {
     * matrix is rebuilt from disk (C5, reference data.py:51-92; note the
     * reference's spill path drops base margins, and so does ours). */
   def trainSingleNode(projected: DataFrame, hasW: Boolean, hasV: Boolean,
-      hasM: Boolean, bp: BoosterParams, useExt: Boolean, esp: Int): String = {
+      hasM: Boolean, bp: BoosterParams, useExt: Boolean, esp: Int,
+      initTrees: Array[Tree]): String = {
     val modelJson = projected.repartition(1).rdd.mapPartitions { it =>
       val (train, eval) =
         if (useExt) ExternalStorage.buildMatrices(it, hasW, hasV, hasM, esp)
         else TrainMatrix.fromRows(it, hasW, hasV, hasM)
-      Iterator(ModelJson.toJson(Trainer.train(train, eval, bp)))
+      Iterator(ModelJson.toJson(Trainer.train(train, eval, bp, initTrees)))
     }.collect()
     require(modelJson.nonEmpty, "training produced no model (empty input?)")
     modelJson(0)
@@ -103,13 +104,24 @@ private[ml] object FitSupport {
     val n = est.getOrDefault(est.numWorkers)
     val useExt = est.getOrDefault(est.useExternalStorage)
     val esp = est.getOrDefault(est.externalStoragePrecision)
+    // warm start (reference xgb_model): continue boosting from the init
+    // booster's trees; nEstimators counts the ADDITIONAL rounds
+    val initTrees: Array[Tree] =
+      if (est.hasNonEmpty(est.xgbModel)) {
+        val init = ModelJson.fromJson(est.getOrDefault(est.xgbModel))
+        require(Objective.fromName(init.objectiveName).name == Objective.fromName(obj).name,
+          s"xgbModel objective ${init.objectiveName} != $obj")
+        require(init.numGroups == Objective.fromName(obj).numGroups(k),
+          s"xgbModel group count ${init.numGroups} incompatible with numClass $k")
+        init.trees
+      } else Array.empty
     val json =
-      if (n <= 1) trainSingleNode(projected, hasW, hasV, hasM, bp, useExt, esp)
+      if (n <= 1) trainSingleNode(projected, hasW, hasV, hasM, bp, useExt, esp, initTrees)
       else if (est.getOrDefault(est.useBarrierMode))
         BarrierTrainer.train(projected, hasW, hasV, hasM, bp, n,
-          est.getOrDefault(est.forceRepartition), useExt, esp)
+          est.getOrDefault(est.forceRepartition), useExt, esp, initTrees)
       else DistTrainer.train(projected, hasW, hasV, hasM, bp, n,
-        est.getOrDefault(est.forceRepartition), useExt, esp)
+        est.getOrDefault(est.forceRepartition), useExt, esp, initTrees)
     ModelJson.fromJson(json)
   }
 
@@ -138,6 +150,8 @@ class XgboostRegressor(override val uid: String)
   def setValidationIndicatorCol(v: String): this.type = set(validationIndicatorCol, v)
   def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
   def setNumWorkers(v: Int): this.type = set(numWorkers, v)
+  def setXgbModel(v: String): this.type = set(xgbModel, v)
+  def setXgbModel(m: BoosterModel): this.type = set(xgbModel, ModelJson.toJson(m))
   def setUseGpu(v: Boolean): this.type = set(useGpu, v)
   def setForceRepartition(v: Boolean): this.type = set(forceRepartition, v)
   def setUseBarrierMode(v: Boolean): this.type = set(useBarrierMode, v)
@@ -260,6 +274,8 @@ class XgboostClassifier(override val uid: String)
   def setValidationIndicatorCol(v: String): this.type = set(validationIndicatorCol, v)
   def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
   def setNumWorkers(v: Int): this.type = set(numWorkers, v)
+  def setXgbModel(v: String): this.type = set(xgbModel, v)
+  def setXgbModel(m: BoosterModel): this.type = set(xgbModel, ModelJson.toJson(m))
   def setUseGpu(v: Boolean): this.type = set(useGpu, v)
   def setForceRepartition(v: Boolean): this.type = set(forceRepartition, v)
   def setUseBarrierMode(v: Boolean): this.type = set(useBarrierMode, v)

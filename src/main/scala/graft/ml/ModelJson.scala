@@ -22,7 +22,8 @@ object ModelJson {
         "default_left" -> barr(t.defaultLeft),
         "left" -> iarr(t.left),
         "right" -> iarr(t.right),
-        "weight" -> darr(t.weight))
+        "weight" -> darr(t.weight),
+        "gain" -> darr(t.gain))
     }.toList)
     val fields = List(
       "format" -> JString(Format),
@@ -53,8 +54,11 @@ object ModelJson {
       def ints(k: String) = t(k).asInstanceOf[JArray].arr.map(v => v.asInstanceOf[JInt].num.toInt).toArray
       def floats(k: String) = t(k).asInstanceOf[JArray].arr.map(v => dbl(v).toFloat).toArray
       def bools(k: String) = t(k).asInstanceOf[JArray].arr.map(v => v.asInstanceOf[JBool].value).toArray
+      val gain = // absent in pre-gain serialized models → zeros
+        if (t.contains("gain")) floats("gain")
+        else new Array[Float](t("feature").asInstanceOf[JArray].arr.length)
       new Tree(ints("feature"), floats("threshold"), bools("default_left"),
-        ints("left"), ints("right"), floats("weight"))
+        ints("left"), ints("right"), floats("weight"), gain)
     }.toArray
     val missing = root("missing") match {
       case JString(_) => Float.NaN

@@ -104,10 +104,11 @@ object Trainer {
     val gSum = new ArrayBuffer[Double]
     val hSum = new ArrayBuffer[Double]
     val depth = new ArrayBuffer[Int]
+    val gain = new ArrayBuffer[Float]
 
     def addNode(g: Double, h: Double, d: Int): Int = {
       feature += -1; threshold += 0f; defaultLeft += true
-      left += -1; right += -1; gSum += g; hSum += h; depth += d
+      left += -1; right += -1; gSum += g; hSum += h; depth += d; gain += 0f
       feature.length - 1
     }
 
@@ -121,11 +122,12 @@ object Trainer {
         i += 1
       }
       new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,
-        left.toArray, right.toArray, w)
+        left.toArray, right.toArray, w, gain.toArray)
     }
   }
 
-  def train(trainM: TrainMatrix, evalM: Option[TrainMatrix], p: BoosterParams): BoosterModel = {
+  def train(trainM: TrainMatrix, evalM: Option[TrainMatrix], p: BoosterParams,
+      initTrees: Array[Tree] = Array.empty): BoosterModel = {
     require(trainM.numRows > 0, "cannot train on an empty partition")
     val obj = Objective.fromName(p.objective)
     val k = obj.numGroups(p.numClass)
@@ -151,11 +153,20 @@ object Trainer {
     val margins = initMargins(trainM, obj, p, k)
     val evalMargins = evalM.map(e => initMargins(e, obj, p, k))
 
+    // warm start: fold the init booster's trees into the margins and keep
+    // them at the head of the ensemble (reference xgb_model semantics —
+    // nEstimators more rounds are added on top)
+    initTrees.zipWithIndex.foreach { case (t, i) =>
+      updateMargins(trainM, t, margins, k, i % k, p.missing)
+      evalM.zip(evalMargins).foreach { case (e, em) => updateMargins(e, t, em, k, i % k, p.missing) }
+    }
+
     val g = new Array[Float](n * k)
     val h = new Array[Float](n * k)
     val gk = new Array[Float](n)
     val hk = new Array[Float](n)
     val trees = new ArrayBuffer[Tree]
+    trees ++= initTrees
     val metric = p.evalMetric.getOrElse(obj.defaultMetric(p.numClass))
     var bestScore = Double.MaxValue
     var bestIter = -1
@@ -297,6 +308,7 @@ object Trainer {
           growth.feature(node) = sp.feature
           growth.threshold(node) = sp.threshold
           growth.defaultLeft(node) = sp.defaultLeft
+          growth.gain(node) = sp.gain.toFloat
           growth.left(node) = growth.addNode(sp.gl, sp.hl, depth + 1)
           growth.right(node) = growth.addNode(sp.gr, sp.hr, depth + 1)
         }

@@ -71,6 +71,12 @@ trait XGBoostParams extends Params {
   final val arbitraryParams = new Param[String](this, "arbitraryParams",
     "JSON object of additional passthrough params")
 
+  /** Serialized init booster to continue training from — the reference's
+    * `xgb_model` warm start (xgboost_core.py:502-517 test surface; the
+    * param must be a trained model, validated in _validate_params). */
+  final val xgbModel = new Param[String](this, "xgbModel",
+    "model JSON of an initial booster; training adds nEstimators more rounds on top")
+
   setDefault(
     featuresCol -> "features", labelCol -> "label", predictionCol -> "prediction",
     numWorkers -> 1, useGpu -> false, forceRepartition -> false,
@@ -80,7 +86,7 @@ trait XGBoostParams extends Params {
     gamma -> 0.0, minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
     scalePosWeight -> 1.0, numClass -> 0, baseScore -> 0.5, missing -> Float.NaN,
     seed -> 0L, earlyStoppingRounds -> 0, treeLimit -> 0,
-    arbitraryParams -> "{}")
+    arbitraryParams -> "{}", xgbModel -> "")
 
   // NB: Params.get returns only explicitly-set values; getOrDefault also
   // sees defaults (isDefined guards params with neither).

@@ -24,6 +24,14 @@ object MiscQueriesImpl {
     (s, dir) => EventStreams.sessionize(s, dir),
     None)
 
+  /** Streaming exact-dedup (dropDuplicates under a watermark); the
+    * emitted key set is deterministic → DISTINCT oracle. */
+  val streamDedup = Q(
+    "q_stream_dedup",
+    (s, dir) => EventStreams.streamingDedup(s, dir),
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""))
+
   /** Multimodal: binary content + typed metadata, batched partition-map
     * decode (stubbed codec), feature checksum output. Rows-only. */
   val multimodalDecode = Q(
@@ -39,5 +47,5 @@ object MiscQueriesImpl {
     },
     None)
 
-  def all: Seq[Q] = Seq(streamWindow, streamSessionize, multimodalDecode)
+  def all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, multimodalDecode)
 }

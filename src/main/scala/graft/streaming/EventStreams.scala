@@ -73,6 +73,28 @@ object EventStreams {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Streaming exact-dedup: first arrival per (user_id, event_type) via
+    * dropDuplicates under a watermark — the streaming face of the dedup
+    * operator family. Only the key columns are emitted, so the result is
+    * arrival-order independent (and DuckDB-oracle-checkable as DISTINCT).
+    * State is O(distinct keys); with an event-time column in the key the
+    * watermark would bound it — the pattern for unbounded streams. */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val name = s"graft_dedup_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stream = readEvents(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("event_type"))
+  }
+
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class SessState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -199,6 +199,41 @@ class EstimatorSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("labels must be integers"))
   }
 
+  test("xgb_model warm start continues boosting from the init booster " +
+      "(reference local_test.py:502-517)") {
+    val first = new XgboostRegressor().setNEstimators(5).fit(regTrainDf)
+    val continued = new XgboostRegressor().setNEstimators(5)
+      .setXgbModel(first.booster).fit(regTrainDf)
+    assert(continued.booster.trees.length == 10, "5 init + 5 new rounds")
+    // continued model's head trees ARE the init trees
+    first.booster.trees.zip(continued.booster.trees.take(5)).foreach { case (a, b) =>
+      assert(a.weight.sameElements(b.weight) && a.feature.sameElements(b.feature))
+    }
+    // and it fits tighter than either 5-round model alone
+    val fromScratch10 = new XgboostRegressor().setNEstimators(10).fit(regTrainDf)
+    val p5 = first.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    val p10 = continued.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    val pRef = fromScratch10.transform(regTrainDf).select("prediction").collect().map(_.getDouble(0))
+    def err(p: Array[Double]) = math.abs(p(0) - 0.0) + math.abs(p(1) - 1.0)
+    assert(err(p10) < err(p5), "continued training must improve the fit")
+    assert(math.abs(err(p10) - err(pRef)) < 0.05, "warm-start ~ equivalent to 10 rounds")
+  }
+
+  test("feature importances concentrate on the informative feature") {
+    val rng = new scala.util.Random(41)
+    val rows = Seq.fill(300)({
+      val f = Array.fill(4)(rng.nextDouble())
+      (Vectors.dense(f), f(1) * 10) // only feature 1 matters
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    val model = new XgboostRegressor().setNEstimators(10).fit(df)
+    val gain = model.booster.featureImportances("gain")
+    val weight = model.booster.featureImportances("weight")
+    assert(math.abs(gain.sum - 1.0) < 1e-9 && math.abs(weight.sum - 1.0) < 1e-9)
+    assert(gain(1) > 0.9, s"gain importance should concentrate on f1: ${gain.toSeq}")
+    assert(weight(1) == weight.max, s"f1 should split most: ${weight.toSeq}")
+  }
+
   test("array<float> features column is accepted (embeddings-style input)") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), 0.0),
