@@ -50,11 +50,26 @@ object Dedup {
     * The band join carries only (id, band, bandHash) — 24 bytes/row, not
     * the 512-byte signature; signatures are joined back onto the deduped
     * candidate pairs (candidates ≪ band rows at scale). */
+  /** Skew guard: band buckets larger than this are dropped from the
+    * self-join. A bucket of B identical/near-identical docs generates
+    * B²/2 candidate pairs — at 100 TB a single viral boilerplate page
+    * would otherwise dominate the whole job. Buckets this hot are
+    * near-certainly exact-duplicate content, which the (cheaper) exact
+    * dedup pass should collapse FIRST (the MinHashDeduper pipeline stage
+    * composes after ExactDeduper for exactly this reason). */
+  val MaxBucketSize = 10000
+
   def lshCandidatePairs(sigs: DataFrame, idCol: String, minEstJaccard: Double): DataFrame = {
     val bandArr = array((0 until Bands).map { b =>
       xxhash64(lit(b), slice(col("mh"), b * RowsPerBand + 1, RowsPerBand))
     }: _*)
-    val bands = sigs.select(col(idCol), posexplode(bandArr).as(Seq("band", "bh")))
+    val allBands = sigs.select(col(idCol), posexplode(bandArr).as(Seq("band", "bh")))
+    // aggregate on the 16-byte (band, bh) key — tiny shuffle — then
+    // anti-join the hot buckets out before the quadratic self-join
+    val hot = allBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).where(col("n") > MaxBucketSize)
+      .select(col("band"), col("bh"))
+    val bands = allBands.join(broadcast(hot), Seq("band", "bh"), "left_anti")
     val x = bands.alias("x")
     val y = bands.alias("y")
     val candidates = x.join(y,
