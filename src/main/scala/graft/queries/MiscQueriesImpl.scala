@@ -18,11 +18,44 @@ object MiscQueriesImpl {
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
   /** Stateful sessionization (flatMapGroupsWithState, event-time timeout).
-    * Open sessions at end-of-stream stay open (append mode) → rows-only. */
+    * Deterministic for this bounded single-file stream: the file source
+    * delivers one batch, so gap-closed sessions emit in-batch and
+    * trailing sessions emit on the final no-data batch iff their timeout
+    * (last + 30 min, in ms like GroupState) is below the final watermark
+    * (max event time − 1 h). The oracle replays exactly that in SQL:
+    * lag/gap session assignment + the watermark cutoff for each user's
+    * last session. */
   val streamSessionize = Q(
     "q_stream_sessionize",
     (s, dir) => EventStreams.sessionize(s, dir),
-    None)
+    Some("""WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      agg AS (
+        -- session_start at ms precision: the Spark side carries times
+        -- through GroupState's millisecond clock (java.sql.Timestamp)
+        SELECT user_id, sid,
+          date_trunc('milliseconds', min(ts)) AS session_start,
+          max(ts) AS session_end,
+          count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM sess GROUP BY user_id, sid),
+      wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM e)
+      SELECT user_id, session_start, n_events, total_value
+      FROM agg, wm
+      WHERE epoch_ms(session_end) + 1800000 < w
+         OR EXISTS (SELECT 1 FROM agg a2
+                    WHERE a2.user_id = agg.user_id AND a2.sid > agg.sid)
+      ORDER BY user_id, session_start"""))
 
   /** Streaming exact-dedup (dropDuplicates under a watermark); the
     * emitted key set is deterministic → DISTINCT oracle. */

@@ -48,7 +48,9 @@ object EventStreams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integral `div`, NOT `/`: epoch nanos (~1.7e18) overflow a double's
+      // 53-bit mantissa, so float division rounds by up to ±1 µs
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** 5-minute tumbling-window counts/sums by event_type, run as a real

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** Plan-shape regression tests: the properties that make these queries
+  * viable at 100 TB must be visible in the physical plan, not assumed —
+  * a filter that silently stops pushing or a projection that stops
+  * pruning is a 100× regression the row counts won't catch.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_s13_filter: both predicates reach the parquet scan") {
+    val p = plan("q_s13_filter")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("LessThan(l_shipdate") && p.contains("EqualTo(l_returnflag,R)"),
+      "filter must push to the scan:\n" + p.take(800))
+  }
+
+  test("q_s13_filter: scan reads only the referenced columns") {
+    val p = plan("q_s13_filter")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"),
+      s"scan must prune unused columns: $read")
+  }
+
+  test("q_s6_repartition: column pruning pushes through the repartition") {
+    val p = plan("q_s6_repartition")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && !read.contains("l_orderkey"),
+      s"only the grouping column should be scanned: $read")
+  }
+
+  test("q_s16_create_df: the local side broadcasts (no shuffle join)") {
+    val p = plan("q_s16_create_df")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "tiny dim must not sort-merge")
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the exchange") {
+    val p = plan("q1_agg")
+    val firstAgg = p.linesIterator.toSeq.reverse.find(_.contains("HashAggregate")).getOrElse("")
+    assert(firstAgg.contains("partial_") || p.contains("partial_sum"),
+      "expected map-side partial aggregation:\n" + p.take(800))
+  }
+
+  test("q_dedup_exact: shuffle key is the 16-byte digest, not the text") {
+    val p = plan("q_dedup_exact")
+    val hashArgs = p.linesIterator
+      .filter(l => l.contains("Arguments: hashpartitioning")).toSeq
+    assert(hashArgs.nonEmpty, p.take(800))
+    // the shuffle key is the map-side-computed digest (Catalyst names it
+    // _groupingexpression); the raw text column must not be a shuffle key
+    assert(hashArgs.forall(e => !e.contains("text#")),
+      s"dedup must shuffle digests, not documents: $hashArgs")
+    assert(p.contains("md5("), "digest must be computed below the exchange")
+  }
+}
