@@ -167,11 +167,19 @@ object DistTrainer {
   }
 
   // ---- one tree, depth-wise; one treeAggregate per level ----
+  //
+  // Histogram-subtraction trick (the standard hist-GBT optimization):
+  // only the LIGHTER child of each split accumulates its histogram on
+  // the workers; the sibling's histogram is derived on the driver as
+  // parent - child. Workers touch at most half the rows per level past
+  // the root, and the aggregate moves histograms for only ~half the
+  // nodes - worker CPU and network both halve at scale.
   private def growTree(state: RDD[PartState], prefixBc: Broadcast[Array[Tree]],
       cutsBc: Broadcast[BinCuts], m: Int, k: Int, cls: Int, round: Int,
       p: BoosterParams, obj: Objective, features: Array[Int]): Tree = {
     val sc = state.sparkContext
     val baseMargin = obj.baseMargin(p.baseScore)
+    val unit = m * MaxBins * 2
     val feature = new ArrayBuffer[Int]
     val binIdx = new ArrayBuffer[Int]
     val defaultLeft = new ArrayBuffer[Boolean]
@@ -189,16 +197,37 @@ object DistTrainer {
     }
     addNode(Double.NaN, Double.NaN) // root stats discovered by level-0 aggregate
 
+    // per-level subtraction bookkeeping (driver-side)
+    var prevHist: Array[Double] = null         // full hist of the previous level
+    var pairParentSlot: Array[Int] = null      // per child pair: parent slot in prev level
+    var pairComputeLeft: Array[Boolean] = null // per pair: which child accumulates
+
     var levelStart = 0
     var levelEnd = 1
     var depth = 0
     while (depth < p.maxDepth && levelStart < levelEnd) {
       val nActive = levelEnd - levelStart
+      // children were appended in (left, right) pairs, so slots 2i/2i+1
+      // of this level belong to pair i
+      val computeSlot = new Array[Int](nActive)
+      var nCompute = 0
+      if (depth == 0) { computeSlot(0) = 0; nCompute = 1 }
+      else {
+        var i = 0
+        while (i < nActive / 2) {
+          val cSlot = if (pairComputeLeft(i)) 2 * i else 2 * i + 1
+          val dSlot = if (pairComputeLeft(i)) 2 * i + 1 else 2 * i
+          computeSlot(cSlot) = nCompute; nCompute += 1
+          computeSlot(dSlot) = -1
+          i += 1
+        }
+      }
       val partial = (feature.toArray, binIdx.toArray, defaultLeft.toArray,
-        left.toArray, right.toArray)
+        left.toArray, right.toArray, computeSlot)
       val partialBc = sc.broadcast(partial)
       val featuresBc = sc.broadcast(features)
-      val histLen = nActive * m * MaxBins * 2
+      val histLen = nCompute * unit
+      val isRootLevel = depth == 0
       // null zero: the (possibly multi-MB) histogram buffers are
       // allocated executor-side, not serialized into the closure
       val agg = state.treeAggregate(null: (Array[Double], Array[Double], Array[Double]))(
@@ -206,10 +235,10 @@ object DistTrainer {
           ensureMargins(ps, prefixBc.value, k, p, obj, baseMargin)
           ensureGrads(ps, round, k, p, obj)
           val a = if (acc == null)
-            (new Array[Double](histLen), new Array[Double](nActive), new Array[Double](nActive))
+            (new Array[Double](histLen), new Array[Double](1), new Array[Double](1))
           else acc
-          val (pf, pb, pd, pl, pr) = partialBc.value
-          accumulateLevel(ps, pf, pb, pd, pl, pr, featuresBc.value,
+          val (pf, pb, pd, pl, pr, cs) = partialBc.value
+          accumulateLevel(ps, pf, pb, pd, pl, pr, cs, isRootLevel, featuresBc.value,
             levelStart, levelEnd, k, cls, round, p, a._1, a._2, a._3)
           a
         },
@@ -218,25 +247,54 @@ object DistTrainer {
           else {
             var i = 0
             while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
-            i = 0
-            while (i < x._2.length) { x._2(i) += y._2(i); x._3(i) += y._3(i); i += 1 }
+            x._2(0) += y._2(0); x._3(0) += y._3(0)
             x
           }
         })
       partialBc.destroy()
       featuresBc.destroy()
-      val (hist, nodeG, nodeH) =
-        if (agg == null) (new Array[Double](histLen), new Array[Double](nActive), new Array[Double](nActive))
+      val (compHist, rootG, rootH) =
+        if (agg == null) (new Array[Double](histLen), new Array[Double](1), new Array[Double](1))
         else agg
 
+      // assemble the FULL level histogram: computed nodes copy in,
+      // derived nodes = parent - sibling
+      val hist = new Array[Double](nActive * unit)
       var s = 0
       while (s < nActive) {
+        if (computeSlot(s) >= 0)
+          System.arraycopy(compHist, computeSlot(s) * unit, hist, s * unit, unit)
+        s += 1
+      }
+      if (depth > 0) {
+        var i = 0
+        while (i < nActive / 2) {
+          val cSlot = if (pairComputeLeft(i)) 2 * i else 2 * i + 1
+          val dSlot = if (pairComputeLeft(i)) 2 * i + 1 else 2 * i
+          val pBase = pairParentSlot(i) * unit
+          val cBase = cSlot * unit
+          val dBase = dSlot * unit
+          var j = 0
+          while (j < unit) {
+            hist(dBase + j) = prevHist(pBase + j) - hist(cBase + j)
+            j += 1
+          }
+          i += 1
+        }
+      }
+
+      if (depth == 0) { gSum(0) = rootG(0); hSum(0) = rootH(0) }
+      // (child g/h sums were recorded exactly at addNode from the
+      // parent's split stats - no aggregation needed past the root)
+
+      val nextParents = new ArrayBuffer[Int]
+      val nextComputeLeft = new ArrayBuffer[Boolean]
+      s = 0
+      while (s < nActive) {
         val node = levelStart + s
-        gSum(node) = nodeG(s)
-        hSum(node) = nodeH(s)
-        val slice = java.util.Arrays.copyOfRange(hist, s * m * MaxBins * 2, (s + 1) * m * MaxBins * 2)
+        val slice = java.util.Arrays.copyOfRange(hist, s * unit, (s + 1) * unit)
         SplitFinder.findBest(slice, MaxBins, cutsBc.value, features,
-          nodeG(s), nodeH(s), p).foreach { sp =>
+          gSum(node), hSum(node), p).foreach { sp =>
           feature(node) = sp.feature
           binIdx(node) = sp.binIdx
           threshold(node) = sp.threshold
@@ -244,9 +302,14 @@ object DistTrainer {
           gain(node) = sp.gain.toFloat
           left(node) = addNode(sp.gl, sp.hl)
           right(node) = addNode(sp.gr, sp.hr)
+          nextParents += s
+          nextComputeLeft += (sp.hl <= sp.hr) // accumulate the lighter child
         }
         s += 1
       }
+      prevHist = hist
+      pairParentSlot = nextParents.toArray
+      pairComputeLeft = nextComputeLeft.toArray
       levelStart = levelEnd
       levelEnd = feature.length
       depth += 1
@@ -301,13 +364,16 @@ object DistTrainer {
   }
 
   /** Worker-side: route rows through the partial tree on binned values,
-    * accumulate the level histogram from the memoized gradients. */
+    * accumulate histograms ONLY for the level's compute-designated nodes
+    * (the lighter child of each split; siblings are derived driver-side
+    * by subtraction). Root level also aggregates the node g/h sums. */
   private def accumulateLevel(ps: PartState,
       tFeature: Array[Int], tBinIdx: Array[Int], tDefaultLeft: Array[Boolean],
-      tLeft: Array[Int], tRight: Array[Int], features: Array[Int],
+      tLeft: Array[Int], tRight: Array[Int], computeSlot: Array[Int],
+      isRootLevel: Boolean, features: Array[Int],
       levelStart: Int, levelEnd: Int, k: Int, cls: Int,
       round: Int, p: BoosterParams,
-      hist: Array[Double], nodeG: Array[Double], nodeH: Array[Double]): Unit = {
+      hist: Array[Double], rootG: Array[Double], rootH: Array[Double]): Unit = {
     val mat = ps.train
     val n = mat.numRows
     if (n == 0) return
@@ -330,28 +396,30 @@ object DistTrainer {
           depth += 1
         }
         if (node >= levelStart && node < levelEnd) {
-          val slot = node - levelStart
           val gi = g(i * k + cls)
           val hi = h(i * k + cls)
-          nodeG(slot) += gi
-          nodeH(slot) += hi
-          val histBase = slot * m * MaxBins * 2
-          var fi = 0
-          while (fi < features.length) {
-            val f = features(fi)
-            val b = ps.binned(i * m + f) & 0xff
-            if (b != BinCuts.MissingBin) {
-              val idx = histBase + (f * MaxBins + b) * 2
-              hist(idx) += gi
-              hist(idx + 1) += hi
+          if (isRootLevel) { rootG(0) += gi; rootH(0) += hi }
+          val slot = computeSlot(node - levelStart)
+          if (slot >= 0) {
+            val histBase = slot * m * MaxBins * 2
+            var fi = 0
+            while (fi < features.length) {
+              val f = features(fi)
+              val b = ps.binned(i * m + f) & 0xff
+              if (b != BinCuts.MissingBin) {
+                val idx = histBase + (f * MaxBins + b) * 2
+                hist(idx) += gi
+                hist(idx + 1) += hi
+              }
+              fi += 1
             }
-            fi += 1
           }
         }
       }
       i += 1
     }
   }
+
 
   private[ml] def effectiveWeights(mat: TrainMatrix, p: BoosterParams): Array[Float] = {
     if (p.scalePosWeight != 1.0 && p.objective == "binary:logistic") {

@@ -259,6 +259,26 @@ class EstimatorSpec extends AnyFunSuite {
     assert(rmseDiff < spread * 0.12, s"single vs dist rmse diff $rmseDiff spread $spread")
   }
 
+  test("distributed multiclass agrees with single-node (gradients from " +
+      "round-start margins, not mid-round-advanced ones)") {
+    val rng = new scala.util.Random(29)
+    def r4() = math.round(rng.nextDouble() * 4 * 1e4) / 1e4
+    val rows = Seq.fill(300)({
+      val f = Array.fill(3)(r4())
+      val label = (if (f(0) > 2.6) 2 else if (f(1) > 2.0) 1 else 0).toDouble
+      (Vectors.dense(f), label)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    val single = new XgboostClassifier().setNEstimators(8).fit(df)
+    val dist = new XgboostClassifier().setNEstimators(8).setNumWorkers(2).fit(df)
+    val s = single.transform(df).select("probability").collect().map(_.getAs[Vector](0).toArray)
+    val d = dist.transform(df).select("probability").collect().map(_.getAs[Vector](0).toArray)
+    val maxDiff = s.zip(d).map { case (x, y) =>
+      x.zip(y).map { case (p, q) => math.abs(p - q) }.max
+    }.max
+    assert(maxDiff < 0.05, s"single vs dist max prob diff $maxDiff")
+  }
+
   test("distributed binary classifier learns the replicated fixture (F6 shape)") {
     val model = new XgboostClassifier().setNEstimators(20).setNumWorkers(2).fit(clsTrainDf)
     val rows = model.transform(clsTrainDf.limit(4).distinct())
