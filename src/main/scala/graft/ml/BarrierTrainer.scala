@@ -46,13 +46,13 @@ object BarrierTrainer {
     val obj = Objective.fromName(p.objective)
     val k = obj.numGroups(p.numClass)
 
-    // driver-side quantile cuts over a bounded sample, broadcast — same
+    // distributed quantile sketch -> bin cuts, broadcast — the same
     // sketch as DistTrainer so both distributed paths bin identically
     val rowsRdd = input.rdd
-    val sampleRows = rowsRdd.takeSample(withReplacement = false, 100000, p.seed)
-    require(sampleRows.nonEmpty, "empty training input")
-    val (sampleM, _) = TrainMatrix.fromRows(sampleRows.iterator, hasW, hasV, hasM)
-    val cuts = BinCuts.fromMatrix(sampleM, p.missing)
+    val cuts =
+      try QuantileCuts.fromRdd(rowsRdd, p.missing)
+      catch { case _: UnsupportedOperationException => // empty RDD
+        throw new IllegalArgumentException("empty training input") }
     val cutsBc = sc.broadcast(cuts)
 
     val jsons = rowsRdd.barrier().mapPartitions { it =>

@@ -82,12 +82,12 @@ object DistTrainer {
     val obj = Objective.fromName(p.objective)
     val k = obj.numGroups(p.numClass)
 
-    // ---- quantile cuts from a bounded driver-side sample ----
+    // ---- distributed per-feature quantile sketch -> bin cuts ----
     val rowsRdd = input.rdd
-    val sampleRows = rowsRdd.takeSample(withReplacement = false, SampleForCuts, p.seed)
-    require(sampleRows.nonEmpty, "empty training input")
-    val (sampleM, _) = TrainMatrix.fromRows(sampleRows.iterator, hasW, hasV, hasM)
-    val cuts = BinCuts.fromMatrix(sampleM, p.missing)
+    val cuts =
+      try QuantileCuts.fromRdd(rowsRdd, p.missing)
+      catch { case _: UnsupportedOperationException => // empty RDD
+        throw new IllegalArgumentException("empty training input") }
     val numFeatures = cuts.numFeatures
     val cutsBc = sc.broadcast(cuts)
 

