@@ -14,7 +14,26 @@ import org.apache.spark.sql.types._
   * re-expression of the reference's `_fit` (reference
   * `sparkdl/xgboost/xgboost_core.py:435-518`, SURVEY §3.1–§3.2).
   */
-private[ml] object FitSupport {
+private[ml] object FitSupport extends org.apache.spark.internal.Logging {
+
+  /** The reference's capacity checks (_validate_params warning on
+    * spark.task.cpus, xgboost_core.py:187-238, and the num_workers >
+    * maxNumConcurrentTasks warning at :365-372): gang-scheduled or
+    * histogram-synchronized training stalls when the cluster cannot run
+    * all workers concurrently. */
+  def warnOnCapacity(est: XGBoostParams, dataset: Dataset[_]): Unit = {
+    val sc = dataset.sparkSession.sparkContext
+    val taskCpus = sc.getConf.getInt("spark.task.cpus", 1)
+    if (taskCpus > 1)
+      logWarning(s"spark.task.cpus=$taskCpus > 1: each training task pins " +
+        s"$taskCpus cores; the trainer itself is single-threaded per partition")
+    val n = est.getOrDefault(est.numWorkers)
+    val slots = math.max(sc.defaultParallelism / taskCpus, 1)
+    if (n > slots)
+      logWarning(s"numWorkers=$n exceeds the ~$slots concurrently-runnable " +
+        "tasks; distributed training needs all workers active at once and " +
+        "will wait for resources (reference warns identically)")
+  }
 
   /** Normalizes the features column to VectorUDT (accepts array<numeric>
     * via array_to_vector — reference uses vector_to_array for the inverse
@@ -95,6 +114,7 @@ private[ml] object FitSupport {
   }
 
   def fit(est: XGBoostParams, dataset: Dataset[_], isClassifier: Boolean): BoosterModel = {
+    warnOnCapacity(est, dataset)
     val (projected, hasW, hasV, hasM) = projectTrain(est, dataset)
     val (obj, k) =
       if (isClassifier) inferClassifierObjective(est, projected)

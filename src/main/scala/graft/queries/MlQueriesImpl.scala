@@ -114,6 +114,30 @@ object MlQueriesImpl {
     },
     None)
 
+  /** Distributed training at table scale: 8 workers over the full
+    * lineitem table (~600k rows at sf0.1) — the treeAggregate histogram
+    * path whose per-level traffic is independent of row count. Output is
+    * a 3-row summary so the bench measures training, not result
+    * materialization. Rows-only (no SQL oracle can train a GBT). */
+  val trainPredictScale = Q(
+    "q_ml_train_predict_scale",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        array(col("l_quantity"), col("l_discount"), col("l_tax"),
+          col("l_extendedprice") / 1000.0).cast("array<float>").as("features"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 1000.0).as("label"),
+        col("l_returnflag"))
+      val model = new XgboostRegressor()
+        .setFeaturesCol("features").setLabelCol("label")
+        .setNumWorkers(8).setNEstimators(5).setMaxDepth(5).fit(li)
+      model.transform(li)
+        .groupBy(col("l_returnflag"))
+        .agg(round(avg(col("prediction")), 2).as("avg_pred"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
   /** C2+C8 faithful path: gang-scheduled barrier training with the
     * socket-collective histogram allreduce (partition 0 = tracker,
     * bootstrap via ONE allGather), then batch scoring. Rows-only. */
@@ -150,5 +174,5 @@ object MlQueriesImpl {
 
   def all: Seq[Q] = Seq(vectorRoundtrip, barrierAllGather, parquetRoundtrip,
     confIntrospection, trainPredictReg, trainPredictDist, trainPredictBarrier,
-    trainPredictCls)
+    trainPredictScale, trainPredictCls)
 }
