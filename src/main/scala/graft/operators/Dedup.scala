@@ -59,7 +59,8 @@ object Dedup {
     * composes after ExactDeduper for exactly this reason). */
   val MaxBucketSize = 10000
 
-  def lshCandidatePairs(sigs: DataFrame, idCol: String, minEstJaccard: Double): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, minEstJaccard: Double,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
     val bandArr = array((0 until Bands).map { b =>
       xxhash64(lit(b), slice(col("mh"), b * RowsPerBand + 1, RowsPerBand))
     }: _*)
@@ -67,7 +68,7 @@ object Dedup {
     // aggregate on the 16-byte (band, bh) key — tiny shuffle — then
     // anti-join the hot buckets out before the quadratic self-join
     val hot = allBands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("n")).where(col("n") > MaxBucketSize)
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("band"), col("bh"))
     val bands = allBands.join(broadcast(hot), Seq("band", "bh"), "left_anti")
     val x = bands.alias("x")

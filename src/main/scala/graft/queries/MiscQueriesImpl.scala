@@ -57,6 +57,20 @@ object MiscQueriesImpl {
                     WHERE a2.user_id = agg.user_id AND a2.sid > agg.sid)
       ORDER BY user_id, session_start"""))
 
+  /** Stream-stream interval join (clicks x purchases within 10 min,
+    * watermarked both sides) — deterministic on bounded input. */
+  val streamJoin = Q(
+    "q_stream_join",
+    (s, dir) => EventStreams.clickPurchaseJoin(s, dir),
+    Some("""SELECT c.user_id AS user_id, c.event_id AS c_id,
+        p.event_id AS p_id, round(p.value, 2) AS purchase_value
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.user_id = p.user_id
+       AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+       AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+      ORDER BY user_id, c_id, p_id"""))
+
   /** Streaming exact-dedup (dropDuplicates under a watermark); the
     * emitted key set is deterministic → DISTINCT oracle. */
   val streamDedup = Q(
@@ -80,5 +94,6 @@ object MiscQueriesImpl {
     },
     None)
 
-  def all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, multimodalDecode)
+  def all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamJoin,
+    multimodalDecode)
 }

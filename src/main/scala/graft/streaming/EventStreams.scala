@@ -97,6 +97,41 @@ object EventStreams {
     spark.table(name).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Stream-stream interval join: each click joins the same user's
+    * purchases within the following 10 minutes — the canonical
+    * two-stream time-bounded join (watermarks on both sides bound the
+    * buffered state to the interval + delay; at scale state is
+    * O(events inside the watermark window), not O(stream)). The bounded
+    * input makes the match set deterministic, so a plain SQL self-join
+    * with the same bounds is the oracle. */
+  def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val name = s"graft_join_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = readEvents(spark, sfDir)
+    val clicks = base.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = readEvents(spark, sfDir).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined
+      .select(col("c_user").as("user_id"), col("c_id"), col("p_id"),
+        round(col("value"), 2).as("purchase_value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("c_id"), col("p_id"))
+  }
+
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class SessState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

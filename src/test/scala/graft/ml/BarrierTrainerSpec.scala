@@ -33,6 +33,19 @@ class BarrierTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("3-worker barrier collective (coordinator with multiple clients)") {
+    val df = mkDf(300, 7)
+    val m = new XgboostRegressor().setNEstimators(5).setNumWorkers(3)
+      .setUseBarrierMode(true).fit(df)
+    val preds = m.transform(df).select("prediction").collect().map(_.getDouble(0))
+    assert(preds.forall(p => !p.isNaN))
+    val agg = new XgboostRegressor().setNEstimators(5).setNumWorkers(3).fit(df)
+    val a = agg.transform(df).select("prediction").collect().map(_.getDouble(0))
+    preds.zip(a).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6, s"barrier $x vs treeAggregate $y")
+    }
+  }
+
   test("barrier multiclass classifier learns the replicated fixture") {
     val base = Seq(
       (Vectors.dense(1.0, 2.0, 3.0), 0.0),

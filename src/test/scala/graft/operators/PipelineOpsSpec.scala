@@ -50,6 +50,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("LSH hot-bucket cap drops quadratic buckets, keeps organic pairs") {
+    // 6 identical docs (a hot bucket at cap 3) + one organic near-dup pair
+    val hotDocs = (10L until 16L).map(i =>
+      (i, "spam spam spam identical boilerplate page repeated everywhere onto the web"))
+    val df = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ hotDocs)
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.minhashSignature(col("text")).as("mh"))
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", 0.3, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 >= 10L && p._2 >= 10L),
+      s"hot-bucket pairs must be dropped: $capped")
+    assert(capped.contains((0L, 1L)), s"organic dup pair must survive: $capped")
+  }
+
   test("word-trigram jaccard: 1.0 for exact dup, high for near dup, 0 for unrelated") {
     val d = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("grams"))
     val a = d.alias("a"); val b = d.alias("b")
