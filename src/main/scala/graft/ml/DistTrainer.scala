@@ -39,7 +39,6 @@ import scala.collection.mutable.ArrayBuffer
   */
 object DistTrainer {
   private val MaxBins = 256
-  private val SampleForCuts = 100000
 
   /** Per-partition training state. The matrix/binned payload is the only
     * serialized state; margins and gradients are @transient caches,

@@ -1,6 +1,6 @@
 package graft.ml
 
-import java.io.{BufferedWriter, File}
+import java.io.BufferedWriter
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
 import org.apache.spark.ml.linalg.Vector
