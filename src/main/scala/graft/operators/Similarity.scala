@@ -96,6 +96,29 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vid"), col("cos"))
   }
 
+  /** Embedding near-dup PAIRS at scale: random-hyperplane LSH bucket
+    * self-join (the scale path the brute-force cross join falls back
+    * from). Candidates shuffle on (table, bucket) keys only; each pair
+    * is scored once with the fused cosine kernel. Recall for cos ≥ 0.95
+    * with (6 bits, 4 tables) ≈ 1 − (1 − 0.9^6)^4 ≈ 0.95; tune
+    * (bits, tables) to the corpus density. */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, bits: Int = 6, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val allPlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
+    val keyed = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("uvec"),
+      explode(array((0 until tables).map(t =>
+        lit(t) * lit(1 << bits) + bucketUdf(allPlanes(t))(col(vecCol))): _*)).as("bucket"))
+    val x = keyed.alias("x")
+    val y = keyed.alias("y")
+    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("a"), col("y.vid").as("b"),
+        graft.functions.VectorFunctions.array_dot(col("x.uvec"), col("y.uvec")).as("cos"))
+      .dropDuplicates("a", "b")
+      .where(col("cos") >= minCos)
+  }
+
   /** IVF-flat ANN: KMeans coarse cells, probe the nProbe nearest cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,

@@ -102,5 +102,19 @@ object DedupQueriesImpl {
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       ORDER BY cos DESC, a, b LIMIT 20"""))
 
-  def all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, embedding)
+  /** Embedding near-dup pairs via hyperplane-LSH bucket self-join — the
+    * 100 TB path (no all-pairs product). Bucketing is seeded-random →
+    * rows-only; PipelineOpsSpec pins recall against brute force. */
+  val embeddingLsh = Q(
+    "q_dedup_embedding_lsh",
+    (s, dir) => {
+      graft.operators.Similarity.embeddingNearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.8)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("a"), col("b"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard,
+    embedding, embeddingLsh)
 }

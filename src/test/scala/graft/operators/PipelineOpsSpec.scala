@@ -106,6 +106,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((1, 1L), (2, 2L)))
   }
 
+  test("embedding LSH near-dup pairs recover most brute-force pairs (real embeddings)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    def brutePairs(thr: Double) = e.alias("a").crossJoin(e.alias("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
+        Dedup.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .where(col("cos") >= thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // thresholds offset by an epsilon: the unit-vector dot and the direct
+    // cosine formula differ in final ulps at the exact boundary
+    assert(approx.subsetOf(brutePairs(0.7999)),
+      "LSH pairs must all be true near-dups (exact cosine filter)")
+    val strict = brutePairs(0.8001)
+    if (strict.nonEmpty) {
+      val recall = (approx & strict).size.toDouble / strict.size
+      assert(recall > 0.7, s"recall $recall over ${strict.size} true pairs")
+    }
+  }
+
   test("LSH and IVF ANN achieve reasonable recall@5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
