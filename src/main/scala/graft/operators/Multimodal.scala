@@ -69,6 +69,83 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes pixels and rescales
+    * (??? without codecs); the fake derives a (targetW × targetH)-shaped
+    * byte payload deterministically. The Spark-side contract is real:
+    * only `kind == "image"` rows are touched, metadata is rewritten to
+    * the target dimensions, everything else passes through. */
+  final class ResizeStub(targetW: Int, targetH: Int) extends Serializable {
+    def resizeBatch(contents: Array[Array[Byte]]): Array[Array[Byte]] =
+      contents.map { bytes =>
+        val out = new Array[Byte](math.max(1, targetW * targetH / 1024))
+        if (bytes != null) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = bytes(((i.toLong * bytes.length) / out.length).toInt)
+            i += 1
+          }
+        }
+        out
+      }
+  }
+
+  /** Resizes image rows to (targetW, targetH); audio/video pass through
+    * untouched. Batched partition map, one codec init per task. */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val schema = df.schema
+    val contentIdx = schema.fieldIndex("content")
+    val metaIdx = schema.fieldIndex("meta")
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val stub = new ResizeStub(targetW, targetH)
+      rows.grouped(BatchSize).flatMap { batch =>
+        val (images, rest) = batch.partition { r =>
+          val m = r.getStruct(metaIdx)
+          m != null && m.getString(0) == "image"
+        }
+        val resized = stub.resizeBatch(images.map(_.getAs[Array[Byte]](contentIdx)).toArray)
+        images.iterator.zipWithIndex.map { case (r, i) =>
+          val vals = r.toSeq.toArray
+          vals(contentIdx) = resized(i)
+          val m = r.getStruct(metaIdx)
+          vals(metaIdx) = Row("image", targetW, targetH, m.get(3), m.get(4))
+          Row.fromSeq(vals.toIndexedSeq)
+        } ++ rest.iterator
+      }
+    }
+  }
+
+  /** Samples `n` evenly-spaced "frames" from each video row (a real
+    * decoder would seek keyframes — stubbed as byte-range slices with
+    * the same output contract: one row per sampled frame, frame index +
+    * frame bytes). Non-video rows produce no frames. */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    val schema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("media_id", schema("media_id").dataType),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val idIdx = schema.fieldIndex("media_id")
+    val contentIdx = schema.fieldIndex("content")
+    val metaIdx = schema.fieldIndex("meta")
+    implicit val enc = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val m = r.getStruct(metaIdx)
+        if (m == null || m.getString(0) != "video") Iterator.empty
+        else {
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          if (bytes == null || bytes.isEmpty) Iterator.empty
+          else (0 until n).iterator.map { f =>
+            val start = ((f.toLong * bytes.length) / n).toInt
+            val end = (((f + 1).toLong * bytes.length) / n).toInt
+            Row(r.get(idIdx), f, java.util.Arrays.copyOfRange(bytes, start, math.max(end, start + 1)))
+          }
+        }
+      }
+    }
+  }
+
   /** Builds a multimodal table from the documents table: text bytes stand
     * in for media blobs; metadata is derived deterministically. */
   def syntheticMediaTable(docs: DataFrame): DataFrame = {

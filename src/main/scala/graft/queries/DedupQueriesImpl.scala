@@ -115,6 +115,29 @@ object DedupQueriesImpl {
     },
     None)
 
-  def all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard,
-    embedding, embeddingLsh)
+  /** The full near-dup pipeline: MinHash/LSH candidates → EXACT n-gram
+    * Jaccard verification of only those pairs (never all-pairs). This is
+    * the composition that runs at 100 TB: candidate generation shuffles
+    * band keys, verification joins the (small) candidate set back to the
+    * documents and scores each pair once with the sorted-merge kernel. */
+  val minhashVerified = Q(
+    "q_dedup_minhash_verified",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(col("doc_id"),
+        Dedup.sortedGramHashes(col("text"), 3).as("grams"))
+      val candidates = Dedup.minhashNearDups(docs, "doc_id", "text", 0.35)
+      candidates
+        .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
+        .select(col("a"), col("b"),
+          round(graft.functions.KernelExpressions.jaccard_sorted(
+            col("ga"), col("gb")), 4).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
+    ngramJaccard, embedding, embeddingLsh)
 }

@@ -94,6 +94,26 @@ object MiscQueriesImpl {
     },
     None)
 
+  /** Multimodal resize + frame-sample stages composed after decode:
+    * images resized to 224x224 (metadata rewritten), videos exploded to
+    * 4 sampled frames. Output counts per kind — deterministic, rows-only
+    * (stubbed codecs aren't SQL-expressible). */
+  val multimodalPipeline = Q(
+    "q_multimodal_pipeline",
+    (s, dir) => {
+      val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
+      val resized = Multimodal.resizeImages(media, 224, 224)
+      val frames = Multimodal.sampleFrames(media, 4)
+      val kinds = resized.groupBy(col("meta.kind").as("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          round(avg(length(col("content"))), 2).as("avg_bytes"))
+      val frameCount = frames.agg(count(lit(1)).as("cnt")).collect()(0).getLong(0)
+      kinds.withColumn("n_frames",
+          when(col("kind") === "video", lit(frameCount)).otherwise(lit(0L)))
+        .orderBy(col("kind"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamJoin,
-    multimodalDecode)
+    multimodalDecode, multimodalPipeline)
 }
