@@ -122,6 +122,10 @@ object BarrierTrainer {
     var bestIter = -1
     var round = 0
     var stop = false
+    // same sequential draw order as DistTrainer's driver rng, replicated
+    // identically on every worker — the two distributed paths pick the
+    // SAME per-tree feature subsets even under colsampleBytree < 1
+    val frng = new java.util.Random(p.seed)
 
     while (round < p.numRounds && !stop) {
       if (n > 0) obj.gradHess(margins, mat.labels, weights, k, g, h)
@@ -134,8 +138,6 @@ object BarrierTrainer {
             while (i < n) { gk(i) = g(i * k + cls); hk(i) = h(i * k + cls); i += 1 }
           }
         }
-        // identical on every worker: seeded by (seed, round, cls) only
-        val frng = new java.util.Random(p.seed * 31 + round.toLong * 131 + cls)
         val features = sampleFeatures(m, p.colsampleBytree, frng)
         val sampled = sampleRows(pid, n, round, p)
         trees += growTreeCollective(coll, binned, n, m, cuts, gk, hk, sampled, features, p)

@@ -30,6 +30,8 @@ object QuantileCuts {
         if (acc == null)
           acc = Array.fill(v.size)(
             new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, RelativeError))
+        require(v.size == acc.length,
+          s"feature dimension mismatch: got ${v.size}, expected ${acc.length}")
         var i = 0
         while (i < v.size) {
           // densified semantics: implicit zeros are VALUES (§1.2); only

@@ -33,6 +33,23 @@ class BarrierTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("barrier and treeAggregate pick identical feature subsets under colsample") {
+    val df = mkDf(300, 19)
+    val a = new XgboostRegressor().setNEstimators(6).setNumWorkers(2)
+    a.set(a.colsampleBytree, 0.5)
+    val b = new XgboostRegressor().setNEstimators(6).setNumWorkers(2).setUseBarrierMode(true)
+    b.set(b.colsampleBytree, 0.5)
+    val ma = a.fit(df)
+    val mb = b.fit(df)
+    // identical feature subsets + identical collectives → identical trees
+    ma.booster.trees.zip(mb.booster.trees).foreach { case (ta, tb) =>
+      assert(ta.feature.sameElements(tb.feature), "split features must match")
+    }
+    val pa = ma.transform(df).select("prediction").collect().map(_.getDouble(0))
+    val pb = mb.transform(df).select("prediction").collect().map(_.getDouble(0))
+    pa.zip(pb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+  }
+
   test("3-worker barrier collective (coordinator with multiple clients)") {
     val df = mkDf(300, 7)
     val m = new XgboostRegressor().setNEstimators(5).setNumWorkers(3)
