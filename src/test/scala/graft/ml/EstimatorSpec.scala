@@ -297,6 +297,23 @@ class EstimatorSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed training honors instance weights (matches single-node)") {
+    val rng = new scala.util.Random(37)
+    def r4() = math.round(rng.nextDouble() * 4 * 1e4) / 1e4
+    val rows = Seq.fill(300)({
+      val f = Array.fill(3)(r4())
+      (Vectors.dense(f), f(0) + f(1), if (rng.nextBoolean()) 3.0 else 0.5)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label", "w")
+    val single = new XgboostRegressor().setNEstimators(8).setWeightCol("w").fit(df)
+    val dist = new XgboostRegressor().setNEstimators(8).setWeightCol("w")
+      .setNumWorkers(2).fit(df)
+    val s = single.transform(df).select("prediction").collect().map(_.getDouble(0))
+    val d = dist.transform(df).select("prediction").collect().map(_.getDouble(0))
+    val rmse = math.sqrt(s.zip(d).map { case (a, b) => (a - b) * (a - b) }.sum / s.length)
+    assert(rmse < 0.05, s"weighted single vs dist rmse $rmse")
+  }
+
   test("distributed path with validation + early stopping records best_score") {
     val rng = new scala.util.Random(11)
     val rows = Seq.fill(300)({
