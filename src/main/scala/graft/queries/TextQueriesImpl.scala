@@ -115,5 +115,28 @@ object TextQueriesImpl {
     },
     None)
 
-  def all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprintMd5, fingerprintFnv)
+  /** Semi-structured metadata extraction: parse the JSON props column
+    * with a typed schema (from_json is a codegen'd Catalyst expression,
+    * not a UDF), aggregate by a derived bucket — the metadata-filtering
+    * shape every training-data pipeline runs over crawl records. */
+  val jsonMeta = Q(
+    "q_text_json_meta",
+    (s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      // floor() on both sides: Spark's double->int cast truncates while
+      // DuckDB's rounds, so the bucket must be floored before the cast
+      ev.select(col("event_type"), floor(k / 10).cast("int").as("k_bucket"))
+        .groupBy(col("event_type"), col("k_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("k_bucket"))
+    },
+    Some("""SELECT event_type,
+        CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+        count(*) AS n
+      FROM events GROUP BY event_type, k_bucket
+      ORDER BY event_type, k_bucket"""))
+
+  def all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprintMd5,
+    fingerprintFnv, jsonMeta)
 }
