@@ -123,12 +123,19 @@ object Dedup {
   }
 
   /** Near pairs by simhash hamming distance ≤ maxHamming, candidates from
-    * any-segment equality (complete for maxHamming ≤ 3 by pigeonhole). */
+    * any-segment equality (complete for maxHamming ≤ 3 by pigeonhole).
+    * Same hot-bucket guard as the MinHash bands: a (seg, value) bucket of
+    * B docs is B²/2 candidates, and buckets that hot (e.g. the all-zero
+    * segments of near-empty docs) are exact-dedup territory. */
   def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int = MaxBucketSize): DataFrame = {
     val t = simhashTable(docs, idCol, textCol)
-    val segs = t.select(col(idCol), col("simhash"),
+    val allSegs = t.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(s => col(s"seg$s")): _*)).as(Seq("seg", "sv")))
+    val hot = allSegs.groupBy(col("seg"), col("sv"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("seg"), col("sv"))
+    val segs = allSegs.join(broadcast(hot), Seq("seg", "sv"), "left_anti")
     val x = segs.alias("x")
     val y = segs.alias("y")
     val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
