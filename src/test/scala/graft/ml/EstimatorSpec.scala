@@ -297,6 +297,41 @@ class EstimatorSpec extends AnyFunSuite {
     }
   }
 
+  test("scale_pos_weight shifts probability toward the positive class " +
+      "(reference F2-with-params golden direction, local_test.py:75-88)") {
+    // identical features, 30% positive: the root leaf converges to the
+    // WEIGHTED log-odds, so spw=4 moves P(pos) from .3 toward
+    // 4·.3/(4·.3+.7) ≈ .63 — the same mechanism behind the reference's
+    // [0.2757, 0.7243] golden
+    val rows = (0 until 100).map(i => (Vectors.dense(1.0, 2.0), if (i < 30) 1.0 else 0.0))
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    def posProb(spw: Double): Double = {
+      val est = new XgboostClassifier().setNEstimators(30)
+      est.set(est.scalePosWeight, spw)
+      est.fit(df).transform(df.limit(1))
+        .select("probability").collect()(0).getAs[Vector](0)(1)
+    }
+    val p1 = posProb(1.0)
+    val p4 = posProb(4.0)
+    assert(math.abs(p1 - 0.3) < 0.05, s"unweighted P(pos) ~ 0.3, got $p1")
+    assert(math.abs(p4 - 0.63) < 0.08, s"spw=4 P(pos) ~ 0.63, got $p4")
+  }
+
+  test("missing=0.0 trains and predicts finitely on the distributed path " +
+      "(reference cluster_test.py:294-297)") {
+    val df = spark.createDataFrame(Seq(
+      (Vectors.dense(1.0, 0.0, 3.0), 0.0),
+      (Vectors.sparse(3, Seq((1, 1.0), (2, 5.5))), 1.0),
+      (Vectors.dense(4.0, 5.0, 0.0), 1.0),
+      (Vectors.dense(0.0, 2.0, 1.0), 0.0))).toDF("features", "label")
+    val big = df.union(df).union(df).union(df) // 16 rows over 2 workers
+    val est = new XgboostRegressor().setNEstimators(10).setNumWorkers(2)
+    est.set(est.missing, 0.0f)
+    val preds = est.fit(big).transform(df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(preds.forall(p => !p.isNaN && !p.isInfinite))
+  }
+
   test("distributed training honors instance weights (matches single-node)") {
     val rng = new scala.util.Random(37)
     def r4() = math.round(rng.nextDouble() * 4 * 1e4) / 1e4
