@@ -138,6 +138,62 @@ object DedupQueriesImpl {
     },
     None)
 
+  /** The flagship curation pipeline, end to end as ml.Transformer stages:
+    * tag language → score quality → keep en docs above a quality bar →
+    * exact-dedup → corpus stats. Every stage is deterministic, so the
+    * whole composition hash-checks against one DuckDB query. */
+  val curation = Q(
+    "q_pipeline_curation",
+    (s, dir) => {
+      import graft.operators.{ExactDeduper, LanguageTagger, TextQualityScorer}
+      val docs = Tables.documents(s, dir)
+      val tagged = new TextQualityScorer().transform(
+        new LanguageTagger().transform(docs))
+      val kept = tagged.where(col("lang_pred") === "en" && col("quality") >= 0.3)
+      val deduped = new ExactDeduper().transform(kept)
+      deduped.agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(size(graft.functions.TextFunctions.tokens(col("text")))), 4).as("avg_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      h AS (SELECT doc_id, text, toks,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','ein','eine','zu','den','im'))) AS h_de,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as'))) AS h_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','los','las','por','con'))) AS h_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','est','un','une','du','en','que','pour'))) AS h_fr,
+        len(list_filter(toks, x -> x IN ('il','la','di','che','e','un','una','per','con','del','sono','non'))) AS h_it,
+        len(list_filter(toks, x -> x IN ('o','a','de','que','e','do','da','em','um','uma','com','para','os'))) AS h_pt
+        FROM t),
+      lang AS (SELECT doc_id, text, toks,
+        CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) = 0 THEN 'und'
+             WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'de'
+             WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'en'
+             WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'es'
+             WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'fr'
+             WHEN h_it = greatest(h_de,h_en,h_es,h_fr,h_it,h_pt) THEN 'it'
+             ELSE 'pt' END AS lang_pred
+        FROM h),
+      q AS (SELECT doc_id, text, toks, lang_pred,
+        CAST(len(toks) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) AS stop_hits
+        FROM lang),
+      scored AS (SELECT doc_id, text, toks,
+        least(n_tok / 64.0, 1.0) *
+          (1.0 - CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END) AS quality
+        FROM q
+        WHERE lang_pred = 'en'),
+      kept AS (SELECT * FROM scored WHERE quality >= 0.3),
+      dedup AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM kept) WHERE rn = 1)
+      SELECT count(*) AS n_docs,
+        round(avg(len(toks)), 4) AS avg_tokens,
+        round(avg(quality), 4) AS avg_quality
+      FROM dedup"""))
+
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
-    ngramJaccard, embedding, embeddingLsh)
+    ngramJaccard, embedding, embeddingLsh, curation)
 }
