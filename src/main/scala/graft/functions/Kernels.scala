@@ -74,12 +74,16 @@ object Kernels {
   def minhashSig(text: UTF8String): ArrayData = {
     val tk = toks(text)
     val nTok = tk.length
+    val sig = new Array[Long](MinHashK)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    // Empty/whitespace-only text has no shingles: the all-MaxValue
+    // signature stands in (any two empty docs agree fully — they ARE
+    // duplicates — and an empty doc never beats a real min).
+    if (nTok == 0) return new GenericArrayData(sig)
     val th = new Array[Long](nTok)
     var i = 0
     while (i < nTok) { th(i) = fnv64(tk(i)); i += 1 }
     val nSh = math.max(nTok - 2, 1) // <3 tokens → one clamped shingle
-    val sig = new Array[Long](MinHashK)
-    java.util.Arrays.fill(sig, Long.MaxValue)
     var s = 0
     while (s < nSh) {
       var h = th(s)
@@ -189,12 +193,26 @@ object Kernels {
 
   // ---- vector math -------------------------------------------------------
 
+  // Element-kind codes for numeric arrays (resolved once at analysis
+  // time, inlined as a constant into generated code).
+  val ElemDouble = 0; val ElemFloat = 1; val ElemInt = 2
+  val ElemLong = 3; val ElemShort = 4; val ElemByte = 5
+
+  @inline private def elemAt(a: ArrayData, i: Int, kind: Int): Double = kind match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getInt(i).toDouble
+    case 3 => a.getLong(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case _ => a.getByte(i).toDouble
+  }
+
   /** L2-normalized copy of a numeric array, widened to double. */
-  def unitVector(a: ArrayData, isFloat: Boolean): ArrayData = {
+  def unitVector(a: ArrayData, kind: Int): ArrayData = {
     val n = a.numElements()
     val out = new Array[Double](n)
     var i = 0
-    while (i < n) { out(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i); i += 1 }
+    while (i < n) { out(i) = elemAt(a, i, kind); i += 1 }
     var ss = 0.0
     i = 0
     while (i < n) { ss += out(i) * out(i); i += 1 }
@@ -207,15 +225,15 @@ object Kernels {
   /** Cosine similarity in one fused pass; formula matches the round-1
     * composed version exactly (dot / (sqrt(aa) * sqrt(bb)) in double)
     * so oracle-checked outputs rounded to 6 dp are unchanged. */
-  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+  def cosine(a: ArrayData, aKind: Int, b: ArrayData, bKind: Int): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var aa = 0.0
     var bb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = elemAt(a, i, aKind)
+      val y = elemAt(b, i, bKind)
       dot += x * y; aa += x * x; bb += y * y
       i += 1
     }
@@ -227,10 +245,17 @@ object Kernels {
   * one-line static-call `doGenCode` so whole-stage codegen stays intact. */
 object KernelExpressions {
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case dt => throw new IllegalArgumentException(s"need array<float|double>, got $dt")
+  // Integral element types are accepted and widened to double inside the
+  // kernel (integer-typed embeddings worked in the round-1 composed
+  // versions via implicit cast; the kernels keep that contract).
+  private def elemKind(e: Expression): Int = e.dataType match {
+    case ArrayType(DoubleType, _) => Kernels.ElemDouble
+    case ArrayType(FloatType, _) => Kernels.ElemFloat
+    case ArrayType(IntegerType, _) => Kernels.ElemInt
+    case ArrayType(LongType, _) => Kernels.ElemLong
+    case ArrayType(ShortType, _) => Kernels.ElemShort
+    case ArrayType(ByteType, _) => Kernels.ElemByte
+    case dt => throw new IllegalArgumentException(s"need array of a numeric type, got $dt")
   }
 
   case class MinHashSig(child: Expression) extends UnaryExpression {
@@ -287,25 +312,25 @@ object KernelExpressions {
   }
 
   case class UnitVector(child: Expression) extends UnaryExpression {
-    private lazy val isFloat = elemIsFloat(child)
+    private lazy val kind = elemKind(child)
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override protected def nullSafeEval(v: Any): Any =
-      Kernels.unitVector(v.asInstanceOf[ArrayData], isFloat)
+      Kernels.unitVector(v.asInstanceOf[ArrayData], kind)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.Kernels.unitVector($c, $isFloat);")
+        s"${ev.value} = graft.functions.Kernels.unitVector($c, $kind);")
     override protected def withNewChildInternal(c: Expression): UnitVector = copy(c)
   }
 
   case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
-    private lazy val lFloat = elemIsFloat(left)
-    private lazy val rFloat = elemIsFloat(right)
+    private lazy val lKind = elemKind(left)
+    private lazy val rKind = elemKind(right)
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      Kernels.cosine(a.asInstanceOf[ArrayData], lFloat, b.asInstanceOf[ArrayData], rFloat)
+      Kernels.cosine(a.asInstanceOf[ArrayData], lKind, b.asInstanceOf[ArrayData], rKind)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.Kernels.cosine($a, $lFloat, $b, $rFloat);")
+        s"${ev.value} = graft.functions.Kernels.cosine($a, $lKind, $b, $rKind);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(l, r)
   }

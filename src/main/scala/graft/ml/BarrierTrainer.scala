@@ -165,7 +165,8 @@ object BarrierTrainer {
     val model = new BoosterModel(obj.name, p.numClass, m, baseMargin,
       trees.toArray, p.missing,
       if (hasEval) Some(bestScore) else None,
-      if (hasEval && p.earlyStoppingRounds > 0) Some(bestIter) else None)
+      // offset by the init booster's rounds — see DistTrainer's note
+      if (hasEval && p.earlyStoppingRounds > 0) Some(initTrees.length / k + bestIter) else None)
     ModelJson.toJson(model)
   }
 

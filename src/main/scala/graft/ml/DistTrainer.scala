@@ -161,7 +161,10 @@ object DistTrainer {
     val model = new BoosterModel(obj.name, p.numClass, numFeatures, baseMargin,
       trees.toArray, p.missing,
       if (hasEval) Some(bestScore) else None,
-      if (hasEval && p.earlyStoppingRounds > 0) Some(bestIter) else None)
+      // best_iteration counts init-booster rounds too (xgboost offsets
+      // best_iteration by the warm-start booster's round count), so the
+      // default predict prefix keeps the init trees PLUS the best new rounds.
+      if (hasEval && p.earlyStoppingRounds > 0) Some(initTrees.length / k + bestIter) else None)
     ModelJson.toJson(model)
   }
 

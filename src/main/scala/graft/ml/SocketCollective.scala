@@ -46,7 +46,12 @@ private[ml] object Collective {
     if (ctx.partitionId() == 0) {
       val server = new ServerSocket(0)
       server.setSoTimeout(SoTimeoutMs)
-      val host = InetAddress.getLocalHost.getHostAddress
+      // Advertise the address Spark itself binds executors to, not
+      // InetAddress.getLocalHost — the latter can resolve to loopback or a
+      // non-routable NIC on multi-homed hosts, hanging worker connects.
+      val host = Option(org.apache.spark.SparkEnv.get)
+        .map(_.blockManager.blockManagerId.host)
+        .getOrElse(InetAddress.getLocalHost.getHostAddress)
       ctx.allGather(s"$host:${server.getLocalPort}")
       val socks = Array.fill(n - 1) {
         val s = server.accept()

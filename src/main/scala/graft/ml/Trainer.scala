@@ -206,8 +206,10 @@ object Trainer {
       if (evalM.isDefined) Some(bestScore) else None,
       // best_iteration is recorded only when early stopping is enabled —
       // predict then defaults to the best rounds (xgboost sklearn
-      // semantics); without early stopping all rounds score.
-      if (evalM.isDefined && p.earlyStoppingRounds > 0) Some(bestIter) else None)
+      // semantics); without early stopping all rounds score. The offset
+      // counts warm-start rounds, as xgboost does for xgb_model.
+      if (evalM.isDefined && p.earlyStoppingRounds > 0)
+        Some(initTrees.length / k + bestIter) else None)
   }
 
   private def initMargins(mat: TrainMatrix, obj: Objective, p: BoosterParams, k: Int): Array[Float] = {

@@ -78,7 +78,7 @@ object Multimodal {
     def resizeBatch(contents: Array[Array[Byte]]): Array[Array[Byte]] =
       contents.map { bytes =>
         val out = new Array[Byte](math.max(1, targetW * targetH / 1024))
-        if (bytes != null) {
+        if (bytes != null && bytes.length > 0) {
           var i = 0
           while (i < out.length) {
             out(i) = bytes(((i.toLong * bytes.length) / out.length).toInt)

@@ -88,6 +88,27 @@ class KernelsSpec extends AnyFunSuite {
     assert(agree((0L, 2L)) < 0.2, s"disjoint docs should rarely agree: ${agree((0L, 2L))}")
   }
 
+  test("minhash signature on empty/whitespace text: constant sig, no crash") {
+    val df = Seq((0L, ""), (1L, "   \t  "), (2L, "one"), (3L, "a b"))
+      .toDF("id", "text")
+      .select(col("id"), KernelExpressions.minhash_sig(col("text")).as("mh"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L), "all empty docs share the constant signature")
+    assert(sigs(0L).forall(_ == Long.MaxValue))
+    assert(sigs(2L).exists(_ != Long.MaxValue), "non-empty text gets a real signature")
+    assert(sigs(3L) != sigs(2L))
+  }
+
+  test("unit_vector and cosine_sim accept integer-typed embeddings (widened to double)") {
+    val df = Seq((Array(3, 4), Array(4L, 3L))).toDF("vi", "vl")
+    val r = df.select(
+      KernelExpressions.unit_vector(col("vi")).as("u"),
+      KernelExpressions.cosine_sim(col("vi"), col("vl")).as("c")).collect()(0)
+    val u = r.getSeq[Double](0)
+    assert(math.abs(u(0) - 0.6) < 1e-12 && math.abs(u(1) - 0.8) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 24.0 / 25.0) < 1e-12)
+  }
+
   test("simhash kernel: equal text equal hash, near text hamming-close (real docs)") {
     val t = docs.select(col("doc_id"), KernelExpressions.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

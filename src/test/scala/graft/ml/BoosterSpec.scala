@@ -107,6 +107,35 @@ class BoosterSpec extends AnyFunSuite {
     assert(model.bestIteration.isDefined && model.bestIteration.get >= 0)
   }
 
+  test("warm start + early stopping: best_iteration counts the init booster's rounds") {
+    val rng = new java.util.Random(11)
+    def gen(n: Int): (Array[Array[Float]], Array[Float]) = {
+      val rows = Array.fill(n)(Array.fill(4)(rng.nextFloat() * 8))
+      val labels = rows.map(r => r(0) - r(1) * 0.5f + rng.nextFloat() * 0.1f)
+      (rows, labels)
+    }
+    val (trR, trY) = gen(400)
+    val (evR, evY) = gen(150)
+    val initRounds = 10
+    val first = Trainer.train(mat(trR, trY), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = initRounds))
+    val cont = Trainer.train(mat(trR, trY), Some(mat(evR, evY)),
+      BoosterParams(objective = "reg:squarederror", numRounds = 100,
+        earlyStoppingRounds = 5, evalMetric = Some("rmse")),
+      initTrees = first.trees)
+    val bi = cont.bestIteration.get
+    // xgboost offsets best_iteration by the init booster's rounds, so the
+    // default predict prefix never truncates away the continued rounds
+    assert(bi >= initRounds, s"best_iteration=$bi must count the $initRounds init rounds")
+    val x = evR(0).clone()
+    val dflt = cont.predictMargin(x.clone())(0)
+    val explicit = cont.predictMargin(x.clone(), treeLimit = bi + 1)(0)
+    assert(dflt == explicit)
+    // and the truncated-to-init-only prediction (the old bug) differs
+    val initOnly = cont.predictMargin(x.clone(), treeLimit = initRounds)(0)
+    assert(dflt != initOnly, "default predict must include continued rounds")
+  }
+
   test("larger regression: rmse shrinks vs the constant predictor") {
     val rng = new java.util.Random(42)
     val n = 2000
