@@ -50,7 +50,7 @@ object BarrierTrainer {
     // sketch as DistTrainer so both distributed paths bin identically
     val rowsRdd = input.rdd
     val cuts =
-      try QuantileCuts.fromRdd(rowsRdd, p.missing)
+      try QuantileCuts.fromRdd(rowsRdd, p.missing, BinCuts.cutBudget(p.maxBin))
       catch { case _: UnsupportedOperationException => // empty RDD
         throw new IllegalArgumentException("empty training input") }
     val cutsBc = sc.broadcast(cuts)
@@ -140,7 +140,7 @@ object BarrierTrainer {
         }
         val features = sampleFeatures(m, p.colsampleBytree, frng)
         val sampled = sampleRows(pid, n, round, p)
-        trees += growTreeCollective(coll, binned, n, m, cuts, gk, hk, sampled, features, p)
+        trees += growTreeCollective(coll, binned, n, m, cuts, gk, hk, sampled, features, p, round, cls)
         val tree = trees.last
         updateMargins(mat, tree, margins, k, cls, p.missing)
         if (eval != null) updateMargins(eval, tree, evalMargins, k, cls, p.missing)
@@ -175,7 +175,8 @@ object BarrierTrainer {
     * shared global splits), so collective calls stay aligned. */
   private def growTreeCollective(coll: Collective, binned: Array[Byte],
       n: Int, m: Int, cuts: BinCuts, g: Array[Float], h: Array[Float],
-      sampled: Array[Boolean], features: Array[Int], p: BoosterParams): Tree = {
+      sampled: Array[Boolean], features: Array[Int], p: BoosterParams,
+      round: Int, cls: Int): Tree = {
 
     val feature = new ArrayBuffer[Int]
     val threshold = new ArrayBuffer[Float]
@@ -207,8 +208,14 @@ object BarrierTrainer {
     var depth = 0
     var levelStart = 0
     var levelEnd = 1
+    var leaves = 1
     while (depth < p.maxDepth && levelStart < levelEnd) {
       val nActive = levelEnd - levelStart
+      // keyed (seed, round, cls, depth) sampling: every worker derives the
+      // same per-level subset with no extra collective — and the same
+      // subset as DistTrainer, keeping the two distributed paths in parity
+      val levelFeats = FeatureSampling.subsample(features, p.colsampleBylevel,
+        FeatureSampling.levelKey(p.seed, round, cls, depth))
       val localHist = new Array[Double](nActive * m * MaxBins * 2)
       i = 0
       while (i < n) {
@@ -218,8 +225,8 @@ object BarrierTrainer {
           val rowBase = i * m
           val histBase = slot * m * MaxBins * 2
           var fi = 0
-          while (fi < features.length) {
-            val f = features(fi)
+          while (fi < levelFeats.length) {
+            val f = levelFeats(fi)
             val b = binned(rowBase + f) & 0xff
             if (b != BinCuts.MissingBin) {
               val idx = histBase + (f * MaxBins + b) * 2
@@ -237,19 +244,23 @@ object BarrierTrainer {
       var s = 0
       while (s < nActive) {
         val node = levelStart + s
+        val nodeFeats = FeatureSampling.subsample(levelFeats, p.colsampleBynode,
+          FeatureSampling.nodeKey(p.seed, round, cls, node))
         val slice = java.util.Arrays.copyOfRange(
           hist, s * m * MaxBins * 2, (s + 1) * m * MaxBins * 2)
-        SplitFinder.findBest(slice, MaxBins, cuts, features,
-          gSum(node), hSum(node), p).foreach { sp =>
-          splits(s) = sp
-          feature(node) = sp.feature
-          threshold(node) = sp.threshold
-          binIdx(node) = sp.binIdx
-          defaultLeft(node) = sp.defaultLeft
-          gain(node) = sp.gain.toFloat
-          left(node) = addNode(sp.gl, sp.hl)
-          right(node) = addNode(sp.gr, sp.hr)
-        }
+        if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
+          SplitFinder.findBest(slice, MaxBins, cuts, nodeFeats,
+            gSum(node), hSum(node), p).foreach { sp =>
+            splits(s) = sp
+            feature(node) = sp.feature
+            threshold(node) = sp.threshold
+            binIdx(node) = sp.binIdx
+            defaultLeft(node) = sp.defaultLeft
+            gain(node) = sp.gain.toFloat
+            left(node) = addNode(sp.gl, sp.hl)
+            right(node) = addNode(sp.gr, sp.hr)
+            leaves += 1
+          }
         s += 1
       }
       i = 0
@@ -278,7 +289,7 @@ object BarrierTrainer {
     i = 0
     while (i < nn) {
       if (left(i) < 0)
-        w(i) = (p.eta * SplitFinder.leafWeight(gSum(i), hSum(i), p.lambda, p.alpha)).toFloat
+        w(i) = (p.eta * SplitFinder.leafWeightP(gSum(i), hSum(i), p)).toFloat
       i += 1
     }
     new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,

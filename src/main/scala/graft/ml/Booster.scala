@@ -33,10 +33,15 @@ object BinCuts {
   val MaxCuts = 254
   val MissingBin = 255
 
+  /** Cut budget for a user max_bin: bins = cuts + 1, and the byte bin
+    * layout (255 = missing) caps cuts at [[MaxCuts]]. */
+  def cutBudget(maxBin: Int): Int = math.min(math.max(maxBin - 1, 1), MaxCuts)
+
   /** Builds cuts from per-feature sampled values. Candidate thresholds are
     * the distinct sorted values minus the minimum (a threshold at the min
-    * separates nothing); > MaxCuts distincts → evenly-spaced quantiles. */
-  def fromColumnSamples(cols: Array[Array[Float]]): BinCuts = {
+    * separates nothing); > maxCuts distincts → evenly-spaced quantiles. */
+  def fromColumnSamples(cols: Array[Array[Float]], maxCuts: Int = MaxCuts): BinCuts = {
+    val budget = math.min(math.max(maxCuts, 1), MaxCuts)
     val cuts = cols.map { raw =>
       val clean = raw.filter(v => v == v) // drop NaN
       java.util.Arrays.sort(clean)
@@ -49,12 +54,12 @@ object BinCuts {
       if (distinct.length <= 1) Array.empty[Float]
       else {
         val cand = distinct.drop(1) // exclude min
-        if (cand.length <= MaxCuts) cand.toArray
+        if (cand.length <= budget) cand.toArray
         else {
-          val out = new Array[Float](MaxCuts)
+          val out = new Array[Float](budget)
           var j = 0
-          while (j < MaxCuts) {
-            out(j) = cand(((j + 1).toLong * cand.length / (MaxCuts + 1)).toInt)
+          while (j < budget) {
+            out(j) = cand(((j + 1).toLong * cand.length / (budget + 1)).toInt)
             j += 1
           }
           out.distinct
@@ -64,7 +69,7 @@ object BinCuts {
     new BinCuts(cuts)
   }
 
-  def fromMatrix(m: TrainMatrix, missing: Float): BinCuts = {
+  def fromMatrix(m: TrainMatrix, missing: Float, maxCuts: Int = MaxCuts): BinCuts = {
     val cols = Array.tabulate(m.numCols) { f =>
       val a = new Array[Float](m.numRows)
       var i = 0
@@ -75,7 +80,7 @@ object BinCuts {
       }
       a
     }
-    fromColumnSamples(cols)
+    fromColumnSamples(cols, maxCuts)
   }
 
   /** Row-major byte matrix of bin indices (0xff = missing). */
@@ -141,6 +146,12 @@ final case class BoosterParams(
     minChildWeight: Double = 1.0,
     subsample: Double = 1.0,
     colsampleBytree: Double = 1.0,
+    colsampleBylevel: Double = 1.0,
+    colsampleBynode: Double = 1.0,
+    maxDeltaStep: Double = 0.0,
+    maxBin: Int = 256,
+    growPolicy: String = "depthwise",
+    maxLeaves: Int = 0,
     scalePosWeight: Double = 1.0,
     objective: String = "reg:squarederror",
     numClass: Int = 0,

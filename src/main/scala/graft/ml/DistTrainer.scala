@@ -84,7 +84,7 @@ object DistTrainer {
     // ---- distributed per-feature quantile sketch -> bin cuts ----
     val rowsRdd = input.rdd
     val cuts =
-      try QuantileCuts.fromRdd(rowsRdd, p.missing)
+      try QuantileCuts.fromRdd(rowsRdd, p.missing, BinCuts.cutBudget(p.maxBin))
       catch { case _: UnsupportedOperationException => // empty RDD
         throw new IllegalArgumentException("empty training input") }
     val numFeatures = cuts.numFeatures
@@ -207,14 +207,26 @@ object DistTrainer {
     var levelStart = 0
     var levelEnd = 1
     var depth = 0
+    var leaves = 1
     while (depth < p.maxDepth && levelStart < levelEnd) {
       val nActive = levelEnd - levelStart
+      val levelFeats = FeatureSampling.subsample(features, p.colsampleBylevel,
+        FeatureSampling.levelKey(p.seed, round, cls, depth))
+      // Histogram subtraction derives a sibling as parent − child, which
+      // requires parent and child LEVELS to have accumulated the same
+      // feature columns. colsample_bylevel draws a different set per
+      // level, so under it every node accumulates directly instead.
+      val noSubtract = p.colsampleBylevel < 1.0
       // children were appended in (left, right) pairs, so slots 2i/2i+1
       // of this level belong to pair i
       val computeSlot = new Array[Int](nActive)
       var nCompute = 0
       if (depth == 0) { computeSlot(0) = 0; nCompute = 1 }
-      else {
+      else if (noSubtract) {
+        var i = 0
+        while (i < nActive) { computeSlot(i) = i; i += 1 }
+        nCompute = nActive
+      } else {
         var i = 0
         while (i < nActive / 2) {
           val cSlot = if (pairComputeLeft(i)) 2 * i else 2 * i + 1
@@ -227,7 +239,7 @@ object DistTrainer {
       val partial = (feature.toArray, binIdx.toArray, defaultLeft.toArray,
         left.toArray, right.toArray, computeSlot)
       val partialBc = sc.broadcast(partial)
-      val featuresBc = sc.broadcast(features)
+      val featuresBc = sc.broadcast(levelFeats)
       val histLen = nCompute * unit
       val isRootLevel = depth == 0
       // null zero: the (possibly multi-MB) histogram buffers are
@@ -268,7 +280,7 @@ object DistTrainer {
           System.arraycopy(compHist, computeSlot(s) * unit, hist, s * unit, unit)
         s += 1
       }
-      if (depth > 0) {
+      if (depth > 0 && !noSubtract) {
         var i = 0
         while (i < nActive / 2) {
           val cSlot = if (pairComputeLeft(i)) 2 * i else 2 * i + 1
@@ -294,19 +306,23 @@ object DistTrainer {
       s = 0
       while (s < nActive) {
         val node = levelStart + s
+        val nodeFeats = FeatureSampling.subsample(levelFeats, p.colsampleBynode,
+          FeatureSampling.nodeKey(p.seed, round, cls, node))
         val slice = java.util.Arrays.copyOfRange(hist, s * unit, (s + 1) * unit)
-        SplitFinder.findBest(slice, MaxBins, cutsBc.value, features,
-          gSum(node), hSum(node), p).foreach { sp =>
-          feature(node) = sp.feature
-          binIdx(node) = sp.binIdx
-          threshold(node) = sp.threshold
-          defaultLeft(node) = sp.defaultLeft
-          gain(node) = sp.gain.toFloat
-          left(node) = addNode(sp.gl, sp.hl)
-          right(node) = addNode(sp.gr, sp.hr)
-          nextParents += s
-          nextComputeLeft += (sp.hl <= sp.hr) // accumulate the lighter child
-        }
+        if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
+          SplitFinder.findBest(slice, MaxBins, cutsBc.value, nodeFeats,
+            gSum(node), hSum(node), p).foreach { sp =>
+            feature(node) = sp.feature
+            binIdx(node) = sp.binIdx
+            threshold(node) = sp.threshold
+            defaultLeft(node) = sp.defaultLeft
+            gain(node) = sp.gain.toFloat
+            left(node) = addNode(sp.gl, sp.hl)
+            right(node) = addNode(sp.gr, sp.hr)
+            nextParents += s
+            nextComputeLeft += (sp.hl <= sp.hr) // accumulate the lighter child
+            leaves += 1
+          }
         s += 1
       }
       prevHist = hist
@@ -322,7 +338,7 @@ object DistTrainer {
     var i = 0
     while (i < n) {
       if (left(i) < 0)
-        w(i) = (p.eta * SplitFinder.leafWeight(gSum(i), hSum(i), p.lambda, p.alpha)).toFloat
+        w(i) = (p.eta * SplitFinder.leafWeightP(gSum(i), hSum(i), p)).toFloat
       i += 1
     }
     new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,

@@ -113,8 +113,33 @@ private[ml] object FitSupport extends org.apache.spark.internal.Logging {
     modelJson(0)
   }
 
+  /** The reference's GPU validation (_validate_params,
+    * xgboost_core.py:216-238): useGpu requires tree_method gpu_hist-or-
+    * unset AND a cluster-side GPU task resource; both failure modes raise
+    * with the reference's shape. */
+  def validateGpuSetup(est: XGBoostParams, dataset: Dataset[_]): Unit = {
+    val tm = est.resolvedTreeMethod // also validates allowed values
+    if (est.getOrDefault(est.useGpu)) {
+      tm.foreach { t =>
+        if (t != "gpu_hist")
+          throw new IllegalArgumentException(
+            s"tree_method should be 'gpu_hist' or unset when useGpu is true, found $t.")
+      }
+      val gpuPerTask = dataset.sparkSession.sparkContext.getConf
+        .getOption("spark.task.resource.gpu.amount")
+      if (gpuPerTask.forall(_.toDouble < 1))
+        throw new RuntimeException(
+          "The spark cluster does not have the necessary GPU configuration " +
+          "(spark.task.resource.gpu.amount) for the spark task; cannot run " +
+          "xgboost training using GPU.")
+    } else if (tm.contains("gpu_hist")) {
+      logWarning("tree_method=gpu_hist requested without useGpu; running the CPU hist algorithm")
+    }
+  }
+
   def fit(est: XGBoostParams, dataset: Dataset[_], isClassifier: Boolean): BoosterModel = {
     warnOnCapacity(est, dataset)
+    validateGpuSetup(est, dataset)
     val (projected, hasW, hasV, hasM) = projectTrain(est, dataset)
     val (obj, k) =
       if (isClassifier) inferClassifierObjective(est, projected)
@@ -135,6 +160,9 @@ private[ml] object FitSupport extends org.apache.spark.internal.Logging {
           s"xgbModel group count ${init.numGroups} incompatible with numClass $k")
         init.trees
       } else Array.empty
+    if (bp.growPolicy == "lossguide" && n > 1)
+      logWarning("grow_policy=lossguide is single-node only in this build; " +
+        "distributed training grows depthwise honoring the max_leaves cap")
     val json =
       if (n <= 1) trainSingleNode(projected, hasW, hasV, hasM, bp, useExt, esp, initTrees)
       else if (est.getOrDefault(est.useBarrierMode))
@@ -186,6 +214,16 @@ class XgboostRegressor(override val uid: String)
   def setEarlyStoppingRounds(v: Int): this.type = set(earlyStoppingRounds, v)
   def setEvalMetric(v: String): this.type = set(evalMetric, v)
   def setTreeLimit(v: Int): this.type = set(treeLimit, v)
+  def setSubsample(v: Double): this.type = set(subsample, v)
+  def setColsampleBytree(v: Double): this.type = set(colsampleBytree, v)
+  def setColsampleBylevel(v: Double): this.type = set(colsampleBylevel, v)
+  def setColsampleBynode(v: Double): this.type = set(colsampleBynode, v)
+  def setMaxDeltaStep(v: Double): this.type = set(maxDeltaStep, v)
+  def setMaxBin(v: Int): this.type = set(maxBin, v)
+  def setGrowPolicy(v: String): this.type = set(growPolicy, v)
+  def setMaxLeaves(v: Int): this.type = set(maxLeaves, v)
+  def setTreeMethod(v: String): this.type = set(treeMethod, v)
+  def setArbitraryParams(v: String): this.type = set(arbitraryParams, v)
 
   override def fit(dataset: Dataset[_]): XgboostRegressorModel = {
     transformSchema(dataset.schema)
@@ -312,6 +350,16 @@ class XgboostClassifier(override val uid: String)
   def setEarlyStoppingRounds(v: Int): this.type = set(earlyStoppingRounds, v)
   def setEvalMetric(v: String): this.type = set(evalMetric, v)
   def setTreeLimit(v: Int): this.type = set(treeLimit, v)
+  def setSubsample(v: Double): this.type = set(subsample, v)
+  def setColsampleBytree(v: Double): this.type = set(colsampleBytree, v)
+  def setColsampleBylevel(v: Double): this.type = set(colsampleBylevel, v)
+  def setColsampleBynode(v: Double): this.type = set(colsampleBynode, v)
+  def setMaxDeltaStep(v: Double): this.type = set(maxDeltaStep, v)
+  def setMaxBin(v: Int): this.type = set(maxBin, v)
+  def setGrowPolicy(v: String): this.type = set(growPolicy, v)
+  def setMaxLeaves(v: Int): this.type = set(maxLeaves, v)
+  def setTreeMethod(v: String): this.type = set(treeMethod, v)
+  def setArbitraryParams(v: String): this.type = set(arbitraryParams, v)
 
   override def fit(dataset: Dataset[_]): XgboostClassifierModel = {
     transformSchema(dataset.schema)

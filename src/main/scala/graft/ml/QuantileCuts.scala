@@ -22,7 +22,8 @@ import org.apache.spark.sql.catalyst.util.QuantileSummaries
 object QuantileCuts {
   val RelativeError = 0.001
 
-  def fromRdd(rows: RDD[Row], missing: Float): BinCuts = {
+  def fromRdd(rows: RDD[Row], missing: Float, maxCuts: Int = BinCuts.MaxCuts): BinCuts = {
+    val budget = math.min(math.max(maxCuts, 1), BinCuts.MaxCuts)
     val merged = rows.mapPartitions { it =>
       var acc: Array[QuantileSummaries] = null
       it.foreach { row =>
@@ -52,8 +53,8 @@ object QuantileCuts {
       if (sk.count == 0) Array.empty[Float]
       else {
         val minV = sk.query(0.0).get.toFloat
-        val qs = (1 to BinCuts.MaxCuts).iterator
-          .map(j => sk.query(j.toDouble / (BinCuts.MaxCuts + 1)).get.toFloat)
+        val qs = (1 to budget).iterator
+          .map(j => sk.query(j.toDouble / (budget + 1)).get.toFloat)
           .filter(c => c > minV && !c.isNaN)
           .toArray
         val distinct = qs.distinct

@@ -25,6 +25,31 @@ object SplitFinder {
   @inline def leafWeight(g: Double, h: Double, lambda: Double, alpha: Double): Double =
     -thresholdL1(g, alpha) / (h + lambda)
 
+  /** Leaf weight with the max_delta_step cap (xgboost: the raw estimate
+    * is clipped to ±max_delta_step when the cap is nonzero). */
+  @inline def leafWeightP(g: Double, h: Double, p: BoosterParams): Double = {
+    val w = leafWeight(g, h, p.lambda, p.alpha)
+    if (p.maxDeltaStep > 0.0) {
+      if (w > p.maxDeltaStep) p.maxDeltaStep
+      else if (w < -p.maxDeltaStep) -p.maxDeltaStep
+      else w
+    } else w
+  }
+
+  /** Node score under the (possibly clipped) weight: with no cap this is
+    * T(G)²/(H+λ); with a cap it is the loss reduction achieved AT the
+    * clipped weight, −(2·T(G)·w + (H+λ)·w²) — xgboost's
+    * CalcGainGivenWeight shape, so capped nodes stop looking better than
+    * the cap allows them to be. */
+  @inline def scoreP(g: Double, h: Double, p: BoosterParams): Double = {
+    if (p.maxDeltaStep <= 0.0) score(g, h, p.lambda, p.alpha)
+    else {
+      val t = thresholdL1(g, p.alpha)
+      val w = leafWeightP(g, h, p)
+      -(2.0 * t * w + (h + p.lambda) * w * w)
+    }
+  }
+
   /** Finds the best split for one node.
     *
     * @param hist flat histogram for this node: ((f * maxBins + b) * 2)
@@ -49,7 +74,7 @@ object SplitFinder {
         while (b <= nCuts) { gSum += hist(base + b * 2); hSum += hist(base + b * 2 + 1); b += 1 }
         val gMiss = gNode - gSum
         val hMiss = hNode - hSum
-        val parentScore = score(gNode, hNode, p.lambda, p.alpha)
+        val parentScore = scoreP(gNode, hNode, p)
         var gl = 0.0
         var hl = 0.0
         var t = 0
@@ -60,8 +85,8 @@ object SplitFinder {
           val gL = gl; val hL = hl
           val gR = gNode - gl; val hR = hNode - hl
           if (hL >= p.minChildWeight && hR >= p.minChildWeight) {
-            val gain = 0.5 * (score(gL, hL, p.lambda, p.alpha) +
-              score(gR, hR, p.lambda, p.alpha) - parentScore) - p.gamma
+            val gain = 0.5 * (scoreP(gL, hL, p) +
+              scoreP(gR, hR, p) - parentScore) - p.gamma
             if (gain > p.minSplitGain && (best == null || gain > best.gain)) {
               best = Split(gain, f, cuts.cuts(f)(t), t, defaultLeft = false,
                 gL, hL, gR, hR)
@@ -69,8 +94,8 @@ object SplitFinder {
           }
           // candidate B: missing goes left
           if ((hL + hMiss) >= p.minChildWeight && (hNode - hl - hMiss) >= p.minChildWeight) {
-            val gain = 0.5 * (score(gL + gMiss, hL + hMiss, p.lambda, p.alpha) +
-              score(gNode - gl - gMiss, hNode - hl - hMiss, p.lambda, p.alpha) - parentScore) - p.gamma
+            val gain = 0.5 * (scoreP(gL + gMiss, hL + hMiss, p) +
+              scoreP(gNode - gl - gMiss, hNode - hl - hMiss, p) - parentScore) - p.gamma
             if (gain > p.minSplitGain && (best == null || gain > best.gain)) {
               best = Split(gain, f, cuts.cuts(f)(t), t, defaultLeft = true,
                 gL + gMiss, hL + hMiss, gNode - gl - gMiss, hNode - hl - hMiss)
@@ -82,6 +107,49 @@ object SplitFinder {
       fi += 1
     }
     Option(best)
+  }
+}
+
+/** Keyed (stateless) feature subsampling for colsample_bylevel /
+  * colsample_bynode: the subset is a pure function of (seed, round,
+  * class, depth/node), so every worker — driver-coordinated or barrier —
+  * derives the SAME subset with no extra communication, and recomputed
+  * partitions stay deterministic. (Per-tree colsample_bytree keeps its
+  * sequential-rng draw for backward-compatible models.)
+  */
+object FeatureSampling {
+
+  @inline private def mix(a: Long, b: Long, c: Long, d: Long): Long = {
+    var x = a * 0x9e3779b97f4a7c15L + b * 0xc2b2ae3d27d4eb4fL +
+      c * 0x165667b19e3779f9L + d * 0x27d4eb2f165667c5L
+    x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+    x
+  }
+
+  def levelKey(seed: Long, round: Int, cls: Int, depth: Int): Long =
+    mix(seed, round.toLong, cls.toLong, 0x1e7e1L + depth.toLong)
+
+  def nodeKey(seed: Long, round: Int, cls: Int, node: Int): Long =
+    mix(seed, round.toLong, cls.toLong, 0x0d0deL + (node.toLong << 8))
+
+  /** Sorted subset of `from` with ratio `colsample` (at least 1 element),
+    * drawn by a Fisher–Yates prefix shuffle seeded from `key`. */
+  def subsample(from: Array[Int], colsample: Double, key: Long): Array[Int] = {
+    if (colsample >= 1.0) from
+    else {
+      val rng = new java.util.Random(key)
+      val take = math.max(1, math.round(from.length * colsample).toInt)
+      val idx = from.clone()
+      var i = 0
+      while (i < take) {
+        val j = i + rng.nextInt(idx.length - i)
+        val t = idx(i); idx(i) = idx(j); idx(j) = t
+        i += 1
+      }
+      val out = java.util.Arrays.copyOf(idx, take)
+      java.util.Arrays.sort(out)
+      out
+    }
   }
 }
 
@@ -118,7 +186,7 @@ object Trainer {
       var i = 0
       while (i < n) {
         if (left(i) < 0)
-          w(i) = (p.eta * SplitFinder.leafWeight(gSum(i), hSum(i), p.lambda, p.alpha)).toFloat
+          w(i) = (p.eta * SplitFinder.leafWeightP(gSum(i), hSum(i), p)).toFloat
         i += 1
       }
       new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,
@@ -133,7 +201,7 @@ object Trainer {
     val k = obj.numGroups(p.numClass)
     val n = trainM.numRows
     val m = trainM.numCols
-    val cuts = BinCuts.fromMatrix(trainM, p.missing)
+    val cuts = BinCuts.fromMatrix(trainM, p.missing, BinCuts.cutBudget(p.maxBin))
     val binned = BinCuts.binMatrix(trainM, cuts, p.missing)
     val rng = new java.util.Random(p.seed)
 
@@ -184,7 +252,10 @@ object Trainer {
           while (i < n) { gk(i) = g(i * k + cls); hk(i) = h(i * k + cls); i += 1 }
         }
         val features = sampleFeatures(m, p.colsampleBytree, rng)
-        val tree = buildTree(binned, n, m, cuts, gk, hk, sampled, features, p)
+        val tree =
+          if (p.growPolicy == "lossguide")
+            buildTreeLossGuide(binned, n, m, cuts, gk, hk, sampled, features, p, round, cls)
+          else buildTree(binned, n, m, cuts, gk, hk, sampled, features, p, round, cls)
         trees += tree
         updateMargins(trainM, tree, margins, k, cls, p.missing)
         evalM.zip(evalMargins).foreach { case (e, em) =>
@@ -251,11 +322,15 @@ object Trainer {
     }
   }
 
-  /** Depth-wise growth: one histogram pass over all rows per level. */
+  /** Depth-wise growth: one histogram pass over all rows per level.
+    * colsample_bylevel narrows the accumulated feature set per depth;
+    * colsample_bynode narrows each node's SEARCH set within the level's
+    * accumulated set; max_leaves (when > 0) caps total leaves — nodes
+    * past the budget stay leaves. */
   private def buildTree(
       binned: Array[Byte], n: Int, m: Int, cuts: BinCuts,
       g: Array[Float], h: Array[Float], sampled: Array[Boolean],
-      features: Array[Int], p: BoosterParams): Tree = {
+      features: Array[Int], p: BoosterParams, round: Int, cls: Int): Tree = {
 
     val growth = new Growth
     val positions = new Array[Int](n)
@@ -268,12 +343,15 @@ object Trainer {
       i += 1
     }
     growth.addNode(gRoot, hRoot, 0)
+    var leaves = 1
 
     var depth = 0
     var levelStart = 0 // nodes [levelStart, levelEnd) are the current level
     var levelEnd = 1
     while (depth < p.maxDepth && levelStart < levelEnd) {
       val nActive = levelEnd - levelStart
+      val levelFeats = FeatureSampling.subsample(features, p.colsampleBylevel,
+        FeatureSampling.levelKey(p.seed, round, cls, depth))
       val hist = new Array[Double](nActive * m * MaxBins * 2)
       // single pass over rows: accumulate (g,h) into per-node histograms
       i = 0
@@ -284,8 +362,8 @@ object Trainer {
           val rowBase = i * m
           val histBase = slot * m * MaxBins * 2
           var fi = 0
-          while (fi < features.length) {
-            val f = features(fi)
+          while (fi < levelFeats.length) {
+            val f = levelFeats(fi)
             val b = binned(rowBase + f) & 0xff
             if (b != BinCuts.MissingBin) {
               val idx = histBase + (f * MaxBins + b) * 2
@@ -302,18 +380,22 @@ object Trainer {
       var s = 0
       while (s < nActive) {
         val node = levelStart + s
+        val nodeFeats = FeatureSampling.subsample(levelFeats, p.colsampleBynode,
+          FeatureSampling.nodeKey(p.seed, round, cls, node))
         val slice = java.util.Arrays.copyOfRange(
           hist, s * m * MaxBins * 2, (s + 1) * m * MaxBins * 2)
-        SplitFinder.findBest(slice, MaxBins, cuts, features,
-          growth.gSum(node), growth.hSum(node), p).foreach { sp =>
-          splits(s) = sp
-          growth.feature(node) = sp.feature
-          growth.threshold(node) = sp.threshold
-          growth.defaultLeft(node) = sp.defaultLeft
-          growth.gain(node) = sp.gain.toFloat
-          growth.left(node) = growth.addNode(sp.gl, sp.hl, depth + 1)
-          growth.right(node) = growth.addNode(sp.gr, sp.hr, depth + 1)
-        }
+        if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
+          SplitFinder.findBest(slice, MaxBins, cuts, nodeFeats,
+            growth.gSum(node), growth.hSum(node), p).foreach { sp =>
+            splits(s) = sp
+            growth.feature(node) = sp.feature
+            growth.threshold(node) = sp.threshold
+            growth.defaultLeft(node) = sp.defaultLeft
+            growth.gain(node) = sp.gain.toFloat
+            growth.left(node) = growth.addNode(sp.gl, sp.hl, depth + 1)
+            growth.right(node) = growth.addNode(sp.gr, sp.hr, depth + 1)
+            leaves += 1
+          }
         s += 1
       }
       // route rows to children
@@ -336,6 +418,100 @@ object Trainer {
       levelStart = levelEnd
       levelEnd = growth.feature.length
       depth += 1
+    }
+    growth.toTree(p)
+  }
+
+  /** Best-first (lossguide) growth: repeatedly expand the frontier leaf
+    * with the highest split gain until max_leaves (or no positive gain
+    * remains). Per-node histograms come from a scan over the node's rows;
+    * with max_depth > 0 the depth bound still applies (xgboost treats
+    * max_depth=0 as unbounded under lossguide — capped at 64 here so row
+    * routing stays bounded). Single-node path only: the distributed
+    * trainers run depthwise with the max_leaves cap and FitSupport warns
+    * on the combination. */
+  private def buildTreeLossGuide(
+      binned: Array[Byte], n: Int, m: Int, cuts: BinCuts,
+      g: Array[Float], h: Array[Float], sampled: Array[Boolean],
+      features: Array[Int], p: BoosterParams, round: Int, cls: Int): Tree = {
+
+    val growth = new Growth
+    val positions = new Array[Int](n)
+    var gRoot = 0.0
+    var hRoot = 0.0
+    var i = 0
+    while (i < n) {
+      if (sampled == null || sampled(i)) { positions(i) = 0; gRoot += g(i); hRoot += h(i) }
+      else positions(i) = -1
+      i += 1
+    }
+    growth.addNode(gRoot, hRoot, 0)
+    val maxLeaves = if (p.maxLeaves > 0) p.maxLeaves else Int.MaxValue
+    val depthCap = if (p.maxDepth > 0) p.maxDepth else 64
+
+    def nodeHist(node: Int, feats: Array[Int]): Array[Double] = {
+      val hist = new Array[Double](m * MaxBins * 2)
+      var r = 0
+      while (r < n) {
+        if (positions(r) == node) {
+          val rowBase = r * m
+          var fi = 0
+          while (fi < feats.length) {
+            val f = feats(fi)
+            val b = binned(rowBase + f) & 0xff
+            if (b != BinCuts.MissingBin) {
+              val idx = (f * MaxBins + b) * 2
+              hist(idx) += g(r)
+              hist(idx + 1) += h(r)
+            }
+            fi += 1
+          }
+        }
+        r += 1
+      }
+      hist
+    }
+
+    def candidate(node: Int): Option[(Double, Int, SplitFinder.Split)] = {
+      if (growth.depth(node) >= depthCap) return None
+      val levelFeats = FeatureSampling.subsample(features, p.colsampleBylevel,
+        FeatureSampling.levelKey(p.seed, round, cls, growth.depth(node)))
+      val nodeFeats = FeatureSampling.subsample(levelFeats, p.colsampleBynode,
+        FeatureSampling.nodeKey(p.seed, round, cls, node))
+      SplitFinder.findBest(nodeHist(node, levelFeats), MaxBins, cuts, nodeFeats,
+        growth.gSum(node), growth.hSum(node), p).map(sp => (sp.gain, node, sp))
+    }
+
+    // highest gain expands first; lower node id breaks ties deterministically
+    val queue = scala.collection.mutable.PriorityQueue.empty[(Double, Int, SplitFinder.Split)](
+      Ordering.by(t => (t._1, -t._2)))
+    candidate(0).foreach(queue.enqueue(_))
+    var leaves = 1
+    while (queue.nonEmpty && leaves < maxLeaves) {
+      val (_, node, sp) = queue.dequeue()
+      growth.feature(node) = sp.feature
+      growth.threshold(node) = sp.threshold
+      growth.defaultLeft(node) = sp.defaultLeft
+      growth.gain(node) = sp.gain.toFloat
+      val childDepth = growth.depth(node) + 1
+      val l = growth.addNode(sp.gl, sp.hl, childDepth)
+      val r = growth.addNode(sp.gr, sp.hr, childDepth)
+      growth.left(node) = l
+      growth.right(node) = r
+      i = 0
+      while (i < n) {
+        if (positions(i) == node) {
+          val b = binned(i * m + sp.feature) & 0xff
+          val goLeft = if (b == BinCuts.MissingBin) sp.defaultLeft else b <= sp.binIdx
+          positions(i) = if (goLeft) l else r
+        }
+        i += 1
+      }
+      leaves += 1
+      if (leaves < maxLeaves) {
+        candidate(l).foreach(queue.enqueue(_))
+        candidate(r).foreach(queue.enqueue(_))
+      }
     }
     growth.toTree(p)
   }

@@ -10,7 +10,27 @@ import org.apache.spark.sql.types._
   * extras travel in [[arbitraryParams]] as a JSON object, the analogue of
   * `arbitraryParamsDict` (reference `utils.py:29-45`).
   */
-trait XGBoostParams extends Params {
+object XGBoostParams {
+  /** xgboost kwargs that cannot change the trained model (logging,
+    * threading, predictor selection, schema validation toggles) —
+    * accepted silently, like the reference passing them through. */
+  val ModelInvariantKeys: Set[String] = Set(
+    "verbosity", "silent", "n_jobs", "nthread", "validate_parameters",
+    "use_label_encoder", "enable_categorical", "predictor", "importance_type",
+    "num_workers", "use_gpu", "force_repartition", "use_external_storage")
+
+  /** Recognized xgboost 1.6 XGBModel kwargs this build does NOT implement;
+    * setting one logs a the-model-may-differ warning instead of the
+    * reference's silent pass-through to native xgboost. */
+  val KnownUnimplementedKeys: Set[String] = Set(
+    "booster", "sampling_method", "num_parallel_tree", "monotone_constraints",
+    "interaction_constraints", "max_cat_to_onehot", "gpu_id", "callbacks")
+
+  val ValidTreeMethods: Set[String] = Set("auto", "exact", "approx", "hist", "gpu_hist")
+}
+
+trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
+  import XGBoostParams.{ModelInvariantKeys, KnownUnimplementedKeys, ValidTreeMethods}
 
   // ---- column params (reference xgboost_core.py:439-467) ----
   final val featuresCol = new Param[String](this, "featuresCol", "features column (VectorUDT)")
@@ -24,7 +44,9 @@ trait XGBoostParams extends Params {
   // ---- library params (reference xgboost_core.py:62-89, defaults :136-141) ----
   final val numWorkers = new IntParam(this, "numWorkers",
     "number of gang-scheduled training workers", ParamValidators.gtEq(1))
-  final val useGpu = new BooleanParam(this, "useGpu", "accepted for parity; no-op in this build")
+  final val useGpu = new BooleanParam(this, "useGpu",
+    "request GPU training; validated like the reference (tree_method must " +
+    "be gpu_hist-or-unset and the cluster must expose a GPU task resource)")
   final val forceRepartition = new BooleanParam(this, "forceRepartition",
     "repartition even when the plan already matches numWorkers")
   final val useExternalStorage = new BooleanParam(this, "useExternalStorage",
@@ -49,6 +71,28 @@ trait XGBoostParams extends Params {
     ParamValidators.inRange(0, 1, false, true))
   final val colsampleBytree = new DoubleParam(this, "colsampleBytree",
     "per-tree feature subsample ratio", ParamValidators.inRange(0, 1, false, true))
+  final val colsampleBylevel = new DoubleParam(this, "colsampleBylevel",
+    "per-depth-level feature subsample ratio (drawn from the tree's set)",
+    ParamValidators.inRange(0, 1, false, true))
+  final val colsampleBynode = new DoubleParam(this, "colsampleBynode",
+    "per-node feature subsample ratio (drawn from the level's set)",
+    ParamValidators.inRange(0, 1, false, true))
+  final val maxDeltaStep = new DoubleParam(this, "maxDeltaStep",
+    "cap on each leaf's weight estimate (0 = no cap); stabilizes " +
+    "binary:logistic on extremely imbalanced data", ParamValidators.gtEq(0))
+  final val maxBin = new IntParam(this, "maxBin",
+    "histogram bins per feature; this build's byte bin layout caps the " +
+    "effective value at 255 (values above are clamped with a warning)",
+    ParamValidators.gtEq(2))
+  final val growPolicy = new Param[String](this, "growPolicy",
+    "depthwise | lossguide (lossguide = best-gain-first growth; " +
+    "distributed training runs depthwise with the maxLeaves cap and warns)",
+    ParamValidators.inArray(Array("depthwise", "lossguide")))
+  final val maxLeaves = new IntParam(this, "maxLeaves",
+    "max leaves per tree (0 = unlimited)", ParamValidators.gtEq(0))
+  final val treeMethod = new Param[String](this, "treeMethod",
+    "auto | exact | approx | hist | gpu_hist; every CPU method runs this " +
+    "build's histogram algorithm; gpu_hist requires useGpu")
   final val scalePosWeight = new DoubleParam(this, "scalePosWeight",
     "positive-class weight multiplier", ParamValidators.gt(0))
   final val objective = new Param[String](this, "objective",
@@ -84,6 +128,8 @@ trait XGBoostParams extends Params {
     useBarrierMode -> false,
     nEstimators -> 100, eta -> 0.3, maxDepth -> 6, lambda -> 1.0, alpha -> 0.0,
     gamma -> 0.0, minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
+    colsampleBylevel -> 1.0, colsampleBynode -> 1.0, maxDeltaStep -> 0.0,
+    maxBin -> 256, growPolicy -> "depthwise", maxLeaves -> 0, treeMethod -> "",
     scalePosWeight -> 1.0, numClass -> 0, baseScore -> 0.5, missing -> Float.NaN,
     seed -> 0L, earlyStoppingRounds -> 0, treeLimit -> 0,
     arbitraryParams -> "{}", xgbModel -> "")
@@ -98,18 +144,32 @@ trait XGBoostParams extends Params {
     * Keys in [[arbitraryParams]] override the explicit params — the
     * analogue of the reference merging arbitraryParamsDict over the
     * generated params (reference xgboost_core.py:249-258); xgboost alias
-    * names (learning_rate, reg_lambda, …) are honored, unrecognized keys
-    * pass through silently like xgboost's own kwargs handling. */
-  private[ml] def boosterParams(resolvedObjective: String, resolvedNumClass: Int): BoosterParams = {
+    * names (learning_rate, reg_lambda, …) are honored. Keys this build
+    * does NOT implement are split into two classes: model-invariant ones
+    * (verbosity, n_jobs, …) pass silently, while keys that WOULD change
+    * the trained model in xgboost (booster=dart, monotone_constraints, …)
+    * log a warning naming the key — never a silent no-op. */
+  private[ml] def boosterParams(resolvedObjective: String, resolvedNumClass: Int): BoosterParams =
+    boosterParamsWithWarnings(resolvedObjective, resolvedNumClass)._1
+
+  private[ml] def boosterParamsWithWarnings(
+      resolvedObjective: String, resolvedNumClass: Int): (BoosterParams, Seq[String]) = {
+    val mb = $(maxBin)
+    if (mb > 255)
+      logWarning(s"maxBin=$mb exceeds this build's byte bin layout; clamped to 255")
     var bp = BoosterParams(
       numRounds = $(nEstimators), eta = $(eta), maxDepth = $(maxDepth),
       lambda = $(lambda), alpha = $(alpha), gamma = $(gamma),
       minChildWeight = $(minChildWeight), subsample = $(subsample),
-      colsampleBytree = $(colsampleBytree), scalePosWeight = $(scalePosWeight),
+      colsampleBytree = $(colsampleBytree), colsampleBylevel = $(colsampleBylevel),
+      colsampleBynode = $(colsampleBynode), maxDeltaStep = $(maxDeltaStep),
+      maxBin = mb, growPolicy = $(growPolicy), maxLeaves = $(maxLeaves),
+      scalePosWeight = $(scalePosWeight),
       objective = resolvedObjective, numClass = resolvedNumClass,
       baseScore = $(baseScore), missing = $(missing), seed = $(seed),
       earlyStoppingRounds = $(earlyStoppingRounds),
       evalMetric = if (hasNonEmpty(evalMetric)) Some($(evalMetric)) else None)
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
     val json = getOrDefault(arbitraryParams)
     if (json.nonEmpty && json.trim != "{}") {
       import org.json4s._
@@ -132,6 +192,17 @@ trait XGBoostParams extends Params {
         case ("min_child_weight", v) => bp = bp.copy(minChildWeight = num(v))
         case ("subsample", v) => bp = bp.copy(subsample = num(v))
         case ("colsample_bytree", v) => bp = bp.copy(colsampleBytree = num(v))
+        case ("colsample_bylevel", v) => bp = bp.copy(colsampleBylevel = num(v))
+        case ("colsample_bynode", v) => bp = bp.copy(colsampleBynode = num(v))
+        case ("max_delta_step", v) => bp = bp.copy(maxDeltaStep = num(v))
+        case ("max_bin", v) =>
+          val b = num(v).toInt
+          if (b > 255) logWarning(s"max_bin=$b exceeds this build's byte bin layout; clamped to 255")
+          bp = bp.copy(maxBin = b)
+        case ("grow_policy", JString(s)) =>
+          require(s == "depthwise" || s == "lossguide", s"grow_policy must be depthwise|lossguide, got $s")
+          bp = bp.copy(growPolicy = s)
+        case ("max_leaves", v) => bp = bp.copy(maxLeaves = num(v).toInt)
         case ("scale_pos_weight", v) => bp = bp.copy(scalePosWeight = num(v))
         case ("base_score", v) => bp = bp.copy(baseScore = num(v))
         case ("n_estimators" | "num_boost_round", v) => bp = bp.copy(numRounds = num(v).toInt)
@@ -139,10 +210,40 @@ trait XGBoostParams extends Params {
         case ("seed" | "random_state", v) => bp = bp.copy(seed = num(v).toLong)
         case ("missing", v) => bp = bp.copy(missing = num(v).toFloat)
         case ("eval_metric", JString(s)) => bp = bp.copy(evalMetric = Some(s))
-        case _ => // unknown passthrough: accepted, no effect on this booster
+        case ("tree_method", _) => // resolved separately (resolvedTreeMethod) for validation
+        case ("booster", JString("gbtree")) => // this build's only booster
+        case (k, _) if ModelInvariantKeys(k) => // logging/threading knobs: no model effect
+        case (k, v) if KnownUnimplementedKeys(k) =>
+          warnings += s"xgboost param '$k'=$v is recognized but NOT implemented by this build; " +
+            "the trained model may differ from native xgboost"
+        case (k, v) =>
+          warnings += s"unknown param '$k'=$v ignored (native xgboost would receive it verbatim)"
       }
     }
-    bp
+    warnings.foreach(logWarning(_))
+    (bp, warnings.toSeq)
+  }
+
+  /** tree_method from arbitraryParams (the reference reads the
+    * introspected param the same way) falling back to the explicit param;
+    * None when unset. */
+  private[ml] def resolvedTreeMethod: Option[String] = {
+    val fromJson = {
+      val json = getOrDefault(arbitraryParams)
+      if (json.nonEmpty && json.trim != "{}") {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(json) match {
+          case JObject(fs) => fs.collectFirst { case ("tree_method", JString(s)) => s }
+          case _ => None
+        }
+      } else None
+    }
+    val tm = fromJson.orElse(if (hasNonEmpty(treeMethod)) Some(getOrDefault(treeMethod)) else None)
+    tm.foreach { t =>
+      require(ValidTreeMethods(t),
+        s"tree_method must be one of ${ValidTreeMethods.mkString(", ")}, got $t")
+    }
+    tm
   }
 
   private[ml] def validateFeaturesType(schema: StructType): Unit = {

@@ -50,6 +50,26 @@ class BarrierTrainerSpec extends AnyFunSuite {
     pa.zip(pb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
   }
 
+  test("barrier and treeAggregate stay in parity under colsample_bylevel/bynode " +
+      "(keyed sampling derives the same subsets on every worker)") {
+    val df = mkDf(300, 47)
+    def build(barrier: Boolean) = {
+      val e = new XgboostRegressor().setNEstimators(6).setNumWorkers(2)
+        .setColsampleBylevel(0.5).setColsampleBynode(0.5)
+      if (barrier) e.setUseBarrierMode(true)
+      e.fit(df)
+    }
+    val ma = build(barrier = false)
+    val mb = build(barrier = true)
+    ma.booster.trees.zip(mb.booster.trees).foreach { case (ta, tb) =>
+      assert(ta.feature.sameElements(tb.feature), "split features must match")
+      assert(ta.threshold.sameElements(tb.threshold), "thresholds must match")
+    }
+    val pa = ma.transform(df).select("prediction").collect().map(_.getDouble(0))
+    val pb = mb.transform(df).select("prediction").collect().map(_.getDouble(0))
+    pa.zip(pb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+  }
+
   test("3-worker barrier collective (coordinator with multiple clients)") {
     val df = mkDf(300, 7)
     val m = new XgboostRegressor().setNEstimators(5).setNumWorkers(3)

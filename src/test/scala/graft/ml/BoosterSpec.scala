@@ -151,6 +151,88 @@ class BoosterSpec extends AnyFunSuite {
     assert(got < base * 0.2, s"rmse=$got base=$base")
   }
 
+  test("max_delta_step clamps every leaf weight to ±eta*cap and changes the model") {
+    val rng = new java.util.Random(5)
+    val rows = Array.fill(300)(Array.fill(3)(rng.nextFloat() * 6))
+    val labels = rows.map(r => if (r(0) > 3) 1f else 0f)
+    val capped = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "binary:logistic", numRounds = 10, eta = 1.0,
+        maxDeltaStep = 0.3))
+    val free = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "binary:logistic", numRounds = 10, eta = 1.0))
+    capped.trees.foreach { t =>
+      t.left.indices.foreach { i =>
+        if (t.left(i) < 0)
+          assert(math.abs(t.weight(i)) <= 0.3 + 1e-6, s"leaf ${t.weight(i)} exceeds cap")
+      }
+    }
+    assert(free.trees.exists(t => t.left.indices.exists(i =>
+      t.left(i) < 0 && math.abs(t.weight(i)) > 0.3)),
+      "uncapped model should have at least one leaf past the cap for this test to bite")
+  }
+
+  test("max_bin bounds the per-feature cut count and the model still learns") {
+    val rng = new java.util.Random(13)
+    val rows = Array.fill(500)(Array.fill(3)(rng.nextFloat() * 10))
+    val labels = rows.map(r => r(0) * 2 - r(1))
+    val cuts = BinCuts.fromMatrix(mat(rows, labels), Float.NaN, BinCuts.cutBudget(4))
+    (0 until 3).foreach(f => assert(cuts.cuts(f).length <= 3, s"maxBin=4 allows <=3 cuts, got ${cuts.cuts(f).length}"))
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 30, maxBin = 4))
+    val preds = rows.map(r => model.predictMargin(r.clone())(0))
+    def rmse(p: Array[Float]) = math.sqrt(
+      p.zip(labels).map { case (a, b) => (a - b) * (a - b) }.sum / rows.length)
+    assert(rmse(preds) < rmse(Array.fill(rows.length)(labels.sum / rows.length)) * 0.5)
+  }
+
+  test("lossguide growth respects max_leaves and out-learns a depth-1 depthwise tree") {
+    val rng = new java.util.Random(23)
+    val rows = Array.fill(600)(Array.fill(4)(rng.nextFloat() * 8))
+    val labels = rows.map(r => (math.sin(r(0)) * 3 + (if (r(1) > 4) 2 else 0) + r(2) * 0.3).toFloat)
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 20,
+        growPolicy = "lossguide", maxLeaves = 6, maxDepth = 20))
+    model.trees.foreach { t =>
+      val leaves = t.left.count(_ < 0)
+      assert(leaves <= 6, s"lossguide tree has $leaves leaves > max_leaves=6")
+    }
+    // best-first with 6 leaves must beat a single-split (2-leaf) depthwise model
+    val stump = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 20, maxDepth = 1))
+    def rmse(m: BoosterModel) = math.sqrt(rows.zip(labels).map { case (r, y) =>
+      val p = m.predictMargin(r.clone())(0); (p - y) * (p - y) }.sum / rows.length)
+    assert(rmse(model) < rmse(stump), "6-leaf lossguide should beat the stump")
+  }
+
+  test("depthwise growth also honors the max_leaves cap") {
+    val rng = new java.util.Random(31)
+    val rows = Array.fill(500)(Array.fill(4)(rng.nextFloat() * 8))
+    val labels = rows.map(r => r(0) - r(1) + (if (r(2) > 4) 3 else 0))
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 10, maxLeaves = 5))
+    model.trees.foreach { t =>
+      assert(t.left.count(_ < 0) <= 5, s"depthwise tree exceeds max_leaves=5")
+    }
+  }
+
+  test("colsample_bylevel/bynode train finite models that differ from the default") {
+    val rng = new java.util.Random(37)
+    val rows = Array.fill(400)(Array.fill(6)(rng.nextFloat() * 5))
+    val labels = rows.map(r => r(0) * 2 + r(1) - r(2) + r(3) * 0.5f)
+    def train(bylevel: Double, bynode: Double) = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "reg:squarederror", numRounds = 12,
+        colsampleBylevel = bylevel, colsampleBynode = bynode))
+    val dflt = train(1.0, 1.0)
+    val byLevel = train(0.5, 1.0)
+    val byNode = train(1.0, 0.5)
+    Seq(byLevel, byNode).foreach { m =>
+      rows.take(20).foreach(r => assert(!m.predictMargin(r.clone())(0).isNaN))
+    }
+    def sig(m: BoosterModel) = m.trees.map(_.feature.toSeq).toSeq
+    assert(sig(byLevel) != sig(dflt), "bylevel=0.5 must alter split choices")
+    assert(sig(byNode) != sig(dflt), "bynode=0.5 must alter split choices")
+  }
+
   test("weights: heavily weighted duplicate dominates the leaf value") {
     val rows = Array(Array(1.0f), Array(1.0f))
     val labels = Array(0f, 1f)

@@ -188,6 +188,74 @@ class EstimatorSpec extends AnyFunSuite {
     assert(model.booster.trees.length == 3, "rounds must come from arbitraryParams")
   }
 
+  test("new hyperparams end-to-end: colsample_bylevel/bynode, max_delta_step, " +
+      "max_bin, grow_policy, max_leaves (reference exposes each XGBModel kwarg, utils.py:14-26)") {
+    val rng = new scala.util.Random(41)
+    val rows = Seq.fill(300)({
+      val f = Array.fill(5)(rng.nextDouble() * 4)
+      (Vectors.dense(f), f(0) * 2 + f(1) - f(2) * 0.5)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    val model = new XgboostRegressor().setNEstimators(10)
+      .setColsampleBylevel(0.6).setColsampleBynode(0.6)
+      .setMaxDeltaStep(1.0).setMaxBin(16).setMaxLeaves(8)
+      .fit(df)
+    val preds = model.transform(df).select("prediction").collect().map(_.getDouble(0))
+    assert(preds.forall(p => !p.isNaN && !p.isInfinite))
+    model.booster.trees.foreach(t => assert(t.left.count(_ < 0) <= 8))
+    val loss = new XgboostRegressor().setNEstimators(10)
+      .setGrowPolicy("lossguide").setMaxLeaves(6).setMaxDepth(20).fit(df)
+    loss.booster.trees.foreach(t => assert(t.left.count(_ < 0) <= 6))
+    val lp = loss.transform(df).select("prediction").collect().map(_.getDouble(0))
+    assert(lp.forall(p => !p.isNaN))
+  }
+
+  test("arbitraryParams honors the newly implemented xgboost keys") {
+    val est = new XgboostRegressor()
+    est.set(est.arbitraryParams,
+      """{"colsample_bylevel": 0.5, "colsample_bynode": 0.7, "max_delta_step": 0.9,
+         |"max_bin": 32, "grow_policy": "lossguide", "max_leaves": 12}""".stripMargin)
+    val bp = est.boosterParams("reg:squarederror", 0)
+    assert(bp.colsampleBylevel == 0.5)
+    assert(bp.colsampleBynode == 0.7)
+    assert(bp.maxDeltaStep == 0.9)
+    assert(bp.maxBin == 32)
+    assert(bp.growPolicy == "lossguide")
+    assert(bp.maxLeaves == 12)
+  }
+
+  test("arbitraryParams warns on recognized-but-unimplemented and unknown keys " +
+      "instead of silently ignoring them") {
+    val est = new XgboostRegressor()
+    est.set(est.arbitraryParams,
+      """{"monotone_constraints": "(1,-1)", "frobnicate": 1, "verbosity": 2, "booster": "gbtree"}""")
+    val (_, warnings) = est.boosterParamsWithWarnings("reg:squarederror", 0)
+    assert(warnings.exists(w => w.contains("monotone_constraints") && w.contains("NOT implemented")),
+      s"expected unimplemented-key warning, got $warnings")
+    assert(warnings.exists(w => w.contains("frobnicate") && w.contains("unknown")),
+      s"expected unknown-key warning, got $warnings")
+    // model-invariant keys and booster=gbtree stay silent
+    assert(!warnings.exists(_.contains("verbosity")))
+    assert(!warnings.exists(_.contains("gbtree")))
+  }
+
+  test("GPU validation parity (reference _validate_params, xgboost_core.py:216-238): " +
+      "useGpu + non-gpu_hist tree_method raises; useGpu without GPU resources raises") {
+    val bad = new XgboostRegressor().setNEstimators(2).setUseGpu(true)
+    bad.set(bad.arbitraryParams, """{"tree_method": "hist"}""")
+    val e1 = intercept[IllegalArgumentException] { bad.fit(regTrainDf) }
+    assert(e1.getMessage.contains("gpu_hist"))
+    val noGpu = new XgboostRegressor().setNEstimators(2).setUseGpu(true).setTreeMethod("gpu_hist")
+    val e2 = intercept[RuntimeException] { noGpu.fit(regTrainDf) }
+    assert(e2.getMessage.contains("GPU"))
+    val badName = new XgboostRegressor().setNEstimators(2).setTreeMethod("quantum")
+    val e3 = intercept[IllegalArgumentException] { badName.fit(regTrainDf) }
+    assert(e3.getMessage.contains("tree_method"))
+    // CPU tree_method names are accepted and run the hist kernel
+    val ok = new XgboostRegressor().setNEstimators(3).setTreeMethod("approx").fit(regTrainDf)
+    assert(ok.booster.trees.length == 3)
+  }
+
   test("classifier rejects labels outside [0, numClass)") {
     val df = spark.createDataFrame(Seq(
       (Vectors.dense(1.0, 2.0), 0.0),
