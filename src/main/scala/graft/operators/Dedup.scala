@@ -13,8 +13,9 @@ import graft.functions.TextFunctions
   *     (shuffle on 8-byte band hashes), never an all-pairs product;
   *     signatures are computed in one shuffle-free projection pass;
   *   - SimHash is a single codegen-friendly projection → 64-bit
-  *     fingerprints; near-pair candidates come from 16-bit segment
-  *     equality (pigeonhole: hamming ≤ 3 ⇒ a segment matches);
+  *     fingerprints; near-pair candidates come from segment equality with
+  *     maxHamming+1 segments (pigeonhole: hamming ≤ maxHamming ⇒ some
+  *     segment matches), so candidates are complete for the radius;
   *   - n-gram Jaccard is the exact verifier applied only to bounded
   *     candidate sets, not the full corpus.
   */
@@ -113,25 +114,54 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** (id, simhash, 4×16-bit segments) — segments drive candidate joins. */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val segCols = (0 until 4).map(s =>
-      shiftrightunsigned(col("simhash"), s * 16).bitwiseAND(lit(0xffffL)).as(s"seg$s"))
+  /** (shift, width) layout splitting the 64 simhash bits into
+    * `numSegments` near-equal segments (first `64 % n` segments get the
+    * extra bit). */
+  private[operators] def segmentLayout(numSegments: Int): Seq[(Int, Int)] = {
+    require(numSegments >= 1 && numSegments <= 64, s"numSegments must be in [1,64], got $numSegments")
+    val base = 64 / numSegments
+    val rem = 64 % numSegments
+    var shift = 0
+    (0 until numSegments).map { s =>
+      val w = base + (if (s < rem) 1 else 0)
+      val out = (shift, w)
+      shift += w
+      out
+    }
+  }
+
+  /** (id, simhash, per-segment columns) — segments drive candidate joins.
+    * Pigeonhole: a pair at hamming ≤ numSegments−1 must agree on at least
+    * one whole segment. */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String,
+      numSegments: Int = 4): DataFrame = {
+    val segCols = segmentLayout(numSegments).zipWithIndex.map { case ((sh, w), s) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("simhash"), sh).bitwiseAND(lit(mask)).as(s"seg$s")
+    }
     docs.select(col(idCol),
       graft.functions.KernelExpressions.simhash64(col(textCol)).as("simhash"))
       .select(col(idCol) +: col("simhash") +: segCols: _*)
   }
 
-  /** Near pairs by simhash hamming distance ≤ maxHamming, candidates from
-    * any-segment equality (complete for maxHamming ≤ 3 by pigeonhole).
+  /** Near pairs by simhash hamming distance ≤ maxHamming. The segment
+    * count DERIVES from the radius — maxHamming+1 segments — so by
+    * pigeonhole every pair within the radius shares at least one whole
+    * segment: candidate generation is COMPLETE for the requested radius,
+    * not just for a fixed small one. maxHamming is capped at 31 (below
+    * 2-bit segments the "hash" join degenerates toward all-pairs — 32+
+    * differing bits out of 64 is not a near-duplicate regime).
     * Same hot-bucket guard as the MinHash bands: a (seg, value) bucket of
     * B docs is B²/2 candidates, and buckets that hot (e.g. the all-zero
     * segments of near-empty docs) are exact-dedup territory. */
   def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucket: Int = MaxBucketSize): DataFrame = {
-    val t = simhashTable(docs, idCol, textCol)
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nSeg = maxHamming + 1
+    val t = simhashTable(docs, idCol, textCol, nSeg)
     val allSegs = t.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(s => col(s"seg$s")): _*)).as(Seq("seg", "sv")))
+      posexplode(array((0 until nSeg).map(s => col(s"seg$s")): _*)).as(Seq("seg", "sv")))
     val hot = allSegs.groupBy(col("seg"), col("sv"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("seg"), col("sv"))

@@ -42,11 +42,15 @@ object DedupQueriesImpl {
     },
     None)
 
-  /** SimHash near pairs (hamming ≤ 16) via segment-equality candidates. */
+  /** SimHash near pairs at the classic radius 3 (Manku et al.'s 64-bit
+    * near-dup setting): 4×16-bit segments keep buckets sparse at corpus
+    * scale, and candidate generation is COMPLETE for the radius — the
+    * operator derives maxHamming+1 segments, so a larger requested radius
+    * stays complete too (at the inherent cost of narrower segments). */
   val simhashPairs = Q(
     "q_dedup_simhash_pairs",
     (s, dir) => {
-      Dedup.simhashNearPairs(Tables.documents(s, dir), "doc_id", "text", 16)
+      Dedup.simhashNearPairs(Tables.documents(s, dir), "doc_id", "text", 3)
         .orderBy(col("a"), col("b"))
     },
     None)

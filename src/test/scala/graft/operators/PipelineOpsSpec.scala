@@ -50,6 +50,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhash near-pairs are COMPLETE for the requested radius: every pair " +
+      "with hamming <= 10 is found, including planted pairs past the old 4-segment bound") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // base text + k-token substitutions → a spread of hamming distances
+    val baseToks = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango uniform " +
+      "victor whiskey xray yankee zulu one two three four five six seven eight").split(" ")
+    val texts = (0 until 40).map { v =>
+      val t = baseToks.clone()
+      val rng = new scala.util.Random(v)
+      val flips = v % 8
+      (0 until flips).foreach { _ =>
+        val i = rng.nextInt(t.length)
+        t(i) = s"sub${rng.nextInt(1000)}"
+      }
+      t.mkString(" ")
+    } :+ "entirely unrelated content about gradient boosted histogram training kernels"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashes = texts.map(t => graft.functions.Kernels.simhash64(UTF8String.fromString(t)))
+    val truth = (for {
+      i <- texts.indices; j <- texts.indices if i < j
+      ham = java.lang.Long.bitCount(hashes(i) ^ hashes(j)) if ham <= 10
+    } yield (i.toLong, j.toLong, ham)).toSeq
+    // non-vacuous: some ground-truth pairs must lie PAST the old hamming<=3
+    // completeness bound of the fixed 4-segment scheme
+    assert(truth.exists(_._3 > 3), s"fixture too tight: ${truth.map(_._3).sorted}")
+    val got = Dedup.simhashNearPairs(df, "doc_id", "text", 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth.map(t => (t._1, t._2)).toSet,
+      s"missing=${truth.map(t => (t._1, t._2)).toSet -- got} extra=${got -- truth.map(t => (t._1, t._2)).toSet}")
+  }
+
   test("LSH hot-bucket cap drops quadratic buckets, keeps organic pairs") {
     // 6 identical docs (a hot bucket at cap 3) + one organic near-dup pair
     val hotDocs = (10L until 16L).map(i =>
