@@ -222,6 +222,26 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Sign-bit LSH bucket id of a numeric array under `bits` hyperplanes
+    * (flattened row-major into `planes`, length bits × dim). One tight
+    * pass; replaces a boxing Seq[Float] UDF that blocked whole-stage
+    * codegen on every LSH bucket projection. */
+  def hyperplaneBucket(v: ArrayData, kind: Int, planes: Array[Double], bits: Int): Int = {
+    val dim = planes.length / bits
+    val n = math.min(dim, v.numElements())
+    var bucket = 0
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      val base = b * dim
+      var i = 0
+      while (i < n) { dot += planes(base + i) * elemAt(v, i, kind); i += 1 }
+      if (dot > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** Cosine similarity in one fused pass; formula matches the round-1
     * composed version exactly (dot / (sqrt(aa) * sqrt(bb)) in double)
     * so oracle-checked outputs rounded to 6 dp are unchanged. */
@@ -335,6 +355,25 @@ object KernelExpressions {
       copy(l, r)
   }
 
+  /** LSH bucket id under a fixed hyperplane matrix. The planes ride along
+    * as a referenced object (not a child expression), so the generated
+    * code is a single static call and the projection stays inside
+    * whole-stage codegen. */
+  case class HyperplaneBucket(child: Expression, planes: Array[Double], bits: Int)
+      extends UnaryExpression {
+    private lazy val kind = elemKind(child)
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.hyperplaneBucket(v.asInstanceOf[ArrayData], kind, planes, bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.hyperplaneBucket($c, $kind, $planesRef, $bits);")
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+      copy(child = c)
+  }
+
   // ---- Column-facing API -------------------------------------------------
 
   def minhash_sig(text: Column): Column =
@@ -357,4 +396,18 @@ object KernelExpressions {
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `planes`: bits × dim hyperplane matrix (row per bit). */
+  def hyperplane_bucket(v: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.nonEmpty, "need at least one hyperplane")
+    val dim = planes(0).length
+    require(planes.forall(_.length == dim), "ragged hyperplane matrix")
+    val flat = new Array[Double](planes.length * dim)
+    var b = 0
+    while (b < planes.length) {
+      System.arraycopy(planes(b), 0, flat, b * dim, dim)
+      b += 1
+    }
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(v), flat, planes.length))
+  }
 }

@@ -47,20 +47,12 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bit bucket id of a float-array embedding under the planes. */
-  private def bucketUdf(planes: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
-    var bucket = 0
-    var b = 0
-    while (b < planes.length) {
-      var dot = 0.0
-      val p = planes(b)
-      var i = 0
-      while (i < p.length && i < v.length) { dot += p(i) * v(i); i += 1 }
-      if (dot > 0) bucket |= (1 << b)
-      b += 1
-    }
-    bucket
-  }
+  /** Sign-bit bucket id of a numeric-array embedding under the planes —
+    * the codegen'd [[graft.functions.KernelExpressions.HyperplaneBucket]]
+    * expression (a Scala UDF here boxed every vector element and broke
+    * whole-stage codegen for all four LSH bucket projections). */
+  private def bucketCol(planes: Array[Array[Double]])(v: Column): Column =
+    graft.functions.KernelExpressions.hyperplane_bucket(v, planes)
 
   /** Multi-table LSH ANN (textbook layout: L independent b-bit tables);
     * each query probes its bucket plus all single-bit flips per table.
@@ -74,9 +66,9 @@ object Similarity {
     val bucketCols = (t: Column, b: Column) => t * lit(1 << bits) + b // (table, bucket) key
     val c = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"),
         explode(array((0 until tables).map(t =>
-          bucketCols(lit(t), bucketUdf(allPlanes(t))(col(vecCol)))): _*)).as("bucket"))
+          bucketCols(lit(t), bucketCol(allPlanes(t))(col(vecCol)))): _*)).as("bucket"))
     val q0 = queries.select(col(idCol).as("qid"), unit_vector(col(vecCol)).as("qvec"),
-      array((0 until tables).map(t => bucketUdf(allPlanes(t))(col(vecCol))): _*).as("qbs"))
+      array((0 until tables).map(t => bucketCol(allPlanes(t))(col(vecCol))): _*).as("qbs"))
     val probeArr = array((0 until tables).flatMap { t =>
       (0 to bits).map { i =>
         val base = element_at(col("qbs"), t + 1)
@@ -128,7 +120,7 @@ object Similarity {
     val allPlanes = (0 until t).map(i => hyperplanes(dim, b, seed + i))
     val keyed = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("uvec"),
       explode(array((0 until t).map(i =>
-        lit(i) * lit(1 << b) + bucketUdf(allPlanes(i))(col(vecCol))): _*)).as("bucket"))
+        lit(i) * lit(1 << b) + bucketCol(allPlanes(i))(col(vecCol))): _*)).as("bucket"))
     val x = keyed.alias("x")
     val y = keyed.alias("y")
     x.join(y, col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
@@ -137,6 +129,9 @@ object Similarity {
       .where(col("cos") >= minCos)
       .dropDuplicates("a", "b")
   }
+
+  /** Row cap for the IVF coarse-quantizer KMeans fit. */
+  val IvfFitSampleCap = 100000
 
   /** IVF-flat ANN: KMeans coarse cells, probe the nProbe nearest cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -147,10 +142,17 @@ object Similarity {
       array_to_vector(col(vecCol)).as("fvec"))
     // random init skips the kmeans|| init passes (several Spark jobs) and
     // 5 iterations is plenty for a coarse quantizer — cell assignment
-    // quality barely moves the recall of an nProbe=4 probe
+    // quality barely moves the recall of an nProbe=4 probe. The fit runs
+    // on a bounded sample: 5 KMeans iterations over the FULL corpus would
+    // be 5 extra full passes — the dominant cost at 100 TB — while a
+    // ~100k-row sample pins the centroids just as well for coarse cells.
+    val n = withVec.count()
+    val fitDf =
+      if (n <= IvfFitSampleCap) withVec
+      else withVec.sample(withReplacement = false, IvfFitSampleCap.toDouble / n, seed)
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fvec")
       .setPredictionCol("cell").setMaxIter(5).setInitMode("random")
-    val model = km.fit(withVec)
+    val model = km.fit(fitDf)
     val c = model.transform(withVec).select(col("vid"), col("cvec"), col("cell"))
 
     // query → nProbe nearest centroids (tiny driver-side centroid table)

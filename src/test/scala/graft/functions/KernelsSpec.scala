@@ -109,6 +109,29 @@ class KernelsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 24.0 / 25.0) < 1e-12)
   }
 
+  test("hyperplane_bucket matches a reference driver-side computation on real embeddings") {
+    val planes = {
+      val rng = new java.util.Random(7)
+      Array.fill(6)(Array.fill(16)(rng.nextGaussian()))
+    }
+    val rows = embeddings
+      .select(col("vec_id"), col("embedding"),
+        KernelExpressions.hyperplane_bucket(col("embedding"), planes).as("bucket"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      var expect = 0
+      planes.zipWithIndex.foreach { case (p, b) =>
+        var dot = 0.0
+        var i = 0
+        while (i < p.length && i < v.length) { dot += p(i) * v(i); i += 1 }
+        if (dot > 0) expect |= (1 << b)
+      }
+      assert(r.getInt(2) == expect, s"vec ${r.getLong(0)}: got ${r.getInt(2)} want $expect")
+    }
+  }
+
   test("simhash kernel: equal text equal hash, near text hamming-close (real docs)") {
     val t = docs.select(col("doc_id"), KernelExpressions.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

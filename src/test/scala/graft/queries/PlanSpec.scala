@@ -61,4 +61,20 @@ class PlanSpec extends AnyFunSuite {
       s"dedup must shuffle digests, not documents: $hashArgs")
     assert(p.contains("md5("), "digest must be computed below the exchange")
   }
+
+  test("q_sim_topk_lsh: the bucket projection runs inside whole-stage codegen " +
+      "(native HyperplaneBucket expression, not a boxing UDF)") {
+    val df = SparkEntry.queries("q_sim_topk_lsh")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==" — only the
+    // final section reflects what actually ran
+    val planStr = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val bucketLines = planStr.linesIterator.filter(_.contains("hyperplanebucket")).toSeq
+    assert(bucketLines.nonEmpty, "bucket expression missing from plan:\n" + planStr.take(1500))
+    // operators inside a WholeStageCodegen stage print with a *(id) prefix
+    assert(bucketLines.forall(_.contains("*(")),
+      "bucket computation must sit inside a WholeStageCodegen stage:\n" +
+        bucketLines.mkString("\n"))
+    assert(!planStr.contains("ScalaUDF"), "no Scala UDF in the LSH path")
+  }
 }
