@@ -29,19 +29,33 @@ object Bench {
     }
 
     // best-of-2 per query: the box hosts other work, and the minimum of
-    // repeated runs is the standard robust estimator of noise-free cost
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // repeated runs is the standard robust estimator of noise-free cost.
+    // A failing query records an explicit "err" marker — a swallowed
+    // exception would otherwise SHRINK the total and read as a speedup.
+    val results: Map[String, Either[String, Double]] = SparkEntry.queries.map { case (name, fn) =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
       }
-      name -> times.min
+      val ok = runs.collect { case Right(t) => t }
+      name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(e)) => s"\"" + k + "\":{\"err\":\"" + esc(e) + "\"}"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(_)) => k }
+    val total = results.values.collect { case Right(v) => v }.sum
+    val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,15 +8,75 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, processed by batched partition
   * maps (the Scala analogue of `mapInPandas`-style vectorized UDFs).
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * codecs — behind [[DecodeStub]], a deterministic fake that derives
-  * features from the bytes. Everything Spark-side is real and tested:
-  * the schema convention, the batched mapPartitions execution (fixed
-  * batch shape, one decoder init per partition — the same pattern that
-  * amortizes model/codec setup at scale), partition sizing, and the
-  * output feature schema.
+  * The IMAGE path is real: PNG/JPEG/GIF/BMP decode, pixel feature
+  * extraction and resize run on `javax.imageio` + `BufferedImage`
+  * (JDK built-ins, zero extra dependencies). Bytes that are not a
+  * decodable image — and the audio/video kinds, for which the JDK ships
+  * no codec — fall back to [[DecodeStub]]/[[ResizeStub]], deterministic
+  * byte-derived fakes, so synthetic fixtures and foreign blobs flow
+  * through the same plumbing instead of killing the task. Everything
+  * Spark-side is shared: the schema convention, the batched
+  * mapPartitions execution (fixed batch shape, one codec init per
+  * partition — the pattern that amortizes decoder setup at scale),
+  * partition sizing, and the output feature schema.
   */
 object Multimodal {
+
+  /** Real JDK image codec; one instance per partition/task. */
+  final class ImageCodec extends Serializable {
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      if (bytes == null || bytes.length == 0) null
+      else try {
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      } catch { case _: java.io.IOException => null }
+    }
+
+    /** FeatureDim pixel statistics from up to a 64×64 sample grid:
+      * [w/4096, h/4096, aspect, meanR, meanG, meanB, luma, rms-contrast]. */
+    def features(img: java.awt.image.BufferedImage): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sx = math.max(1, w / 64)
+      val sy = math.max(1, h / 64)
+      var r = 0.0; var g = 0.0; var b = 0.0
+      var luma = 0.0; var luma2 = 0.0
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          val pr = (px >> 16) & 0xff
+          val pg = (px >> 8) & 0xff
+          val pb = px & 0xff
+          val l = 0.2126 * pr + 0.7152 * pg + 0.0722 * pb
+          r += pr; g += pg; b += pb; luma += l; luma2 += l * l
+          n += 1
+          x += sx
+        }
+        y += sy
+      }
+      val inv = 1.0 / (255.0 * n)
+      val ml = luma / n
+      val contrast = math.sqrt(math.max(0.0, luma2 / n - ml * ml)) / 255.0
+      Array((w / 4096.0f).min(1f), (h / 4096.0f).min(1f), (w.toFloat / h).min(8f),
+        (r * inv).toFloat, (g * inv).toFloat, (b * inv).toFloat,
+        (ml / 255.0).toFloat, contrast.toFloat)
+    }
+
+    /** Bilinear resize, re-encoded as PNG. */
+    def resizePng(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = out.createGraphics()
+      gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(img, 0, 0, w, h, null)
+      gfx.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+  }
 
   val MediaMetaType: StructType = StructType(Seq(
     StructField("kind", StringType),        // "image" | "audio" | "video"
@@ -28,10 +88,10 @@ object Multimodal {
   val BatchSize = 64
   val FeatureDim = 8
 
-  /** STUB decode: real implementation would decode pixels/samples here
-    * (??? in production without codecs); the fake derives a deterministic
-    * FeatureDim-float vector from the content bytes so the pipeline is
-    * fully testable. One instance per partition = one codec init per task. */
+  /** Fallback decode for bytes [[ImageCodec]] cannot read (audio/video —
+    * no JDK codec — and synthetic fixtures): a deterministic
+    * FeatureDim-float vector derived from the content bytes, keeping the
+    * pipeline total and testable on any input. */
   final class DecodeStub extends Serializable {
     def decodeBatch(contents: Array[Array[Byte]]): Array[Array[Float]] =
       contents.map { bytes =>
@@ -51,17 +111,24 @@ object Multimodal {
   }
 
   /** Attaches a `features array<float>` column by decoding the binary
-    * column in fixed-size batches per partition. Schema change via
-    * mapPartitions + explicit RowEncoder (the S7 pattern). */
+    * column in fixed-size batches per partition. Real images get pixel
+    * statistics from [[ImageCodec]]; everything else falls back to the
+    * byte-derived stub. Schema change via mapPartitions + explicit
+    * RowEncoder (the S7 pattern). */
   def decodeFeatures(df: DataFrame, contentCol: String): DataFrame = {
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType), nullable = false))
     val contentIdx = df.schema.fieldIndex(contentCol)
     implicit val enc = Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      val decoder = new DecodeStub // one init per partition/task
+      val codec = new ImageCodec // one init per partition/task
+      val fallback = new DecodeStub
       rows.grouped(BatchSize).flatMap { batch =>
         val contents = batch.map(_.getAs[Array[Byte]](contentIdx)).toArray
-        val feats = decoder.decodeBatch(contents)
+        val feats = contents.map { bytes =>
+          val img = codec.decode(bytes)
+          if (img != null) codec.features(img)
+          else fallback.decodeBatch(Array(bytes))(0)
+        }
         batch.iterator.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ (feats(i).toIndexedSeq: Seq[Float]))
         }
@@ -69,11 +136,10 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real implementation decodes pixels and rescales
-    * (??? without codecs); the fake derives a (targetW × targetH)-shaped
-    * byte payload deterministically. The Spark-side contract is real:
-    * only `kind == "image"` rows are touched, metadata is rewritten to
-    * the target dimensions, everything else passes through. */
+  /** Fallback resize for image rows whose bytes don't decode (synthetic
+    * fixtures): derives a (targetW × targetH)-shaped byte payload
+    * deterministically. Decodable images take the real
+    * [[ImageCodec.resizePng]] path instead. */
   final class ResizeStub(targetW: Int, targetH: Int) extends Serializable {
     def resizeBatch(contents: Array[Array[Byte]]): Array[Array[Byte]] =
       contents.map { bytes =>
@@ -90,20 +156,28 @@ object Multimodal {
   }
 
   /** Resizes image rows to (targetW, targetH); audio/video pass through
-    * untouched. Batched partition map, one codec init per task. */
+    * untouched. Decodable images are rescaled bilinearly and re-encoded
+    * as PNG; undecodable image bytes fall back to the deterministic stub.
+    * Batched partition map, one codec init per task. */
   def resizeImages(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val schema = df.schema
     val contentIdx = schema.fieldIndex("content")
     val metaIdx = schema.fieldIndex("meta")
     implicit val enc = Encoders.row(schema)
     df.mapPartitions { rows =>
+      val codec = new ImageCodec
       val stub = new ResizeStub(targetW, targetH)
       rows.grouped(BatchSize).flatMap { batch =>
         val (images, rest) = batch.partition { r =>
           val m = r.getStruct(metaIdx)
           m != null && m.getString(0) == "image"
         }
-        val resized = stub.resizeBatch(images.map(_.getAs[Array[Byte]](contentIdx)).toArray)
+        val resized = images.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val img = codec.decode(bytes)
+          if (img != null) codec.resizePng(img, targetW, targetH)
+          else stub.resizeBatch(Array(bytes))(0)
+        }
         images.iterator.zipWithIndex.map { case (r, i) =>
           val vals = r.toSeq.toArray
           vals(contentIdx) = resized(i)

@@ -128,9 +128,15 @@ object DedupQueriesImpl {
     "q_dedup_minhash_verified",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val grams = docs.select(col("doc_id"),
-        Dedup.sortedGramHashes(col("text"), 3).as("grams"))
       val candidates = Dedup.minhashNearDups(docs, "doc_id", "text", 0.35)
+      // Semi-join BEFORE gram computation: only docs that actually appear
+      // in a candidate pair pay the tokenize→hash→sort gram cost. At
+      // candidate rates of ~1e-4 of the corpus this skips the gram pass
+      // for essentially every document.
+      val candIds = candidates.select(col("a").as("doc_id"))
+        .union(candidates.select(col("b").as("doc_id"))).distinct()
+      val grams = docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), Dedup.sortedGramHashes(col("text"), 3).as("grams"))
       candidates
         .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
         .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")

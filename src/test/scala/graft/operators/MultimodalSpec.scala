@@ -53,6 +53,57 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // A real 32×16 PNG: left half pure red, right half pure blue.
+  private def testPng(w: Int = 32, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+      }
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real PNG decode: pixel-statistic features reflect actual image content") {
+    val png = testPng()
+    val df = Seq((100L, png, "image")).toDF("media_id", "content", "k")
+      .select(col("media_id"), col("content"),
+        struct(col("k").as("kind"), lit(32).as("width"), lit(16).as("height"),
+          lit(null).cast("int").as("sample_rate"), lit(null).cast("int").as("duration_ms")).as("meta"))
+    val feats = Multimodal.decodeFeatures(df, "content")
+      .select("features").collect()(0).getSeq[Float](0)
+    assert(feats.length == Multimodal.FeatureDim)
+    // [w/4096, h/4096, aspect, meanR, meanG, meanB, luma, contrast]
+    assert(math.abs(feats(0) - 32 / 4096.0f) < 1e-6)
+    assert(math.abs(feats(1) - 16 / 4096.0f) < 1e-6)
+    assert(math.abs(feats(2) - 2.0f) < 1e-6, "aspect ratio 32/16")
+    assert(math.abs(feats(3) - 0.5f) < 0.05, s"half-red image → meanR≈0.5, got ${feats(3)}")
+    assert(feats(4) < 0.05, s"no green, got ${feats(4)}")
+    assert(math.abs(feats(5) - 0.5f) < 0.05, s"half-blue image → meanB≈0.5, got ${feats(5)}")
+    assert(feats(7) > 0.05, "red/blue split has nonzero contrast")
+  }
+
+  test("real PNG resize: output decodes to the target dimensions with preserved colors") {
+    val png = testPng()
+    val df = Seq((100L, png, "image")).toDF("media_id", "content", "k")
+      .select(col("media_id"), col("content"),
+        struct(col("k").as("kind"), lit(32).as("width"), lit(16).as("height"),
+          lit(null).cast("int").as("sample_rate"), lit(null).cast("int").as("duration_ms")).as("meta"))
+    val out = Multimodal.resizeImages(df, 8, 8).collect()(0)
+    val m = out.getStruct(out.fieldIndex("meta"))
+    assert(m.getInt(1) == 8 && m.getInt(2) == 8)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("content")))
+    assert(resized != null, "resized content must be a decodable PNG")
+    assert(resized.getWidth == 8 && resized.getHeight == 8)
+    val leftPx = resized.getRGB(1, 4)
+    val rightPx = resized.getRGB(6, 4)
+    assert(((leftPx >> 16) & 0xff) > 200, "left stays red after resize")
+    assert((rightPx & 0xff) > 200, "right stays blue after resize")
+  }
+
   test("sampleFrames explodes videos into n frames, skips other kinds") {
     val frames = Multimodal.sampleFrames(media, 4)
     val got = frames.collect().map(r => (r.getLong(0), r.getInt(1)))
