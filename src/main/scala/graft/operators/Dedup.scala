@@ -169,11 +169,15 @@ object Dedup {
     val x = segs.alias("x")
     val y = segs.alias("y")
     val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    // The hamming cut sits IN the join predicate: real simhashes cluster
+    // (correlated bits), so chance segment collisions can dwarf the true
+    // near pairs — pre-filter volume must die inside the join stage, not
+    // ride through a dropDuplicates aggregate first. (hamming is a pure
+    // function of the pair, so filtering before pair-dedup is identical.)
     x.join(y, col("x.seg") === col("y.seg") && col("x.sv") === col("y.sv") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
+        col(s"x.$idCol") < col(s"y.$idCol") && ham <= maxHamming)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"), ham.as("hamming"))
       .dropDuplicates("a", "b")
-      .where(col("hamming") <= maxHamming)
   }
 
   // ---- embedding cosine --------------------------------------------------

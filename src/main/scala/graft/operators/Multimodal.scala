@@ -220,20 +220,60 @@ object Multimodal {
     }
   }
 
-  /** Builds a multimodal table from the documents table: text bytes stand
-    * in for media blobs; metadata is derived deterministically. */
+  val SynthImageW = 48
+  val SynthImageH = 32
+
+  /** Builds a multimodal table from the documents table. IMAGE rows carry
+    * a REAL rendered PNG (a deterministic two-band pattern seeded by
+    * media_id and text hash) so the registered multimodal queries
+    * exercise the actual `javax.imageio` decode path; audio/video rows
+    * keep text bytes as opaque stand-in blobs. */
   def syntheticMediaTable(docs: DataFrame): DataFrame = {
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
-    docs.select(
+    val base = docs.select(
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"),
       struct(
         kind.as("kind"),
-        when(kind === "image", lit(640)).otherwise(lit(null).cast("int")).as("width"),
-        when(kind === "image", lit(480)).otherwise(lit(null).cast("int")).as("height"),
+        when(kind === "image", lit(SynthImageW)).otherwise(lit(null).cast("int")).as("width"),
+        when(kind === "image", lit(SynthImageH)).otherwise(lit(null).cast("int")).as("height"),
         when(kind === "audio", lit(16000)).otherwise(lit(null).cast("int")).as("sample_rate"),
         when(kind =!= "image", (length(col("text")) * 10).cast("int"))
           .otherwise(lit(null).cast("int")).as("duration_ms")).as("meta"))
+    val schema = base.schema
+    val contentIdx = schema.fieldIndex("content")
+    val metaIdx = schema.fieldIndex("meta")
+    implicit val enc = Encoders.row(schema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val m = r.getStruct(metaIdx)
+        if (m == null || m.getString(0) != "image") r
+        else {
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          var h = 0xcbf29ce484222325L ^ id
+          if (bytes != null) { var i = 0; while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 } }
+          val img = new java.awt.image.BufferedImage(SynthImageW, SynthImageH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val c1 = (h & 0xffffff).toInt
+          val c2 = ((h >>> 24) & 0xffffff).toInt
+          var y = 0
+          while (y < SynthImageH) {
+            var x = 0
+            while (x < SynthImageW) {
+              img.setRGB(x, y, if (x < SynthImageW / 2) c1 else c2)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          val vals = r.toSeq.toArray
+          vals(contentIdx) = baos.toByteArray
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }
   }
 }

@@ -48,7 +48,11 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.getString(0) == origKinds(id), "kind preserved")
       if (origKinds(id) == "image") {
         assert(m.getInt(1) == 224 && m.getInt(2) == 224, "metadata rewritten")
-        assert(r.getAs[Array[Byte]]("content").length == 224 * 224 / 1024)
+        // synthetic image rows carry real PNGs → the real resize path ran
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+        assert(img != null && img.getWidth == 224 && img.getHeight == 224,
+          "resized image content must be a decodable 224x224 PNG")
       }
     }
   }
