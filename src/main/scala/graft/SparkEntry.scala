@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.TextQueries.all ++
     graft.queries.DedupQueries.all ++
     graft.queries.SimilarityQueries.all ++
-    graft.queries.MiscQueriesImpl.all
+    graft.queries.MiscQueriesImpl.all ++
+    graft.queries.CurationQueriesImpl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

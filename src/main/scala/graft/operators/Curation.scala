@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{KernelExpressions, TextFunctions}
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond near-dup detection: text normalization (case/punctuation
+  * variants collapse to one canonical form), embedding outlier scoring
+  * (distance to the label centroid — the standard mislabeled-example
+  * screen), deterministic stratified sampling (data-mixing ratios that
+  * are reproducible across runs and engines), and per-group term
+  * profiling.
+  *
+  * Scale notes: normalization+dedup shuffles 16-byte digests of the
+  * NORMALIZED text, never documents; centroids reduce to
+  * (labels × dim) doubles — broadcast back, no second shuffle of the
+  * vectors; stratified sampling is a pure filter (no shuffle, no rand()
+  * non-determinism — modulo on the id is reproducible and
+  * partition-order-independent); top-terms is explode → partial-agg →
+  * tiny per-group top-k.
+  */
+object Curation {
+
+  /** Canonical text form: lowercase, non-alphanumerics collapse to single
+    * spaces, trimmed. Mirrors `regexp_replace(lower(x),'[^a-z0-9]+',' ','g')`
+    * so a DuckDB oracle can replay it exactly. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Duplicate groups ON THE NORMALIZED text: (keep = min id, copies).
+    * Groups by the md5 of the canonical form — the shuffle moves 32-char
+    * digests, not documents. */
+  def normalizedDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(normalizeText(col(textCol))).as("nfp"))
+      .groupBy(col("nfp"))
+      .agg(min(col(idCol)).as("keep"), count(lit(1)).as("copies"))
+      .where(col("copies") > 1)
+      .select(col("keep"), col("copies"))
+
+  /** Per-label element-wise mean of an array<float> embedding column,
+    * as array<double>. Two aggregations over (label, pos) pairs — the
+    * shuffled data is labels × dim scalars, independent of row count. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col(labelCol))
+      // tiny post-agg rows (one per label): the interpreted transform here
+      // touches labels × dim values once, not the corpus
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** Bottom-k cosine-to-label-centroid rows per label — the standard
+    * embedding screen for mislabeled/outlier training examples. Ranks on
+    * the ROUNDED cosine (ties by id) so results are stable across
+    * engines. */
+  def centroidOutliers(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol)
+    val cos = round(KernelExpressions.cosine_sim(col(vecCol), col("centroid")), 6)
+    val w = Window.partitionBy(col(labelCol)).orderBy(col("cos").asc, col(idCol))
+    df.join(broadcast(cents), labelCol)
+      .select(col(labelCol), col(idCol), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(labelCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  /** Deterministic stratified sample for corpus mixing: keeps a row iff
+    * `id % 100 < 100·fraction(stratum)`. Reproducible across runs,
+    * engines, and partitionings (unlike `sample()`/`rand()`), and a pure
+    * scan-level filter — no shuffle. Fractions are percent-resolution. */
+  def stratifiedModuloSample(df: DataFrame, idCol: String, keyCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    val pct = fractions.foldLeft(lit(math.round(defaultFraction * 100).toInt)) {
+      case (acc, (k, f)) => when(col(keyCol) === k, lit(math.round(f * 100).toInt)).otherwise(acc)
+    }
+    df.where(pmod(col(idCol), lit(100)) < pct)
+  }
+
+  /** Top-k most frequent tokens per group (length ≥ minLen, stopwords
+    * excluded), ranked (count desc, token asc) for determinism. */
+  def topTerms(df: DataFrame, groupCol: String, textCol: String,
+      k: Int, minLen: Int, stopwords: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("tok"))
+    df.select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= minLen && !col("tok").isin(stopwords: _*))
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("tok"), col("n"))
+  }
+}

@@ -160,6 +160,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalized dedup groups case/punctuation variants of the same content") {
+    val df = Seq(
+      (0L, "Hello, World! This is GREAT."),
+      (1L, "hello world  this is great"),
+      (2L, "HELLO WORLD: this is great!!!"),
+      (3L, "a different document entirely"),
+      (4L, "A different DOCUMENT -- entirely")
+    ).toDF("doc_id", "text")
+    val groups = Curation.normalizedDupGroups(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(0L -> 3L, 3L -> 2L), s"got $groups")
+    // normalization semantics: canonical form is stable
+    val norm = df.select(Curation.normalizeText(col("text"))).collect().map(_.getString(0))
+    assert(norm(0) == "hello world this is great")
+    assert(norm(0) == norm(1) && norm(1) == norm(2))
+  }
+
+  test("centroid outliers: a planted far vector ranks first in its label") {
+    val rng = new scala.util.Random(5)
+    def v(base: Array[Double]) = base.map(x => (x + rng.nextGaussian() * 0.05).toFloat)
+    val cluster0 = (0L until 20L).map(i => (i, v(Array(1.0, 0.0, 0.0, 0.0)), 0))
+    val cluster1 = (20L until 40L).map(i => (i, v(Array(0.0, 1.0, 0.0, 0.0)), 1))
+    val outlier = Seq((99L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 0)) // anti-aligned in label 0
+    val df = (cluster0 ++ cluster1 ++ outlier).toDF("vec_id", "embedding", "label")
+    val worst = Curation.centroidOutliers(df, "vec_id", "label", "embedding", 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(worst(0) == 99L, s"planted outlier must rank first in label 0: $worst")
+  }
+
+  test("stratified modulo sample keeps exactly the configured id residues per stratum") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = Curation.stratifiedModuloSample(df, "doc_id", "lang", Map("en" -> 0.5), 0.2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    kept.foreach { case (id, lang) =>
+      val cap = if (lang == "en") 50 else 20
+      assert(id % 100 < cap, s"row $id/$lang breaks its stratum cap")
+    }
+    val en = kept.count(_._2 == "en")
+    val de = kept.count(_._2 == "de")
+    assert(en == 250, s"en stratum: got $en of 500") // even ids with id%100 in [0,50)
+    assert(de == 100, s"de stratum: got $de of 500")
+    // deterministic: same rows on re-run
+    val again = Curation.stratifiedModuloSample(df, "doc_id", "lang", Map("en" -> 0.5), 0.2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("topTerms ranks by count desc then token, excludes stopwords and short tokens") {
+    val df = Seq(
+      ("s1", "alpha alpha alpha beta beta gamma the the the the of of tiny"),
+      ("s2", "delta delta echo")
+    ).toDF("source", "text")
+    val got = Curation.topTerms(df, "source", "text", 2, 4, Seq("the", "of"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.toSet == Set(
+      ("s1", 1, "alpha", 3L), ("s1", 2, "beta", 2L),
+      ("s2", 1, "delta", 2L), ("s2", 2, "echo", 1L)), s"got ${got.toSeq}")
+  }
+
   test("LSH and IVF ANN achieve reasonable recall@5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
