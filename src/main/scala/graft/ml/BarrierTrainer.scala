@@ -34,9 +34,10 @@ object BarrierTrainer {
   private val MaxBins = 256
 
   def train(projected: DataFrame, hasW: Boolean, hasV: Boolean, hasM: Boolean,
-      p: BoosterParams, numWorkers: Int, forceRepartition: Boolean,
+      p0: BoosterParams, numWorkers: Int, forceRepartition: Boolean,
       useExt: Boolean = false, esp: Int = 5,
       initTrees: Array[Tree] = Array.empty): String = {
+    val p = p0.resolved
     val sc = projected.sparkSession.sparkContext
     val input =
       if (forceRepartition || DistTrainer.needsRepartition(projected, numWorkers))

@@ -160,7 +160,15 @@ final case class BoosterParams(
     seed: Long = 0L,
     earlyStoppingRounds: Int = 0,
     evalMetric: Option[String] = None,
-    minSplitGain: Double = 0.0) extends Serializable
+    minSplitGain: Double = 0.0) extends Serializable {
+
+  /** Objective-conditioned defaults (xgboost does the same in its updater
+    * config): count:poisson defaults max_delta_step to 0.7 — without the
+    * cap, exp(margin) overflows on early rounds of count data. */
+  def resolved: BoosterParams =
+    if (objective == "count:poisson" && maxDeltaStep == 0.0) copy(maxDeltaStep = 0.7)
+    else this
+}
 
 /** Trained model: trees (numRounds × numGroups, round-major), objective,
   * base margin. Serialized as a JSON string of our own format

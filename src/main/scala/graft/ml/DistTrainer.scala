@@ -68,9 +68,10 @@ object DistTrainer {
     }
 
   def train(projected: DataFrame, hasW: Boolean, hasV: Boolean, hasM: Boolean,
-      p: BoosterParams, numWorkers: Int, forceRepartition: Boolean,
+      p0: BoosterParams, numWorkers: Int, forceRepartition: Boolean,
       useExt: Boolean = false, esp: Int = 5,
       initTrees: Array[Tree] = Array.empty): String = {
+    val p = p0.resolved
     val spark = projected.sparkSession
     val sc = spark.sparkContext
     val input =

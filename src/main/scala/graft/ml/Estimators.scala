@@ -224,6 +224,7 @@ class XgboostRegressor(override val uid: String)
   def setMaxLeaves(v: Int): this.type = set(maxLeaves, v)
   def setTreeMethod(v: String): this.type = set(treeMethod, v)
   def setArbitraryParams(v: String): this.type = set(arbitraryParams, v)
+  def setBaseScore(v: Double): this.type = set(baseScore, v)
 
   override def fit(dataset: Dataset[_]): XgboostRegressorModel = {
     transformSchema(dataset.schema)
@@ -261,15 +262,21 @@ class XgboostRegressorModel(override val uid: String, val booster: BoosterModel)
     val bc = sc.broadcast(booster)
     val limit = $(treeLimit)
     val features = FitSupport.featuresAsVector(dataset, $(featuresCol))
+    // the margin-space result is transformed to prediction space per
+    // objective (identity for squared error, sigmoid for reg:logistic,
+    // exp for count:poisson) AFTER the base margin is added — xgboost's
+    // PredTransform order
     if (hasNonEmpty(baseMarginCol) && dataset.columns.contains($(baseMarginCol))) {
       val predictUdf = udf { (v: Vector, bm: Double) =>
-        bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)(0).toDouble + bm
+        bc.value.objective.predictTransform(
+          bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)(0).toDouble + bm)
       }
       dataset.withColumn($(predictionCol),
         predictUdf(features, col($(baseMarginCol)).cast(DoubleType)))
     } else {
       val predictUdf = udf { (v: Vector) =>
-        bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)(0).toDouble
+        bc.value.objective.predictTransform(
+          bc.value.predictMarginWithMissing(FitSupport.toFloatRow(v), limit)(0).toDouble)
       }
       dataset.withColumn($(predictionCol), predictUdf(features))
     }
@@ -360,6 +367,7 @@ class XgboostClassifier(override val uid: String)
   def setMaxLeaves(v: Int): this.type = set(maxLeaves, v)
   def setTreeMethod(v: String): this.type = set(treeMethod, v)
   def setArbitraryParams(v: String): this.type = set(arbitraryParams, v)
+  def setBaseScore(v: Double): this.type = set(baseScore, v)
 
   override def fit(dataset: Dataset[_]): XgboostClassifierModel = {
     transformSchema(dataset.schema)

@@ -2,10 +2,13 @@ package graft.ml
 
 /** Objectives (gradient/hessian in margin space) and eval metrics.
   *
-  * Same objective surface the reference selects between (reference
-  * `xgboost_core.py:331-337`): `reg:squarederror`, `binary:logistic`,
-  * `multi:softprob`. Gradients are second-order, XGBoost-style: the
-  * multiclass hessian uses the 2·p·(1−p) form.
+  * The reference's inference heuristic selects between
+  * `reg:squarederror`, `binary:logistic`, `multi:softprob` (reference
+  * `xgboost_core.py:331-337`), but passes any user objective through to
+  * xgboost — so the commonly-passed regression objectives
+  * (`reg:logistic`, `count:poisson`) are implemented natively too.
+  * Gradients are second-order, XGBoost-style: the multiclass hessian
+  * uses the 2·p·(1−p) form.
   */
 sealed trait Objective extends Serializable {
   def name: String
@@ -18,6 +21,10 @@ sealed trait Objective extends Serializable {
       numClass: Int, g: Array[Float], h: Array[Float]): Unit
   /** Default eval metric name (reference xgboost defaults). */
   def defaultMetric(numClass: Int): String
+  /** Margin → prediction-space transform for regressor output (xgboost's
+    * PredTransform): identity for squared error, sigmoid for logistic
+    * regression, exp for Poisson counts. */
+  def predictTransform(margin: Double): Double = margin
 }
 
 object Objective {
@@ -94,8 +101,49 @@ object Objective {
     def defaultMetric(numClass: Int) = "mlogloss"
   }
 
+  /** Sigmoid regression (labels in [0,1], predictions in (0,1)) — same
+    * margin-space gradients as binary:logistic, but a REGRESSION
+    * objective: default metric rmse, predictions are σ(margin). */
+  case object RegLogistic extends Objective {
+    val name = "reg:logistic"
+    def numGroups(numClass: Int) = 1
+    def baseMargin(baseScore: Double): Float =
+      math.log(baseScore / (1.0 - baseScore)).toFloat
+    def gradHess(m: Array[Float], y: Array[Float], w: Array[Float],
+        k: Int, g: Array[Float], h: Array[Float]): Unit =
+      Logistic.gradHess(m, y, w, k, g, h)
+    def defaultMetric(numClass: Int) = "rmse"
+    override def predictTransform(margin: Double): Double = sigmoid(margin)
+  }
+
+  /** Poisson counts: margin is log(μ); grad = μ − y, hess = μ.
+    * base_score is in mean space (margin = log(base_score)), like
+    * xgboost; trainers default max_delta_step to 0.7 for this objective
+    * (xgboost's guard against exp overflow on early rounds). */
+  case object Poisson extends Objective {
+    val name = "count:poisson"
+    def numGroups(numClass: Int) = 1
+    def baseMargin(baseScore: Double): Float = math.log(baseScore).toFloat
+    def gradHess(m: Array[Float], y: Array[Float], w: Array[Float],
+        k: Int, g: Array[Float], h: Array[Float]): Unit = {
+      var i = 0
+      val n = y.length
+      while (i < n) {
+        val wi = if (w == null) 1.0f else w(i)
+        val mu = math.exp(m(i))
+        g(i) = ((mu - y(i)) * wi).toFloat
+        h(i) = (math.max(mu, 1e-16) * wi).toFloat
+        i += 1
+      }
+    }
+    def defaultMetric(numClass: Int) = "poisson-nloglik"
+    override def predictTransform(margin: Double): Double = math.exp(margin)
+  }
+
   def fromName(name: String): Objective = name match {
     case "reg:squarederror" | "reg:linear" => SquaredError
+    case "reg:logistic" => RegLogistic
+    case "count:poisson" => Poisson
     case "binary:logistic" => Logistic
     case "multi:softprob" | "multi:softmax" => Softprob
     case other => throw new IllegalArgumentException(s"unsupported objective: $other")
@@ -153,6 +201,15 @@ object EvalMetric {
           val w = if (weights == null) 1.0 else weights(i)
           val pred = if (Objective.sigmoid(margins(i)) > 0.5) 1.0 else 0.0
           if (pred != labels(i)) sum += w
+          wsum += w; i += 1
+        }
+        sum / wsum
+      case "poisson-nloglik" =>
+        while (i < n) {
+          val w = if (weights == null) 1.0 else weights(i)
+          val mu = math.max(math.exp(margins(i)), 1e-16)
+          sum += w * (mu - labels(i) * math.log(mu) +
+            org.apache.commons.math3.special.Gamma.logGamma(labels(i) + 1.0))
           wsum += w; i += 1
         }
         sum / wsum

@@ -194,8 +194,9 @@ object Trainer {
     }
   }
 
-  def train(trainM: TrainMatrix, evalM: Option[TrainMatrix], p: BoosterParams,
+  def train(trainM: TrainMatrix, evalM: Option[TrainMatrix], p0: BoosterParams,
       initTrees: Array[Tree] = Array.empty): BoosterModel = {
+    val p = p0.resolved
     require(trainM.numRows > 0, "cannot train on an empty partition")
     val obj = Objective.fromName(p.objective)
     val k = obj.numGroups(p.numClass)

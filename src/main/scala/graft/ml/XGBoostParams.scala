@@ -96,7 +96,8 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
   final val scalePosWeight = new DoubleParam(this, "scalePosWeight",
     "positive-class weight multiplier", ParamValidators.gt(0))
   final val objective = new Param[String](this, "objective",
-    "reg:squarederror | binary:logistic | multi:softprob (classifier infers when unset)")
+    "reg:squarederror | reg:logistic | count:poisson | binary:logistic | " +
+    "multi:softprob | multi:softmax (classifier infers when unset)")
   final val numClass = new IntParam(this, "numClass", "number of classes (multiclass)",
     ParamValidators.gtEq(0))
   final val baseScore = new DoubleParam(this, "baseScore", "global bias / initial score")

@@ -233,6 +233,42 @@ class BoosterSpec extends AnyFunSuite {
     assert(sig(byNode) != sig(dflt), "bynode=0.5 must alter split choices")
   }
 
+  test("count:poisson learns rates in mean space (exp transform, default 0.7 delta cap)") {
+    val rng = new java.util.Random(17)
+    // two regimes: feature<3 → rate 2, else → rate 12
+    val rows = Array.fill(800)(Array(rng.nextFloat() * 6))
+    def poisson(mu: Double): Float = {
+      var l = math.exp(-mu); var k = 0; var prod = rng.nextDouble()
+      while (prod > l) { k += 1; prod *= rng.nextDouble() }
+      k.toFloat
+    }
+    val labels = rows.map(r => poisson(if (r(0) < 3) 2.0 else 12.0))
+    val p = BoosterParams(objective = "count:poisson", numRounds = 60, maxDepth = 3,
+      baseScore = labels.sum / labels.length)
+    assert(p.resolved.maxDeltaStep == 0.7, "poisson defaults max_delta_step to 0.7")
+    val model = Trainer.train(mat(rows, labels), None, p)
+    val obj = model.objective
+    def pred(x: Float) = obj.predictTransform(model.predictMargin(Array(x))(0))
+    val lo = (0 until 20).map(i => pred(0.1f + i * 0.14f)).sum / 20
+    val hi = (0 until 20).map(i => pred(3.2f + i * 0.14f)).sum / 20
+    assert(math.abs(lo - 2.0) < 1.0, s"low-regime rate ≈2, got $lo")
+    assert(math.abs(hi - 12.0) < 2.5, s"high-regime rate ≈12, got $hi")
+    assert(lo > 0 && hi > 0, "poisson predictions are positive")
+  }
+
+  test("reg:logistic: predictions are sigmoid(margin) in (0,1) tracking the label rate") {
+    val rng = new java.util.Random(19)
+    val rows = Array.fill(600)(Array(rng.nextFloat() * 4))
+    val labels = rows.map(r => if (rng.nextDouble() < (r(0) / 4.0)) 1f else 0f)
+    val model = Trainer.train(mat(rows, labels), None,
+      BoosterParams(objective = "reg:logistic", numRounds = 40, maxDepth = 3))
+    val obj = model.objective
+    def pred(x: Float) = obj.predictTransform(model.predictMargin(Array(x))(0))
+    val all = (0 until 40).map(i => pred(i * 0.1f))
+    assert(all.forall(p => p > 0.0 && p < 1.0), "predictions bounded in (0,1)")
+    assert(pred(0.2f) < 0.3 && pred(3.8f) > 0.7, s"${pred(0.2f)} .. ${pred(3.8f)}")
+  }
+
   test("weights: heavily weighted duplicate dominates the leaf value") {
     val rows = Array(Array(1.0f), Array(1.0f))
     val labels = Array(0f, 1f)

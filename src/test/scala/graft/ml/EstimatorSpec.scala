@@ -256,6 +256,38 @@ class EstimatorSpec extends AnyFunSuite {
     assert(ok.booster.trees.length == 3)
   }
 
+  test("regressor objectives reg:logistic and count:poisson transform predictions " +
+      "(sigmoid / exp) like xgboost's PredTransform") {
+    val rng = new scala.util.Random(53)
+    val rows = Seq.fill(300)({
+      val x = rng.nextDouble() * 4
+      (Vectors.dense(x, rng.nextDouble()), x / 4.0)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    val logit = new XgboostRegressor().setNEstimators(20).setMaxDepth(3)
+      .setObjective("reg:logistic").fit(df)
+    val lp = logit.transform(df).select("prediction").collect().map(_.getDouble(0))
+    assert(lp.forall(p => p > 0.0 && p < 1.0), "reg:logistic predicts in (0,1)")
+
+    val countRows = Seq.fill(300)({
+      val x = rng.nextDouble() * 4
+      (Vectors.dense(x), math.max(0.0, math.round(2.0 + 3.0 * x + rng.nextGaussian()).toDouble))
+    })
+    val cdf = spark.createDataFrame(countRows).toDF("features", "label")
+    val pois = new XgboostRegressor().setNEstimators(30).setMaxDepth(3)
+      .setObjective("count:poisson").setBaseScore(5.0).fit(cdf)
+    val pp = pois.transform(cdf).select("label", "prediction").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(pp.forall(_._2 > 0.0), "poisson predictions are positive")
+    val corr = {
+      val (ys, ps) = pp.unzip
+      val my = ys.sum / ys.length; val mp = ps.sum / ps.length
+      val cov = ys.zip(ps).map { case (y, p) => (y - my) * (p - mp) }.sum
+      cov / math.sqrt(ys.map(y => (y - my) * (y - my)).sum * ps.map(p => (p - mp) * (p - mp)).sum)
+    }
+    assert(corr > 0.8, s"poisson predictions track counts, corr=$corr")
+  }
+
   test("classifier rejects labels outside [0, numClass)") {
     val df = spark.createDataFrame(Seq(
       (Vectors.dense(1.0, 2.0), 0.0),
