@@ -27,4 +27,39 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Bucketed managed-table variant of a table, written once per
+    * (session, sfDir) into the session warehouse — bucketed AND sorted by
+    * the join key, so a join of two same-bucketed tables reads
+    * pre-distributed data and runs with ZERO Exchange (Spark ≥3.1 still
+    * re-sorts the pre-sorted runs cheaply; the scan-order shortcut sits
+    * behind a legacy flag). The 100 TB recipe: keep fact tables bucketed
+    * on their recurring join keys; every downstream join skips the
+    * shuffle that would otherwise dominate the job. */
+  def bucketed(spark: SparkSession, sfDir: String, table: String,
+      keyCol: String, buckets: Int = 8): DataFrame = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val name = s"graft_${table}_b$buckets$tag"
+    if (!spark.catalog.tableExists(name)) {
+      // the in-memory catalog is per-session but the warehouse directory
+      // outlives the JVM — clear a stale location before recreating
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath = if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      deleteRecursively(new java.io.File(whPath, name))
+      // repartition on the bucket key first: the repartition hash and the
+      // bucket-id hash agree (both pmod(murmur3, n)), so each bucket gets
+      // exactly ONE file — the condition under which the scan reports its
+      // sort order and the downstream SortMergeJoin skips its Sort
+      load(spark, sfDir, table)
+        .repartition(buckets, org.apache.spark.sql.functions.col(keyCol))
+        .write.mode("overwrite")
+        .bucketBy(buckets, keyCol).sortBy(keyCol).saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

@@ -219,7 +219,33 @@ object Relational {
       round(1.0 / (1.0 + exp(-(l_discount * 10 - 0.5))), 6) AS sig
       FROM lineitem ORDER BY okey, line"""))
 
+  /** Co-located bucketed join: both sides bucketed+sorted on the join
+    * key, so the SortMergeJoin consumes pre-distributed bucket files —
+    * NO Exchange below the join (PlanSpec asserts it). At 100 TB this is
+    * the difference between a join that re-shuffles the fact table every
+    * run and one that never shuffles it at all. First execution writes
+    * the bucketed tables (the one-time layout cost); repeat runs measure
+    * the shuffle-free join. */
+  val bucketedJoin = Q(
+    "q_bucketed_join",
+    (s, dir) => {
+      val o = Tables.bucketed(s, dir, "orders", "o_orderkey")
+      val li = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
+      // merge hint = the plan a 100 TB run gets (neither side broadcasts);
+      // at toy scale Spark would otherwise broadcast the dim side
+      o.hint("merge").join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, s1Project, s4Cast, s5CountDistinct, s6Repartition,
-    s7MapPartitions, s9Collect, s10ScalarUdf, s11Struct, s13Filter, s16CreateDf)
+    s7MapPartitions, s9Collect, s10ScalarUdf, s11Struct, s13Filter, s16CreateDf,
+    bucketedJoin)
 }

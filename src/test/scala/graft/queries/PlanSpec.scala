@@ -62,6 +62,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("md5("), "digest must be computed below the exchange")
   }
 
+  test("q_bucketed_join: the co-located join reads bucketed scans and runs with " +
+      "NO exchange below the join") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    df.collect() // materializes the bucketed tables + finalizes AQE
+    val planStr = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val joinIdx = planStr.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, "expected a SortMergeJoin over bucketed tables:\n" + planStr.take(1200))
+    val belowJoin = planStr.linesIterator.toSeq.drop(joinIdx)
+    assert(!belowJoin.exists(_.contains("Exchange hashpartitioning")),
+      "bucketed join must not re-shuffle its inputs:\n" + belowJoin.take(12).mkString("\n"))
+    assert(belowJoin.count(_.contains("Bucketed: true")) == 2,
+      "both join inputs must be bucketed scans:\n" + belowJoin.take(12).mkString("\n"))
+    // NB: Spark 3.1+ always re-sorts bucketed inputs before SMJ (scan
+    // ordering is behind spark.sql.legacy.bucketedTableScanOutputOrdering);
+    // sortBy still makes that a cheap sorted-run sort. The eliminated
+    // EXCHANGE is the claim that matters at scale.
+  }
+
   test("q_sim_topk_lsh: the bucket projection runs inside whole-stage codegen " +
       "(native HyperplaneBucket expression, not a boxing UDF)") {
     val df = SparkEntry.queries("q_sim_topk_lsh")(spark, sf)
