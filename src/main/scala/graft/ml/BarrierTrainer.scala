@@ -294,7 +294,8 @@ object BarrierTrainer {
       i += 1
     }
     new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,
-      left.toArray, right.toArray, w, gain.toArray)
+      left.toArray, right.toArray, w, gain.toArray,
+      hSum.map(_.toFloat).toArray)
   }
 
   /** Deterministic per-(partition, round, row) subsample mask — stable

@@ -103,8 +103,9 @@ object BinCuts {
 }
 
 /** One regression tree, structure-of-arrays. Leaf iff left(i) < 0.
-  * `gain` holds the split gain per internal node (0 at leaves) — the
-  * ingredient for gain-type feature importances. */
+  * `gain` holds the split gain per internal node (0 at leaves) and
+  * `cover` the hessian sum reaching each node — the ingredients for
+  * gain- and cover-type feature importances. */
 final class Tree(
     val feature: Array[Int],
     val threshold: Array[Float],
@@ -112,11 +113,17 @@ final class Tree(
     val left: Array[Int],
     val right: Array[Int],
     val weight: Array[Float],
-    val gain: Array[Float]) extends Serializable {
+    val gain: Array[Float],
+    val cover: Array[Float]) extends Serializable {
 
   def this(feature: Array[Int], threshold: Array[Float], defaultLeft: Array[Boolean],
       left: Array[Int], right: Array[Int], weight: Array[Float]) =
     this(feature, threshold, defaultLeft, left, right, weight,
+      new Array[Float](feature.length), new Array[Float](feature.length))
+
+  def this(feature: Array[Int], threshold: Array[Float], defaultLeft: Array[Boolean],
+      left: Array[Int], right: Array[Int], weight: Array[Float], gain: Array[Float]) =
+    this(feature, threshold, defaultLeft, left, right, weight, gain,
       new Array[Float](feature.length))
 
   def numNodes: Int = feature.length
@@ -223,22 +230,34 @@ final class BoosterModel(
   }
 
   /** Per-feature importances, normalized to sum 1 (the reference exposes
-    * sklearn's `feature_importances_`; xgboost_local_test.py:645-653):
-    * "gain" = total split gain per feature, "weight" = split count. */
+    * sklearn's `feature_importances_`; xgboost_local_test.py:645-653).
+    * The full xgboost get_score surface: "weight" = split count,
+    * "gain"/"cover" = AVERAGE split gain / hessian cover per split
+    * (xgboost's defaults — total ÷ count), "total_gain"/"total_cover" =
+    * the sums. */
   def featureImportances(importanceType: String = "gain"): Array[Double] = {
-    val imp = new Array[Double](numFeatures)
+    val sums = new Array[Double](numFeatures)
+    val counts = new Array[Double](numFeatures)
     trees.foreach { t =>
       var i = 0
       while (i < t.numNodes) {
         if (t.left(i) >= 0) {
+          val f = t.feature(i)
+          counts(f) += 1.0
           importanceType match {
-            case "gain" => imp(t.feature(i)) += t.gain(i)
-            case "weight" => imp(t.feature(i)) += 1.0
+            case "gain" | "total_gain" => sums(f) += t.gain(i)
+            case "cover" | "total_cover" => sums(f) += t.cover(i)
+            case "weight" => sums(f) += 1.0
             case other => throw new IllegalArgumentException(s"unsupported importance type: $other")
           }
         }
         i += 1
       }
+    }
+    val imp = importanceType match {
+      case "gain" | "cover" => // per-split averages, like xgboost get_score
+        sums.zip(counts).map { case (s, c) => if (c > 0) s / c else 0.0 }
+      case _ => sums
     }
     val s = imp.sum
     if (s > 0) { var i = 0; while (i < imp.length) { imp(i) /= s; i += 1 } }

@@ -343,7 +343,8 @@ object DistTrainer {
       i += 1
     }
     new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,
-      left.toArray, right.toArray, w, gain.toArray)
+      left.toArray, right.toArray, w, gain.toArray,
+      hSum.map(_.toFloat).toArray)
   }
 
   /** Worker-side: fold any not-yet-applied trees of the broadcast prefix

@@ -23,7 +23,8 @@ object ModelJson {
         "left" -> iarr(t.left),
         "right" -> iarr(t.right),
         "weight" -> darr(t.weight),
-        "gain" -> darr(t.gain))
+        "gain" -> darr(t.gain),
+        "cover" -> darr(t.cover))
     }.toList)
     val fields = List(
       "format" -> JString(Format),
@@ -54,11 +55,12 @@ object ModelJson {
       def ints(k: String) = t(k).asInstanceOf[JArray].arr.map(v => v.asInstanceOf[JInt].num.toInt).toArray
       def floats(k: String) = t(k).asInstanceOf[JArray].arr.map(v => dbl(v).toFloat).toArray
       def bools(k: String) = t(k).asInstanceOf[JArray].arr.map(v => v.asInstanceOf[JBool].value).toArray
-      val gain = // absent in pre-gain serialized models → zeros
-        if (t.contains("gain")) floats("gain")
+      def optFloats(k: String) = // absent in older serialized models → zeros
+        if (t.contains(k)) floats(k)
         else new Array[Float](t("feature").asInstanceOf[JArray].arr.length)
       new Tree(ints("feature"), floats("threshold"), bools("default_left"),
-        ints("left"), ints("right"), floats("weight"), gain)
+        ints("left"), ints("right"), floats("weight"), optFloats("gain"),
+        optFloats("cover"))
     }.toArray
     val missing = root("missing") match {
       case JString(_) => Float.NaN

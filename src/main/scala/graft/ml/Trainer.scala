@@ -190,7 +190,8 @@ object Trainer {
         i += 1
       }
       new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,
-        left.toArray, right.toArray, w, gain.toArray)
+        left.toArray, right.toArray, w, gain.toArray,
+        hSum.map(_.toFloat).toArray)
     }
   }
 

@@ -332,6 +332,16 @@ class EstimatorSpec extends AnyFunSuite {
     assert(math.abs(gain.sum - 1.0) < 1e-9 && math.abs(weight.sum - 1.0) < 1e-9)
     assert(gain(1) > 0.9, s"gain importance should concentrate on f1: ${gain.toSeq}")
     assert(weight(1) == weight.max, s"f1 should split most: ${weight.toSeq}")
+    // xgboost's full get_score surface: averages vs totals, plus cover
+    val totalGain = model.booster.featureImportances("total_gain")
+    val cover = model.booster.featureImportances("cover")
+    val totalCover = model.booster.featureImportances("total_cover")
+    Seq(totalGain, cover, totalCover).foreach(a => assert(math.abs(a.sum - 1.0) < 1e-9))
+    assert(totalGain(1) > 0.9, s"total_gain concentrates on f1: ${totalGain.toSeq}")
+    assert(totalCover(1) == totalCover.max, "f1 splits see the most hessian mass")
+    // avg-gain ("gain") and total-gain differ unless split counts are equal
+    val perSplit = gain(1) / (if (totalGain(1) > 0) totalGain(1) else 1.0)
+    assert(perSplit > 0, "avg-vs-total normalization applied")
   }
 
   test("array<float> features column is accepted (embeddings-style input)") {
