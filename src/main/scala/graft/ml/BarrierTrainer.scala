@@ -119,7 +119,7 @@ object BarrierTrainer {
     val trees = new ArrayBuffer[Tree]
     trees ++= initTrees
     val metric = p.evalMetric.getOrElse(obj.defaultMetric(p.numClass))
-    var bestScore = Double.MaxValue
+    var bestScore = if (EvalMetric.lowerIsBetter(metric)) Double.MaxValue else Double.MinValue
     var bestIter = -1
     var round = 0
     var stop = false
@@ -148,15 +148,14 @@ object BarrierTrainer {
         cls += 1
       }
       if (hasEval) {
-        val parts =
-          if (eval != null && eval.numRows > 0) {
-            val (num, den) = DistTrainer.metricParts(metric, evalMargins,
-              eval.labels, eval.weights, math.max(k, 2))
-            Array(num, den)
-          } else Array(0.0, 0.0)
+        val parts = new Array[Double](DistTrainer.metricSize(metric))
+        if (eval != null && eval.numRows > 0)
+          DistTrainer.metricAccum(metric, evalMargins, eval.labels, eval.weights,
+            math.max(k, 2), parts)
         val global = coll.allreduce(parts) // everyone sees the same score
-        val s = DistTrainer.finishMetric(metric, global(0), global(1))
-        if (s < bestScore) { bestScore = s; bestIter = round }
+        val s = DistTrainer.finishMetricArr(metric, global)
+        val improved = if (EvalMetric.lowerIsBetter(metric)) s < bestScore else s > bestScore
+        if (improved) { bestScore = s; bestIter = round }
         else if (p.earlyStoppingRounds > 0 && round - bestIter >= p.earlyStoppingRounds)
           stop = true
       }

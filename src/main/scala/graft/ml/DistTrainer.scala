@@ -109,7 +109,7 @@ object DistTrainer {
     trees ++= initTrees
     val metric = p.evalMetric.getOrElse(obj.defaultMetric(p.numClass))
     val hasEval = hasV
-    var bestScore = Double.MaxValue
+    var bestScore = if (EvalMetric.lowerIsBetter(metric)) Double.MaxValue else Double.MinValue
     var bestIter = -1
     var round = 0
     var stop = false
@@ -133,23 +133,27 @@ object DistTrainer {
 
       if (hasEval) {
         val fullBc = sc.broadcast(trees.toArray) // margins incl. this round
+        val mSize = metricSize(metric)
         val agg = state.treeAggregate(null: Array[Double])(
           seqOp = { (acc, ps) =>
             ensureMargins(ps, fullBc.value, k, p, obj, baseMargin)
-            val a = if (acc == null) new Array[Double](2) else acc
-            if (ps.eval != null && ps.eval.numRows > 0) {
-              val (n2, d2) = metricParts(metric, ps.evalMargins, ps.eval.labels,
-                ps.eval.weights, math.max(k, 2))
-              a(0) += n2; a(1) += d2
-            }
+            val a = if (acc == null) new Array[Double](mSize) else acc
+            if (ps.eval != null && ps.eval.numRows > 0)
+              metricAccum(metric, ps.evalMargins, ps.eval.labels,
+                ps.eval.weights, math.max(k, 2), a)
             a
           },
           combOp = { (x, y) =>
             if (x == null) y else if (y == null) x
-            else { x(0) += y(0); x(1) += y(1); x }
+            else {
+              var i = 0
+              while (i < x.length) { x(i) += y(i); i += 1 }
+              x
+            }
           })
-        val s = if (agg == null) Double.NaN else finishMetric(metric, agg(0), agg(1))
-        if (s < bestScore) { bestScore = s; bestIter = round }
+        val s = if (agg == null) Double.NaN else finishMetricArr(metric, agg)
+        val improved = if (EvalMetric.lowerIsBetter(metric)) s < bestScore else s > bestScore
+        if (improved) { bestScore = s; bestIter = round }
         else if (p.earlyStoppingRounds > 0 && round - bestIter >= p.earlyStoppingRounds)
           stop = true
         fullBc.destroy()
@@ -567,6 +571,14 @@ object DistTrainer {
           if (best != labels(i).toInt) num += w
           den += w; i += 1
         }
+      case "poisson-nloglik" =>
+        while (i < n) {
+          val w = if (weights == null) 1.0 else weights(i)
+          val mu = math.max(math.exp(margins(i)), 1e-16)
+          num += w * (mu - labels(i) * math.log(mu) +
+            org.apache.commons.math3.special.Gamma.logGamma(labels(i) + 1.0))
+          den += w; i += 1
+        }
       case other => throw new IllegalArgumentException(s"unsupported eval_metric: $other")
     }
     (num, den)
@@ -576,4 +588,24 @@ object DistTrainer {
     if (den == 0) Double.NaN
     else if (metric == "rmse") math.sqrt(num / den)
     else num / den
+
+  // ---- array-shaped metric aggregation (sums across workers) ----
+  // Pair metrics use [num, den]; AUC uses the 2·AucBins score histogram.
+
+  private[ml] def metricSize(metric: String): Int =
+    if (metric == "auc") 2 * EvalMetric.AucBins else 2
+
+  private[ml] def metricAccum(metric: String, margins: Array[Float], labels: Array[Float],
+      weights: Array[Float], numClass: Int, acc: Array[Double]): Unit = {
+    if (metric == "auc") EvalMetric.aucAccum(margins, labels, weights, acc)
+    else {
+      val (num, den) = metricParts(metric, margins, labels, weights, numClass)
+      acc(0) += num
+      acc(1) += den
+    }
+  }
+
+  private[ml] def finishMetricArr(metric: String, acc: Array[Double]): Double =
+    if (metric == "auc") EvalMetric.aucFinish(acc)
+    else finishMetric(metric, acc(0), acc(1))
 }

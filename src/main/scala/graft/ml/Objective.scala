@@ -152,6 +152,49 @@ object Objective {
 
 /** Eval metrics over margins (weighted means, like xgboost). */
 object EvalMetric {
+
+  /** AUC is computed over a fixed histogram of sigmoid scores so the
+    * single-node and both distributed paths aggregate IDENTICALLY (bin
+    * counts sum across workers); 4096 bins puts the binning error well
+    * below early-stopping resolution. */
+  val AucBins = 4096
+
+  /** Adds per-bin (positive, negative) weight mass into acc (length
+    * 2·AucBins: [posW(bin0), negW(bin0), posW(bin1), …]). */
+  def aucAccum(margins: Array[Float], labels: Array[Float],
+      weights: Array[Float], acc: Array[Double]): Unit = {
+    val n = labels.length
+    var i = 0
+    while (i < n) {
+      val w = if (weights == null) 1.0 else weights(i)
+      val s = Objective.sigmoid(margins(i))
+      val b = math.min(AucBins - 1, math.max(0, (s * AucBins).toInt))
+      val y = labels(i)
+      require(y == 0.0f || y == 1.0f, s"auc requires binary 0/1 labels, got $y")
+      if (y == 1.0f) acc(2 * b) += w else acc(2 * b + 1) += w
+      i += 1
+    }
+  }
+
+  /** AUC from the histogram: P(score⁺ > score⁻) + ½·P(tie). */
+  def aucFinish(acc: Array[Double]): Double = {
+    var totPos = 0.0
+    var totNeg = 0.0
+    var b = 0
+    while (b < AucBins) { totPos += acc(2 * b); totNeg += acc(2 * b + 1); b += 1 }
+    if (totPos == 0.0 || totNeg == 0.0) return Double.NaN
+    var cumNeg = 0.0
+    var auc = 0.0
+    b = 0
+    while (b < AucBins) {
+      val p = acc(2 * b)
+      val ng = acc(2 * b + 1)
+      auc += p * (cumNeg + 0.5 * ng)
+      cumNeg += ng
+      b += 1
+    }
+    auc / (totPos * totNeg)
+  }
   def compute(metric: String, margins: Array[Float], labels: Array[Float],
       weights: Array[Float], numClass: Int): Double = {
     val n = labels.length
@@ -204,6 +247,10 @@ object EvalMetric {
           wsum += w; i += 1
         }
         sum / wsum
+      case "auc" =>
+        val acc = new Array[Double](2 * AucBins)
+        aucAccum(margins, labels, weights, acc)
+        return aucFinish(acc)
       case "poisson-nloglik" =>
         while (i < n) {
           val w = if (weights == null) 1.0 else weights(i)
@@ -228,7 +275,7 @@ object EvalMetric {
     }
   }
 
-  /** Lower is better for all supported metrics (like the xgboost set used
-    * by the reference tests: rmse, logloss, mlogloss, error). */
-  def lowerIsBetter(metric: String): Boolean = true
+  /** Lower is better for every supported metric except AUC (xgboost
+    * maximizes auc; early stopping must flip its comparison). */
+  def lowerIsBetter(metric: String): Boolean = metric != "auc"
 }

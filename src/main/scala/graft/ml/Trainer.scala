@@ -238,7 +238,7 @@ object Trainer {
     val trees = new ArrayBuffer[Tree]
     trees ++= initTrees
     val metric = p.evalMetric.getOrElse(obj.defaultMetric(p.numClass))
-    var bestScore = Double.MaxValue
+    var bestScore = if (EvalMetric.lowerIsBetter(metric)) Double.MaxValue else Double.MinValue
     var bestIter = -1
     var round = 0
     var stop = false
@@ -267,7 +267,8 @@ object Trainer {
       }
       evalM.zip(evalMargins).foreach { case (e, em) =>
         val s = EvalMetric.compute(metric, em, e.labels, e.weights, math.max(k, 2))
-        if (s < bestScore) { bestScore = s; bestIter = round }
+        val improved = if (EvalMetric.lowerIsBetter(metric)) s < bestScore else s > bestScore
+        if (improved) { bestScore = s; bestIter = round }
         else if (p.earlyStoppingRounds > 0 && round - bestIter >= p.earlyStoppingRounds)
           stop = true
       }

@@ -108,7 +108,8 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
   final val earlyStoppingRounds = new IntParam(this, "earlyStoppingRounds",
     "stop after this many rounds without eval improvement (0 = off)", ParamValidators.gtEq(0))
   final val evalMetric = new Param[String](this, "evalMetric",
-    "rmse | mae | logloss | mlogloss | error | merror")
+    "rmse | mae | logloss | mlogloss | error | merror | auc | poisson-nloglik " +
+    "(auc is maximized; all others minimized)")
   final val treeLimit = new IntParam(this, "treeLimit",
     "use only the first N rounds at predict time (0 = all)", ParamValidators.gtEq(0))
 

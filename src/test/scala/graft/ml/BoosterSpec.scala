@@ -233,6 +233,31 @@ class BoosterSpec extends AnyFunSuite {
     assert(sig(byNode) != sig(dflt), "bynode=0.5 must alter split choices")
   }
 
+  test("auc metric: matches the hand-computed pair statistic; early stopping maximizes it") {
+    // pos scores {σ(2), σ(0.5)}, neg {σ(1), σ(-1)} → 3 of 4 pairs ordered
+    val auc = EvalMetric.compute("auc",
+      Array(2f, 1f, 0.5f, -1f), Array(1f, 0f, 1f, 0f), null, 2)
+    assert(math.abs(auc - 0.75) < 1e-9, s"got $auc")
+    // degenerate single-class eval → NaN, not a crash
+    assert(EvalMetric.compute("auc", Array(1f, 2f), Array(1f, 1f), null, 2).isNaN)
+    assert(!EvalMetric.lowerIsBetter("auc") && EvalMetric.lowerIsBetter("logloss"))
+
+    val rng = new java.util.Random(3)
+    def gen(n: Int): (Array[Array[Float]], Array[Float]) = {
+      val rows = Array.fill(n)(Array.fill(4)(rng.nextFloat() * 4))
+      (rows, rows.map(r => if (r(0) + rng.nextGaussian().toFloat > 2) 1f else 0f))
+    }
+    val (trR, trY) = gen(500)
+    val (evR, evY) = gen(200)
+    val model = Trainer.train(mat(trR, trY), Some(mat(evR, evY)),
+      BoosterParams(objective = "binary:logistic", numRounds = 100,
+        earlyStoppingRounds = 5, evalMetric = Some("auc")))
+    assert(model.bestScore.get > 0.5 && model.bestScore.get <= 1.0,
+      s"auc best_score ${model.bestScore}")
+    assert(model.bestIteration.isDefined && model.trees.length < 100,
+      "auc plateaus -> early stopping must fire")
+  }
+
   test("count:poisson learns rates in mean space (exp transform, default 0.7 delta cap)") {
     val rng = new java.util.Random(17)
     // two regimes: feature<3 → rate 2, else → rate 12

@@ -459,6 +459,24 @@ class EstimatorSpec extends AnyFunSuite {
     assert(rmse < 0.05, s"weighted single vs dist rmse $rmse")
   }
 
+  test("distributed path evaluates auc via the summed score histogram " +
+      "(same binning as single-node)") {
+    val rng = new scala.util.Random(61)
+    val rows = Seq.fill(400)({
+      val f = Array.fill(3)(rng.nextDouble() * 4)
+      (Vectors.dense(f), if (f(0) > 2) 1.0 else 0.0, rng.nextDouble() < 0.25)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label", "isVal")
+    def fit(workers: Int) = new XgboostClassifier().setNEstimators(10)
+      .setNumWorkers(workers).setValidationIndicatorCol("isVal")
+      .setEvalMetric("auc").setEarlyStoppingRounds(3).fit(df)
+    val dist = fit(2)
+    assert(dist.booster.bestScore.get > 0.9, s"separable data → auc≈1, got ${dist.booster.bestScore}")
+    val single = fit(1)
+    assert(math.abs(single.booster.bestScore.get - dist.booster.bestScore.get) < 0.05,
+      s"single ${single.booster.bestScore} vs dist ${dist.booster.bestScore}")
+  }
+
   test("distributed path with validation + early stopping records best_score") {
     val rng = new scala.util.Random(11)
     val rows = Seq.fill(300)({
