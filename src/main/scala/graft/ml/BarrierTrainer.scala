@@ -187,9 +187,14 @@ object BarrierTrainer {
     val gSum = new ArrayBuffer[Double]
     val hSum = new ArrayBuffer[Double]
     val gain = new ArrayBuffer[Float]
-    def addNode(gs: Double, hs: Double): Int = {
+    val loB = new ArrayBuffer[Double] // monotone weight bounds
+    val hiB = new ArrayBuffer[Double]
+    def addNode(gs: Double, hs: Double,
+        wLo: Double = Double.NegativeInfinity,
+        wHi: Double = Double.PositiveInfinity): Int = {
       feature += -1; threshold += 0f; binIdx += -1; defaultLeft += true
       left += -1; right += -1; gSum += gs; hSum += hs; gain += 0f
+      loB += wLo; hiB += wHi
       feature.length - 1
     }
 
@@ -250,15 +255,16 @@ object BarrierTrainer {
           hist, s * m * MaxBins * 2, (s + 1) * m * MaxBins * 2)
         if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
           SplitFinder.findBest(slice, MaxBins, cuts, nodeFeats,
-            gSum(node), hSum(node), p).foreach { sp =>
+            gSum(node), hSum(node), p, loB(node), hiB(node)).foreach { sp =>
             splits(s) = sp
             feature(node) = sp.feature
             threshold(node) = sp.threshold
             binIdx(node) = sp.binIdx
             defaultLeft(node) = sp.defaultLeft
             gain(node) = sp.gain.toFloat
-            left(node) = addNode(sp.gl, sp.hl)
-            right(node) = addNode(sp.gr, sp.hr)
+            val (ll, lh, rl, rh) = SplitFinder.childBounds(sp, p, loB(node), hiB(node))
+            left(node) = addNode(sp.gl, sp.hl, ll, lh)
+            right(node) = addNode(sp.gr, sp.hr, rl, rh)
             leaves += 1
           }
         s += 1
@@ -289,7 +295,8 @@ object BarrierTrainer {
     i = 0
     while (i < nn) {
       if (left(i) < 0)
-        w(i) = (p.eta * SplitFinder.leafWeightP(gSum(i), hSum(i), p)).toFloat
+        w(i) = (p.eta * SplitFinder.clamp(
+          SplitFinder.leafWeightP(gSum(i), hSum(i), p), loB(i), hiB(i))).toFloat
       i += 1
     }
     new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,

@@ -159,6 +159,7 @@ final case class BoosterParams(
     maxBin: Int = 256,
     growPolicy: String = "depthwise",
     maxLeaves: Int = 0,
+    monotoneConstraints: Array[Int] = null, // per-feature -1|0|1; null = none
     scalePosWeight: Double = 1.0,
     objective: String = "reg:squarederror",
     numClass: Int = 0,

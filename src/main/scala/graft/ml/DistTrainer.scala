@@ -196,10 +196,15 @@ object DistTrainer {
     val gSum = new ArrayBuffer[Double]
     val hSum = new ArrayBuffer[Double]
     val gain = new ArrayBuffer[Float]
+    val loB = new ArrayBuffer[Double] // monotone weight bounds
+    val hiB = new ArrayBuffer[Double]
 
-    def addNode(g: Double, h: Double): Int = {
+    def addNode(g: Double, h: Double,
+        wLo: Double = Double.NegativeInfinity,
+        wHi: Double = Double.PositiveInfinity): Int = {
       feature += -1; binIdx += -1; defaultLeft += true; left += -1; right += -1
       threshold += 0f; gSum += g; hSum += h; gain += 0f
+      loB += wLo; hiB += wHi
       feature.length - 1
     }
     addNode(Double.NaN, Double.NaN) // root stats discovered by level-0 aggregate
@@ -316,14 +321,15 @@ object DistTrainer {
         val slice = java.util.Arrays.copyOfRange(hist, s * unit, (s + 1) * unit)
         if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
           SplitFinder.findBest(slice, MaxBins, cutsBc.value, nodeFeats,
-            gSum(node), hSum(node), p).foreach { sp =>
+            gSum(node), hSum(node), p, loB(node), hiB(node)).foreach { sp =>
             feature(node) = sp.feature
             binIdx(node) = sp.binIdx
             threshold(node) = sp.threshold
             defaultLeft(node) = sp.defaultLeft
             gain(node) = sp.gain.toFloat
-            left(node) = addNode(sp.gl, sp.hl)
-            right(node) = addNode(sp.gr, sp.hr)
+            val (ll, lh, rl, rh) = SplitFinder.childBounds(sp, p, loB(node), hiB(node))
+            left(node) = addNode(sp.gl, sp.hl, ll, lh)
+            right(node) = addNode(sp.gr, sp.hr, rl, rh)
             nextParents += s
             nextComputeLeft += (sp.hl <= sp.hr) // accumulate the lighter child
             leaves += 1
@@ -343,7 +349,8 @@ object DistTrainer {
     var i = 0
     while (i < n) {
       if (left(i) < 0)
-        w(i) = (p.eta * SplitFinder.leafWeightP(gSum(i), hSum(i), p)).toFloat
+        w(i) = (p.eta * SplitFinder.clamp(
+          SplitFinder.leafWeightP(gSum(i), hSum(i), p), loB(i), hiB(i))).toFloat
       i += 1
     }
     new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,

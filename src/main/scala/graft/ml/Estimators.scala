@@ -225,6 +225,7 @@ class XgboostRegressor(override val uid: String)
   def setTreeMethod(v: String): this.type = set(treeMethod, v)
   def setArbitraryParams(v: String): this.type = set(arbitraryParams, v)
   def setBaseScore(v: Double): this.type = set(baseScore, v)
+  def setMonotoneConstraints(v: String): this.type = set(monotoneConstraints, v)
 
   override def fit(dataset: Dataset[_]): XgboostRegressorModel = {
     transformSchema(dataset.schema)
@@ -368,6 +369,7 @@ class XgboostClassifier(override val uid: String)
   def setTreeMethod(v: String): this.type = set(treeMethod, v)
   def setArbitraryParams(v: String): this.type = set(arbitraryParams, v)
   def setBaseScore(v: Double): this.type = set(baseScore, v)
+  def setMonotoneConstraints(v: String): this.type = set(monotoneConstraints, v)
 
   override def fit(dataset: Dataset[_]): XgboostClassifierModel = {
     transformSchema(dataset.schema)

@@ -52,18 +52,29 @@ object SplitFinder {
 
   /** Finds the best split for one node.
     *
+    * Monotone constraints (xgboost's mechanism): a split on a constrained
+    * feature is REJECTED unless the child weight order matches the
+    * constraint sign, and every candidate's gain is evaluated at weights
+    * clamped into the node's inherited [lo, hi] bound — see
+    * [[childBounds]] for how bounds propagate.
+    *
     * @param hist flat histogram for this node: ((f * maxBins + b) * 2)
     *             holds Σg, +1 holds Σh over non-missing rows with bin b
     * @param features candidate feature indices (colsample subset)
+    * @param lo lower weight bound inherited from monotone ancestors
+    * @param hi upper weight bound
     */
   def findBest(
       hist: Array[Double], maxBins: Int, cuts: BinCuts,
       features: Array[Int], gNode: Double, hNode: Double,
-      p: BoosterParams): Option[Split] = {
+      p: BoosterParams, lo: Double = Double.NegativeInfinity,
+      hi: Double = Double.PositiveInfinity): Option[Split] = {
     var best: Split = null
+    val mono = p.monotoneConstraints
     var fi = 0
     while (fi < features.length) {
       val f = features(fi)
+      val cons = if (mono != null && f < mono.length) mono(f) else 0
       val nCuts = cuts.cuts(f).length
       if (nCuts > 0) {
         val base = f * maxBins * 2
@@ -75,6 +86,16 @@ object SplitFinder {
         val gMiss = gNode - gSum
         val hMiss = hNode - hSum
         val parentScore = scoreP(gNode, hNode, p)
+
+        @inline def admissible(gL: Double, hL: Double, gR: Double, hR: Double): Boolean = {
+          if (cons == 0) true
+          else {
+            val wL = clamp(leafWeightP(gL, hL, p), lo, hi)
+            val wR = clamp(leafWeightP(gR, hR, p), lo, hi)
+            if (cons > 0) wL <= wR else wL >= wR
+          }
+        }
+
         var gl = 0.0
         var hl = 0.0
         var t = 0
@@ -84,7 +105,8 @@ object SplitFinder {
           // candidate A: missing rows go right
           val gL = gl; val hL = hl
           val gR = gNode - gl; val hR = hNode - hl
-          if (hL >= p.minChildWeight && hR >= p.minChildWeight) {
+          if (hL >= p.minChildWeight && hR >= p.minChildWeight &&
+              admissible(gL, hL, gR, hR)) {
             val gain = 0.5 * (scoreP(gL, hL, p) +
               scoreP(gR, hR, p) - parentScore) - p.gamma
             if (gain > p.minSplitGain && (best == null || gain > best.gain)) {
@@ -93,7 +115,8 @@ object SplitFinder {
             }
           }
           // candidate B: missing goes left
-          if ((hL + hMiss) >= p.minChildWeight && (hNode - hl - hMiss) >= p.minChildWeight) {
+          if ((hL + hMiss) >= p.minChildWeight && (hNode - hl - hMiss) >= p.minChildWeight &&
+              admissible(gL + gMiss, hL + hMiss, gNode - gl - gMiss, hNode - hl - hMiss)) {
             val gain = 0.5 * (scoreP(gL + gMiss, hL + hMiss, p) +
               scoreP(gNode - gl - gMiss, hNode - hl - hMiss, p) - parentScore) - p.gamma
             if (gain > p.minSplitGain && (best == null || gain > best.gain)) {
@@ -107,6 +130,27 @@ object SplitFinder {
       fi += 1
     }
     Option(best)
+  }
+
+  @inline def clamp(w: Double, lo: Double, hi: Double): Double =
+    if (w < lo) lo else if (w > hi) hi else w
+
+  /** Child weight bounds after an accepted split (xgboost's propagation):
+    * on a constrained feature the children split the parent's range at
+    * the mid of the two child weights; on an unconstrained feature both
+    * children inherit the parent's bounds. Returns
+    * (loL, hiL, loR, hiR). */
+  def childBounds(sp: Split, p: BoosterParams, lo: Double, hi: Double): (Double, Double, Double, Double) = {
+    val mono = p.monotoneConstraints
+    val cons = if (mono != null && sp.feature < mono.length) mono(sp.feature) else 0
+    if (cons == 0) (lo, hi, lo, hi)
+    else {
+      val wL = clamp(leafWeightP(sp.gl, sp.hl, p), lo, hi)
+      val wR = clamp(leafWeightP(sp.gr, sp.hr, p), lo, hi)
+      val mid = 0.5 * (wL + wR)
+      if (cons > 0) (lo, math.min(hi, mid), math.max(lo, mid), hi)
+      else (math.max(lo, mid), hi, lo, math.min(hi, mid))
+    }
   }
 }
 
@@ -173,10 +217,15 @@ object Trainer {
     val hSum = new ArrayBuffer[Double]
     val depth = new ArrayBuffer[Int]
     val gain = new ArrayBuffer[Float]
+    val lo = new ArrayBuffer[Double] // monotone weight bounds
+    val hi = new ArrayBuffer[Double]
 
-    def addNode(g: Double, h: Double, d: Int): Int = {
+    def addNode(g: Double, h: Double, d: Int,
+        wLo: Double = Double.NegativeInfinity,
+        wHi: Double = Double.PositiveInfinity): Int = {
       feature += -1; threshold += 0f; defaultLeft += true
       left += -1; right += -1; gSum += g; hSum += h; depth += d; gain += 0f
+      lo += wLo; hi += wHi
       feature.length - 1
     }
 
@@ -186,7 +235,8 @@ object Trainer {
       var i = 0
       while (i < n) {
         if (left(i) < 0)
-          w(i) = (p.eta * SplitFinder.leafWeightP(gSum(i), hSum(i), p)).toFloat
+          w(i) = (p.eta * SplitFinder.clamp(
+            SplitFinder.leafWeightP(gSum(i), hSum(i), p), lo(i), hi(i))).toFloat
         i += 1
       }
       new Tree(feature.toArray, threshold.toArray, defaultLeft.toArray,
@@ -389,14 +439,16 @@ object Trainer {
           hist, s * m * MaxBins * 2, (s + 1) * m * MaxBins * 2)
         if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
           SplitFinder.findBest(slice, MaxBins, cuts, nodeFeats,
-            growth.gSum(node), growth.hSum(node), p).foreach { sp =>
+            growth.gSum(node), growth.hSum(node), p,
+            growth.lo(node), growth.hi(node)).foreach { sp =>
             splits(s) = sp
             growth.feature(node) = sp.feature
             growth.threshold(node) = sp.threshold
             growth.defaultLeft(node) = sp.defaultLeft
             growth.gain(node) = sp.gain.toFloat
-            growth.left(node) = growth.addNode(sp.gl, sp.hl, depth + 1)
-            growth.right(node) = growth.addNode(sp.gr, sp.hr, depth + 1)
+            val (ll, lh, rl, rh) = SplitFinder.childBounds(sp, p, growth.lo(node), growth.hi(node))
+            growth.left(node) = growth.addNode(sp.gl, sp.hl, depth + 1, ll, lh)
+            growth.right(node) = growth.addNode(sp.gr, sp.hr, depth + 1, rl, rh)
             leaves += 1
           }
         s += 1
@@ -482,7 +534,8 @@ object Trainer {
       val nodeFeats = FeatureSampling.subsample(levelFeats, p.colsampleBynode,
         FeatureSampling.nodeKey(p.seed, round, cls, node))
       SplitFinder.findBest(nodeHist(node, levelFeats), MaxBins, cuts, nodeFeats,
-        growth.gSum(node), growth.hSum(node), p).map(sp => (sp.gain, node, sp))
+        growth.gSum(node), growth.hSum(node), p,
+        growth.lo(node), growth.hi(node)).map(sp => (sp.gain, node, sp))
     }
 
     // highest gain expands first; lower node id breaks ties deterministically
@@ -497,8 +550,9 @@ object Trainer {
       growth.defaultLeft(node) = sp.defaultLeft
       growth.gain(node) = sp.gain.toFloat
       val childDepth = growth.depth(node) + 1
-      val l = growth.addNode(sp.gl, sp.hl, childDepth)
-      val r = growth.addNode(sp.gr, sp.hr, childDepth)
+      val (ll, lh, rl, rh) = SplitFinder.childBounds(sp, p, growth.lo(node), growth.hi(node))
+      val l = growth.addNode(sp.gl, sp.hl, childDepth, ll, lh)
+      val r = growth.addNode(sp.gr, sp.hr, childDepth, rl, rh)
       growth.left(node) = l
       growth.right(node) = r
       i = 0

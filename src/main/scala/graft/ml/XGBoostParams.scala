@@ -23,8 +23,22 @@ object XGBoostParams {
     * setting one logs a the-model-may-differ warning instead of the
     * reference's silent pass-through to native xgboost. */
   val KnownUnimplementedKeys: Set[String] = Set(
-    "booster", "sampling_method", "num_parallel_tree", "monotone_constraints",
+    "booster", "sampling_method", "num_parallel_tree",
     "interaction_constraints", "max_cat_to_onehot", "gpu_id", "callbacks")
+
+  /** "(1,0,-1)" / "[1,0,-1]" / "1,0,-1" → Array(1, 0, -1). */
+  def parseMonotone(s: String): Array[Int] = {
+    val body = s.trim.stripPrefix("(").stripSuffix(")").stripPrefix("[").stripSuffix("]")
+    if (body.isEmpty) null
+    else {
+      val out = body.split(",").map { t =>
+        val v = t.trim.toInt
+        require(v >= -1 && v <= 1, s"monotone constraint must be -1|0|1, got $v")
+        v
+      }
+      if (out.forall(_ == 0)) null else out
+    }
+  }
 
   val ValidTreeMethods: Set[String] = Set("auto", "exact", "approx", "hist", "gpu_hist")
 }
@@ -93,6 +107,9 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
   final val treeMethod = new Param[String](this, "treeMethod",
     "auto | exact | approx | hist | gpu_hist; every CPU method runs this " +
     "build's histogram algorithm; gpu_hist requires useGpu")
+  final val monotoneConstraints = new Param[String](this, "monotoneConstraints",
+    "per-feature monotonicity as xgboost's tuple string, e.g. \"(1,0,-1)\": " +
+    "1 = prediction non-decreasing in the feature, -1 = non-increasing, 0 = free")
   final val scalePosWeight = new DoubleParam(this, "scalePosWeight",
     "positive-class weight multiplier", ParamValidators.gt(0))
   final val objective = new Param[String](this, "objective",
@@ -132,6 +149,7 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
     gamma -> 0.0, minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
     colsampleBylevel -> 1.0, colsampleBynode -> 1.0, maxDeltaStep -> 0.0,
     maxBin -> 256, growPolicy -> "depthwise", maxLeaves -> 0, treeMethod -> "",
+    monotoneConstraints -> "",
     scalePosWeight -> 1.0, numClass -> 0, baseScore -> 0.5, missing -> Float.NaN,
     seed -> 0L, earlyStoppingRounds -> 0, treeLimit -> 0,
     arbitraryParams -> "{}", xgbModel -> "")
@@ -166,6 +184,7 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
       colsampleBytree = $(colsampleBytree), colsampleBylevel = $(colsampleBylevel),
       colsampleBynode = $(colsampleBynode), maxDeltaStep = $(maxDeltaStep),
       maxBin = mb, growPolicy = $(growPolicy), maxLeaves = $(maxLeaves),
+      monotoneConstraints = XGBoostParams.parseMonotone(getOrDefault(monotoneConstraints)),
       scalePosWeight = $(scalePosWeight),
       objective = resolvedObjective, numClass = resolvedNumClass,
       baseScore = $(baseScore), missing = $(missing), seed = $(seed),
@@ -205,6 +224,11 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
           require(s == "depthwise" || s == "lossguide", s"grow_policy must be depthwise|lossguide, got $s")
           bp = bp.copy(growPolicy = s)
         case ("max_leaves", v) => bp = bp.copy(maxLeaves = num(v).toInt)
+        case ("monotone_constraints", JString(s)) =>
+          bp = bp.copy(monotoneConstraints = XGBoostParams.parseMonotone(s))
+        case ("monotone_constraints", JArray(vs)) =>
+          bp = bp.copy(monotoneConstraints =
+            XGBoostParams.parseMonotone(vs.map(num(_).toInt).mkString(",")))
         case ("scale_pos_weight", v) => bp = bp.copy(scalePosWeight = num(v))
         case ("base_score", v) => bp = bp.copy(baseScore = num(v))
         case ("n_estimators" | "num_boost_round", v) => bp = bp.copy(numRounds = num(v).toInt)

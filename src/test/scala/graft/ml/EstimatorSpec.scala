@@ -228,9 +228,9 @@ class EstimatorSpec extends AnyFunSuite {
       "instead of silently ignoring them") {
     val est = new XgboostRegressor()
     est.set(est.arbitraryParams,
-      """{"monotone_constraints": "(1,-1)", "frobnicate": 1, "verbosity": 2, "booster": "gbtree"}""")
+      """{"interaction_constraints": "[[0,1]]", "frobnicate": 1, "verbosity": 2, "booster": "gbtree"}""")
     val (_, warnings) = est.boosterParamsWithWarnings("reg:squarederror", 0)
-    assert(warnings.exists(w => w.contains("monotone_constraints") && w.contains("NOT implemented")),
+    assert(warnings.exists(w => w.contains("interaction_constraints") && w.contains("NOT implemented")),
       s"expected unimplemented-key warning, got $warnings")
     assert(warnings.exists(w => w.contains("frobnicate") && w.contains("unknown")),
       s"expected unknown-key warning, got $warnings")
@@ -254,6 +254,41 @@ class EstimatorSpec extends AnyFunSuite {
     // CPU tree_method names are accepted and run the hist kernel
     val ok = new XgboostRegressor().setNEstimators(3).setTreeMethod("approx").fit(regTrainDf)
     assert(ok.booster.trees.length == 3)
+  }
+
+  test("monotone_constraints enforce prediction monotonicity on the constrained feature " +
+      "(single-node and distributed)") {
+    val rng = new scala.util.Random(71)
+    // label mostly increases with f0 but with strong noise — unconstrained
+    // trees WILL produce local decreases, so the constraint must do work
+    val rows = Seq.fill(500)({
+      val x = rng.nextDouble() * 10
+      val noise = rng.nextGaussian() * 3
+      (Vectors.dense(x, rng.nextDouble() * 5), x + noise)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    def predsAlongF0(model: XgboostRegressorModel): Seq[Double] = {
+      val grid = spark.createDataFrame((0 until 200).map(i =>
+        Tuple1(Vectors.dense(i * 0.05, 2.5)))).toDF("features")
+      model.transform(grid).select("prediction").collect().map(_.getDouble(0)).toSeq
+    }
+    def violations(p: Seq[Double]) =
+      p.sliding(2).count { case Seq(a, b) => b < a - 1e-9 }
+    val free = new XgboostRegressor().setNEstimators(30).setMaxDepth(4).fit(df)
+    val mono = new XgboostRegressor().setNEstimators(30).setMaxDepth(4)
+      .setMonotoneConstraints("(1,0)").fit(df)
+    assert(violations(predsAlongF0(free)) > 0,
+      "fixture too easy: unconstrained model should violate monotonicity somewhere")
+    assert(violations(predsAlongF0(mono)) == 0,
+      "constrained model must be non-decreasing along f0")
+    // distributed path honors the same constraint
+    val monoDist = new XgboostRegressor().setNEstimators(15).setMaxDepth(4)
+      .setNumWorkers(2).setMonotoneConstraints("(1,0)").fit(df)
+    assert(violations(predsAlongF0(monoDist)) == 0, "distributed path must enforce too")
+    // arbitraryParams spelling reaches the booster as well
+    val viaArbitrary = new XgboostRegressor().setNEstimators(10).setMaxDepth(4)
+    viaArbitrary.set(viaArbitrary.arbitraryParams, """{"monotone_constraints": "(1,0)"}""")
+    assert(violations(predsAlongF0(viaArbitrary.fit(df))) == 0)
   }
 
   test("regressor objectives reg:logistic and count:poisson transform predictions " +
