@@ -17,6 +17,22 @@ object MiscQueriesImpl {
       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  /** The durable-sink variant: append mode to a checkpointed parquet file
+    * sink, read back. Only watermark-finalized windows appear; the oracle
+    * replays the final-watermark cutoff (Spark watermarks are
+    * ms-truncated, hence the date_trunc). */
+  val streamWindowSink = Q(
+    "q_stream_window_sink",
+    (s, dir) => EventStreams.windowedAggregateToParquet(s, dir),
+    Some("""WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2),
+      wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS cut
+        FROM events)
+      SELECT w.* FROM w, wm
+      WHERE window_start + INTERVAL '5 minutes' <= cut
+      ORDER BY window_start, event_type"""))
+
   /** Stateful sessionization (flatMapGroupsWithState, event-time timeout).
     * Deterministic for this bounded single-file stream: the file source
     * delivers one batch, so gap-closed sessions emit in-batch and
@@ -114,6 +130,6 @@ object MiscQueriesImpl {
     },
     None)
 
-  def all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamJoin,
-    multimodalDecode, multimodalPipeline)
+  def all: Seq[Q] = Seq(streamWindow, streamWindowSink, streamSessionize, streamDedup,
+    streamJoin, multimodalDecode, multimodalPipeline)
 }

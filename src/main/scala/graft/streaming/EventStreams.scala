@@ -75,6 +75,37 @@ object EventStreams {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** The DEPLOYMENT shape of the windowed aggregate: append-mode output
+    * to a checkpointed parquet FILE SINK (exactly-once via the sink
+    * manifest + checkpoint), then read back as a batch table. Append mode
+    * emits only watermark-FINALIZED windows — rows whose window end ≤ the
+    * final watermark (max event time, ms-truncated, − 10 min) — which is
+    * what a downstream batch consumer of the sink directory would see.
+    * The memory-sink variants above are the harness drain; this is the
+    * durable path. */
+  def windowedAggregateToParquet(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val outDir = s"/tmp/graft_stream_sink/$id/out"
+      val ckDir = s"/tmp/graft_stream_sink/$id/ck"
+      val stream = readEvents(spark, sfDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.read.parquet(outDir)
+        .orderBy(col("window_start"), col("event_type"))
+    }
+
   /** Streaming exact-dedup: first arrival per (user_id, event_type) via
     * dropDuplicates under a watermark — the streaming face of the dedup
     * operator family. Only the key columns are emitted, so the result is

@@ -23,6 +23,23 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch divergence: ${a.length} vs ${b.length}")
   }
 
+  test("parquet file sink: append-mode windows subset the complete-mode result " +
+      "and the sink carries the exactly-once manifest") {
+    val sink = EventStreams.windowedAggregateToParquet(spark, sfDir)
+    val complete = EventStreams.windowedAggregate(spark, sfDir)
+    val sinkRows = sink.collect().map(_.toString).toSet
+    val allRows = complete.collect().map(_.toString).toSet
+    assert(sinkRows.nonEmpty)
+    assert(sinkRows.subsetOf(allRows), "file-sink rows must be finalized windows of the full set")
+    assert(sinkRows.size < allRows.size,
+      "windows past the final watermark must be withheld in append mode")
+    // the sink directory carries the streaming commit manifest (_spark_metadata),
+    // the mechanism that makes the parquet sink exactly-once
+    val outDir = sink.inputFiles.head.replaceAll("/[^/]*$", "").replaceAll("^file:", "")
+    assert(new java.io.File(outDir, "_spark_metadata").exists(),
+      s"no _spark_metadata under $outDir")
+  }
+
   test("sessionization: session stats are consistent with raw events") {
     val sessions = EventStreams.sessionize(spark, sfDir)
     val rows = sessions.collect()
