@@ -189,12 +189,15 @@ object BarrierTrainer {
     val gain = new ArrayBuffer[Float]
     val loB = new ArrayBuffer[Double] // monotone weight bounds
     val hiB = new ArrayBuffer[Double]
+    val allowedB = new ArrayBuffer[Array[Long]] // interaction masks (null = all)
+    val um = SplitFinder.Interactions.unionMasks(p.interactionConstraints, m)
     def addNode(gs: Double, hs: Double,
         wLo: Double = Double.NegativeInfinity,
-        wHi: Double = Double.PositiveInfinity): Int = {
+        wHi: Double = Double.PositiveInfinity,
+        mask: Array[Long] = null): Int = {
       feature += -1; threshold += 0f; binIdx += -1; defaultLeft += true
       left += -1; right += -1; gSum += gs; hSum += hs; gain += 0f
-      loB += wLo; hiB += wHi
+      loB += wLo; hiB += wHi; allowedB += mask
       feature.length - 1
     }
 
@@ -255,7 +258,7 @@ object BarrierTrainer {
           hist, s * m * MaxBins * 2, (s + 1) * m * MaxBins * 2)
         if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
           SplitFinder.findBest(slice, MaxBins, cuts, nodeFeats,
-            gSum(node), hSum(node), p, loB(node), hiB(node)).foreach { sp =>
+            gSum(node), hSum(node), p, loB(node), hiB(node), allowedB(node)).foreach { sp =>
             splits(s) = sp
             feature(node) = sp.feature
             threshold(node) = sp.threshold
@@ -263,8 +266,10 @@ object BarrierTrainer {
             defaultLeft(node) = sp.defaultLeft
             gain(node) = sp.gain.toFloat
             val (ll, lh, rl, rh) = SplitFinder.childBounds(sp, p, loB(node), hiB(node))
-            left(node) = addNode(sp.gl, sp.hl, ll, lh)
-            right(node) = addNode(sp.gr, sp.hr, rl, rh)
+            val cm = if (um == null) null
+              else SplitFinder.Interactions.childMask(allowedB(node), um, sp.feature)
+            left(node) = addNode(sp.gl, sp.hl, ll, lh, cm)
+            right(node) = addNode(sp.gr, sp.hr, rl, rh, cm)
             leaves += 1
           }
         s += 1

@@ -160,6 +160,7 @@ final case class BoosterParams(
     growPolicy: String = "depthwise",
     maxLeaves: Int = 0,
     monotoneConstraints: Array[Int] = null, // per-feature -1|0|1; null = none
+    interactionConstraints: Array[Array[Int]] = null, // feature groups; null = none
     scalePosWeight: Double = 1.0,
     objective: String = "reg:squarederror",
     numClass: Int = 0,

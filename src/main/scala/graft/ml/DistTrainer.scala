@@ -198,13 +198,16 @@ object DistTrainer {
     val gain = new ArrayBuffer[Float]
     val loB = new ArrayBuffer[Double] // monotone weight bounds
     val hiB = new ArrayBuffer[Double]
+    val allowedB = new ArrayBuffer[Array[Long]] // interaction masks (null = all)
+    val um = SplitFinder.Interactions.unionMasks(p.interactionConstraints, m)
 
     def addNode(g: Double, h: Double,
         wLo: Double = Double.NegativeInfinity,
-        wHi: Double = Double.PositiveInfinity): Int = {
+        wHi: Double = Double.PositiveInfinity,
+        mask: Array[Long] = null): Int = {
       feature += -1; binIdx += -1; defaultLeft += true; left += -1; right += -1
       threshold += 0f; gSum += g; hSum += h; gain += 0f
-      loB += wLo; hiB += wHi
+      loB += wLo; hiB += wHi; allowedB += mask
       feature.length - 1
     }
     addNode(Double.NaN, Double.NaN) // root stats discovered by level-0 aggregate
@@ -321,15 +324,17 @@ object DistTrainer {
         val slice = java.util.Arrays.copyOfRange(hist, s * unit, (s + 1) * unit)
         if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
           SplitFinder.findBest(slice, MaxBins, cutsBc.value, nodeFeats,
-            gSum(node), hSum(node), p, loB(node), hiB(node)).foreach { sp =>
+            gSum(node), hSum(node), p, loB(node), hiB(node), allowedB(node)).foreach { sp =>
             feature(node) = sp.feature
             binIdx(node) = sp.binIdx
             threshold(node) = sp.threshold
             defaultLeft(node) = sp.defaultLeft
             gain(node) = sp.gain.toFloat
             val (ll, lh, rl, rh) = SplitFinder.childBounds(sp, p, loB(node), hiB(node))
-            left(node) = addNode(sp.gl, sp.hl, ll, lh)
-            right(node) = addNode(sp.gr, sp.hr, rl, rh)
+            val cm = if (um == null) null
+              else SplitFinder.Interactions.childMask(allowedB(node), um, sp.feature)
+            left(node) = addNode(sp.gl, sp.hl, ll, lh, cm)
+            right(node) = addNode(sp.gr, sp.hr, rl, rh, cm)
             nextParents += s
             nextComputeLeft += (sp.hl <= sp.hr) // accumulate the lighter child
             leaves += 1

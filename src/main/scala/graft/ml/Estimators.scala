@@ -226,6 +226,7 @@ class XgboostRegressor(override val uid: String)
   def setArbitraryParams(v: String): this.type = set(arbitraryParams, v)
   def setBaseScore(v: Double): this.type = set(baseScore, v)
   def setMonotoneConstraints(v: String): this.type = set(monotoneConstraints, v)
+  def setInteractionConstraints(v: String): this.type = set(interactionConstraints, v)
 
   override def fit(dataset: Dataset[_]): XgboostRegressorModel = {
     transformSchema(dataset.schema)
@@ -370,6 +371,7 @@ class XgboostClassifier(override val uid: String)
   def setArbitraryParams(v: String): this.type = set(arbitraryParams, v)
   def setBaseScore(v: Double): this.type = set(baseScore, v)
   def setMonotoneConstraints(v: String): this.type = set(monotoneConstraints, v)
+  def setInteractionConstraints(v: String): this.type = set(interactionConstraints, v)
 
   override def fit(dataset: Dataset[_]): XgboostClassifierModel = {
     transformSchema(dataset.schema)

@@ -68,7 +68,8 @@ object SplitFinder {
       hist: Array[Double], maxBins: Int, cuts: BinCuts,
       features: Array[Int], gNode: Double, hNode: Double,
       p: BoosterParams, lo: Double = Double.NegativeInfinity,
-      hi: Double = Double.PositiveInfinity): Option[Split] = {
+      hi: Double = Double.PositiveInfinity,
+      allowed: Array[Long] = null): Option[Split] = {
     var best: Split = null
     val mono = p.monotoneConstraints
     var fi = 0
@@ -76,7 +77,7 @@ object SplitFinder {
       val f = features(fi)
       val cons = if (mono != null && f < mono.length) mono(f) else 0
       val nCuts = cuts.cuts(f).length
-      if (nCuts > 0) {
+      if (nCuts > 0 && (allowed == null || Interactions.bit(allowed, f))) {
         val base = f * maxBins * 2
         // non-missing totals for this feature → derive missing-row stats
         var gSum = 0.0
@@ -134,6 +135,47 @@ object SplitFinder {
 
   @inline def clamp(w: Double, lo: Double, hi: Double): Double =
     if (w < lo) lo else if (w > hi) hi else w
+
+  /** Interaction-constraint bitmask machinery (xgboost semantics: a
+    * node's allowed features = parent's allowed ∩ union of the groups
+    * containing the parent's split feature; a feature in no group forms a
+    * singleton). Masks are Long-word bitsets; `null` = all allowed. */
+  object Interactions {
+    def bit(mask: Array[Long], f: Int): Boolean =
+      (mask(f >> 6) & (1L << (f & 63))) != 0
+
+    /** Per-feature union-of-containing-groups masks, or null if no
+      * constraints. */
+    def unionMasks(groups: Array[Array[Int]], numFeatures: Int): Array[Array[Long]] = {
+      if (groups == null || groups.isEmpty) return null
+      val words = (numFeatures + 63) >> 6
+      val masks = Array.tabulate(numFeatures) { f =>
+        val m = new Array[Long](words)
+        m(f >> 6) |= (1L << (f & 63)) // singleton fallback
+        m
+      }
+      groups.foreach { g =>
+        g.foreach { f =>
+          if (f < numFeatures) g.foreach { o =>
+            if (o < numFeatures) masks(f)(o >> 6) |= (1L << (o & 63))
+          }
+        }
+      }
+      masks
+    }
+
+    /** Child allowed-mask after splitting on `f`: parent ∩ unionMask(f). */
+    def childMask(parent: Array[Long], unionMasks: Array[Array[Long]], f: Int): Array[Long] = {
+      val u = unionMasks(f)
+      if (parent == null) u.clone()
+      else {
+        val out = new Array[Long](u.length)
+        var i = 0
+        while (i < u.length) { out(i) = parent(i) & u(i); i += 1 }
+        out
+      }
+    }
+  }
 
   /** Child weight bounds after an accepted split (xgboost's propagation):
     * on a constrained feature the children split the parent's range at
@@ -219,13 +261,15 @@ object Trainer {
     val gain = new ArrayBuffer[Float]
     val lo = new ArrayBuffer[Double] // monotone weight bounds
     val hi = new ArrayBuffer[Double]
+    val allowed = new ArrayBuffer[Array[Long]] // interaction masks (null = all)
 
     def addNode(g: Double, h: Double, d: Int,
         wLo: Double = Double.NegativeInfinity,
-        wHi: Double = Double.PositiveInfinity): Int = {
+        wHi: Double = Double.PositiveInfinity,
+        mask: Array[Long] = null): Int = {
       feature += -1; threshold += 0f; defaultLeft += true
       left += -1; right += -1; gSum += g; hSum += h; depth += d; gain += 0f
-      lo += wLo; hi += wHi
+      lo += wLo; hi += wHi; allowed += mask
       feature.length - 1
     }
 
@@ -397,6 +441,7 @@ object Trainer {
     }
     growth.addNode(gRoot, hRoot, 0)
     var leaves = 1
+    val um = SplitFinder.Interactions.unionMasks(p.interactionConstraints, m)
 
     var depth = 0
     var levelStart = 0 // nodes [levelStart, levelEnd) are the current level
@@ -440,15 +485,17 @@ object Trainer {
         if (p.maxLeaves <= 0 || leaves < p.maxLeaves)
           SplitFinder.findBest(slice, MaxBins, cuts, nodeFeats,
             growth.gSum(node), growth.hSum(node), p,
-            growth.lo(node), growth.hi(node)).foreach { sp =>
+            growth.lo(node), growth.hi(node), growth.allowed(node)).foreach { sp =>
             splits(s) = sp
             growth.feature(node) = sp.feature
             growth.threshold(node) = sp.threshold
             growth.defaultLeft(node) = sp.defaultLeft
             growth.gain(node) = sp.gain.toFloat
             val (ll, lh, rl, rh) = SplitFinder.childBounds(sp, p, growth.lo(node), growth.hi(node))
-            growth.left(node) = growth.addNode(sp.gl, sp.hl, depth + 1, ll, lh)
-            growth.right(node) = growth.addNode(sp.gr, sp.hr, depth + 1, rl, rh)
+            val cm = if (um == null) null
+              else SplitFinder.Interactions.childMask(growth.allowed(node), um, sp.feature)
+            growth.left(node) = growth.addNode(sp.gl, sp.hl, depth + 1, ll, lh, cm)
+            growth.right(node) = growth.addNode(sp.gr, sp.hr, depth + 1, rl, rh, cm)
             leaves += 1
           }
         s += 1
@@ -503,6 +550,7 @@ object Trainer {
     growth.addNode(gRoot, hRoot, 0)
     val maxLeaves = if (p.maxLeaves > 0) p.maxLeaves else Int.MaxValue
     val depthCap = if (p.maxDepth > 0) p.maxDepth else 64
+    val um = SplitFinder.Interactions.unionMasks(p.interactionConstraints, m)
 
     def nodeHist(node: Int, feats: Array[Int]): Array[Double] = {
       val hist = new Array[Double](m * MaxBins * 2)
@@ -535,7 +583,7 @@ object Trainer {
         FeatureSampling.nodeKey(p.seed, round, cls, node))
       SplitFinder.findBest(nodeHist(node, levelFeats), MaxBins, cuts, nodeFeats,
         growth.gSum(node), growth.hSum(node), p,
-        growth.lo(node), growth.hi(node)).map(sp => (sp.gain, node, sp))
+        growth.lo(node), growth.hi(node), growth.allowed(node)).map(sp => (sp.gain, node, sp))
     }
 
     // highest gain expands first; lower node id breaks ties deterministically
@@ -551,8 +599,10 @@ object Trainer {
       growth.gain(node) = sp.gain.toFloat
       val childDepth = growth.depth(node) + 1
       val (ll, lh, rl, rh) = SplitFinder.childBounds(sp, p, growth.lo(node), growth.hi(node))
-      val l = growth.addNode(sp.gl, sp.hl, childDepth, ll, lh)
-      val r = growth.addNode(sp.gr, sp.hr, childDepth, rl, rh)
+      val cm = if (um == null) null
+        else SplitFinder.Interactions.childMask(growth.allowed(node), um, sp.feature)
+      val l = growth.addNode(sp.gl, sp.hl, childDepth, ll, lh, cm)
+      val r = growth.addNode(sp.gr, sp.hr, childDepth, rl, rh, cm)
       growth.left(node) = l
       growth.right(node) = r
       i = 0

@@ -24,7 +24,26 @@ object XGBoostParams {
     * reference's silent pass-through to native xgboost. */
   val KnownUnimplementedKeys: Set[String] = Set(
     "booster", "sampling_method", "num_parallel_tree",
-    "interaction_constraints", "max_cat_to_onehot", "gpu_id", "callbacks")
+    "max_cat_to_onehot", "gpu_id", "callbacks")
+
+  /** "[[0,1],[2,3]]" → Array(Array(0,1), Array(2,3)); empty → null. */
+  def parseInteractions(s: String): Array[Array[Int]] = {
+    val t = s.trim
+    if (t.isEmpty || t == "[]") return null
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(t) match {
+      case JArray(groups) =>
+        val out = groups.map {
+          case JArray(fs) => fs.map {
+            case JInt(i) => i.toInt
+            case other => throw new IllegalArgumentException(s"feature index expected, got $other")
+          }.toArray
+          case other => throw new IllegalArgumentException(s"feature group expected, got $other")
+        }.toArray
+        if (out.isEmpty) null else out
+      case other => throw new IllegalArgumentException(s"interaction_constraints must be a list of lists, got $other")
+    }
+  }
 
   /** "(1,0,-1)" / "[1,0,-1]" / "1,0,-1" → Array(1, 0, -1). */
   def parseMonotone(s: String): Array[Int] = {
@@ -110,6 +129,9 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
   final val monotoneConstraints = new Param[String](this, "monotoneConstraints",
     "per-feature monotonicity as xgboost's tuple string, e.g. \"(1,0,-1)\": " +
     "1 = prediction non-decreasing in the feature, -1 = non-increasing, 0 = free")
+  final val interactionConstraints = new Param[String](this, "interactionConstraints",
+    "feature groups allowed to interact, xgboost's nested-list string, e.g. " +
+    "\"[[0,1],[2,3,4]]\"; a branch may only combine features sharing a group")
   final val scalePosWeight = new DoubleParam(this, "scalePosWeight",
     "positive-class weight multiplier", ParamValidators.gt(0))
   final val objective = new Param[String](this, "objective",
@@ -149,7 +171,7 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
     gamma -> 0.0, minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
     colsampleBylevel -> 1.0, colsampleBynode -> 1.0, maxDeltaStep -> 0.0,
     maxBin -> 256, growPolicy -> "depthwise", maxLeaves -> 0, treeMethod -> "",
-    monotoneConstraints -> "",
+    monotoneConstraints -> "", interactionConstraints -> "",
     scalePosWeight -> 1.0, numClass -> 0, baseScore -> 0.5, missing -> Float.NaN,
     seed -> 0L, earlyStoppingRounds -> 0, treeLimit -> 0,
     arbitraryParams -> "{}", xgbModel -> "")
@@ -185,6 +207,7 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
       colsampleBynode = $(colsampleBynode), maxDeltaStep = $(maxDeltaStep),
       maxBin = mb, growPolicy = $(growPolicy), maxLeaves = $(maxLeaves),
       monotoneConstraints = XGBoostParams.parseMonotone(getOrDefault(monotoneConstraints)),
+      interactionConstraints = XGBoostParams.parseInteractions(getOrDefault(interactionConstraints)),
       scalePosWeight = $(scalePosWeight),
       objective = resolvedObjective, numClass = resolvedNumClass,
       baseScore = $(baseScore), missing = $(missing), seed = $(seed),
@@ -229,6 +252,11 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
         case ("monotone_constraints", JArray(vs)) =>
           bp = bp.copy(monotoneConstraints =
             XGBoostParams.parseMonotone(vs.map(num(_).toInt).mkString(",")))
+        case ("interaction_constraints", JString(s)) =>
+          bp = bp.copy(interactionConstraints = XGBoostParams.parseInteractions(s))
+        case ("interaction_constraints", v @ JArray(_)) =>
+          bp = bp.copy(interactionConstraints = XGBoostParams.parseInteractions(
+            org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v))))
         case ("scale_pos_weight", v) => bp = bp.copy(scalePosWeight = num(v))
         case ("base_score", v) => bp = bp.copy(baseScore = num(v))
         case ("n_estimators" | "num_boost_round", v) => bp = bp.copy(numRounds = num(v).toInt)

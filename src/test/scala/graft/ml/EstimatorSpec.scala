@@ -228,9 +228,9 @@ class EstimatorSpec extends AnyFunSuite {
       "instead of silently ignoring them") {
     val est = new XgboostRegressor()
     est.set(est.arbitraryParams,
-      """{"interaction_constraints": "[[0,1]]", "frobnicate": 1, "verbosity": 2, "booster": "gbtree"}""")
+      """{"num_parallel_tree": 4, "frobnicate": 1, "verbosity": 2, "booster": "gbtree"}""")
     val (_, warnings) = est.boosterParamsWithWarnings("reg:squarederror", 0)
-    assert(warnings.exists(w => w.contains("interaction_constraints") && w.contains("NOT implemented")),
+    assert(warnings.exists(w => w.contains("num_parallel_tree") && w.contains("NOT implemented")),
       s"expected unimplemented-key warning, got $warnings")
     assert(warnings.exists(w => w.contains("frobnicate") && w.contains("unknown")),
       s"expected unknown-key warning, got $warnings")
@@ -289,6 +289,46 @@ class EstimatorSpec extends AnyFunSuite {
     val viaArbitrary = new XgboostRegressor().setNEstimators(10).setMaxDepth(4)
     viaArbitrary.set(viaArbitrary.arbitraryParams, """{"monotone_constraints": "(1,0)"}""")
     assert(violations(predsAlongF0(viaArbitrary.fit(df))) == 0)
+  }
+
+  test("interaction_constraints confine every tree path to one feature group " +
+      "(single-node and distributed)") {
+    val rng = new scala.util.Random(83)
+    // label needs the CROSS-group product x0*x2 — an unconstrained model
+    // will put f0 and f2 on one path; the constraint must forbid it
+    val rows = Seq.fill(500)({
+      val f = Array.fill(4)(rng.nextDouble() * 4)
+      (Vectors.dense(f), f(0) * f(2) + rng.nextGaussian() * 0.1)
+    })
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    // groups: {0,1} and {2,3} — f0 may never share a path with f2/f3
+    def pathsRespectGroups(model: XgboostRegressorModel): Boolean = {
+      val groups = Seq(Set(0, 1), Set(2, 3))
+      model.booster.trees.forall { t =>
+        def walk(node: Int, path: Set[Int]): Boolean = {
+          if (t.left(node) < 0) true
+          else {
+            val p2 = path + t.feature(node)
+            groups.exists(g => p2.subsetOf(g)) &&
+              walk(t.left(node), p2) && walk(t.right(node), p2)
+          }
+        }
+        walk(0, Set.empty)
+      }
+    }
+    val free = new XgboostRegressor().setNEstimators(10).setMaxDepth(4).fit(df)
+    assert(!pathsRespectGroups(free),
+      "fixture too easy: the unconstrained model should mix groups on a path")
+    val constrained = new XgboostRegressor().setNEstimators(10).setMaxDepth(4)
+      .setInteractionConstraints("[[0,1],[2,3]]").fit(df)
+    assert(pathsRespectGroups(constrained), "constrained paths must stay within a group")
+    val dist = new XgboostRegressor().setNEstimators(8).setMaxDepth(4).setNumWorkers(2)
+      .setInteractionConstraints("[[0,1],[2,3]]").fit(df)
+    assert(pathsRespectGroups(dist), "distributed path must enforce too")
+    // arbitraryParams spelling works as well
+    val viaArb = new XgboostRegressor().setNEstimators(5).setMaxDepth(4)
+    viaArb.set(viaArb.arbitraryParams, """{"interaction_constraints": "[[0,1],[2,3]]"}""")
+    assert(pathsRespectGroups(viaArb.fit(df)))
   }
 
   test("regressor objectives reg:logistic and count:poisson transform predictions " +
