@@ -59,6 +59,33 @@ object TextQueriesImpl {
         FROM documents)
       ORDER BY doc_id"""))
 
+  /** Within-document repetition (the Gopher-style duplicate-trigram rule):
+    * rep_ratio = 1 − distinct trigrams / total trigrams. High values mark
+    * boilerplate/spam for corpus filtering. Single-scan projection. */
+  val repetition = Q(
+    "q_text_repetition",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nTok = size(TextFunctions.tokens(col("text")))
+      val total = greatest(nTok - 2, lit(1)).cast("double")
+      val distinctGrams = size(graft.operators.Dedup.wordNgrams(col("text"), 3)).cast("double")
+      docs.select(col("doc_id"),
+        total.cast("long").as("total_grams"),
+        distinctGrams.cast("long").as("distinct_grams"),
+        round(lit(1.0) - distinctGrams / total, 4).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          greatest(len(toks) - 2, 1) AS total_grams,
+          len(list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+            for i in range(1, greatest(len(toks) - 1, 2))])) AS distinct_grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents))
+      SELECT doc_id, total_grams, distinct_grams,
+        round(1.0 - distinct_grams * 1.0 / total_grams, 4) AS rep_ratio
+      FROM d ORDER BY doc_id"""))
+
   /** Language ID (stopword-profile heuristic) scored against the table's
     * lang column. Oracle: the same argmax-of-stopword-hits heuristic in
     * DuckDB SQL (ties go to the alphabetically-first language, matching
@@ -137,6 +164,6 @@ object TextQueriesImpl {
       FROM events GROUP BY event_type, k_bucket
       ORDER BY event_type, k_bucket"""))
 
-  def all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprintMd5,
+  def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
     fingerprintFnv, jsonMeta)
 }
