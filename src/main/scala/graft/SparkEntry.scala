@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.DedupQueries.all ++
     graft.queries.SimilarityQueries.all ++
     graft.queries.MiscQueriesImpl.all ++
-    graft.queries.CurationQueriesImpl.all
+    graft.queries.CurationQueriesImpl.all ++
+    graft.queries.JoinQueriesImpl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

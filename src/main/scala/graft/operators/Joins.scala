@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators a feature/training pipeline needs that Spark SQL
+  * lacks as built-ins: the point-in-time (as-of) join and the
+  * point-in-interval range join.
+  *
+  * Both are implemented WITHOUT an inequality join: Spark plans a bare
+  * `t1.t <= t2.t` predicate as a broadcast-nested-loop / cartesian product,
+  * which is O(n*m) and a non-starter at 100 TB.
+  *
+  *   - As-of join: union-tag both sides, hash-partition by the join key,
+  *     sort within partition by (time, side, tiebreak), forward-fill the
+  *     right row with a running `last(ignoreNulls)` window. Cost: one
+  *     shuffle of each side on the key + one in-partition sort — the same
+  *     plan shape as a sort-merge join, and the running-frame window
+  *     aggregates incrementally (O(rows) per partition).
+  *   - Range join: quantize time into buckets at least as wide as the
+  *     longest interval, explode each interval to the (<= 2) buckets it
+  *     touches, equi-join points on the bucket, then filter exact
+  *     containment. Turns the inequality into a shuffle hash join whose
+  *     per-bucket fan-out is bounded by interval density, independent of
+  *     total table size.
+  */
+object Joins {
+
+  /** Backward (most-recent-prior, inclusive) as-of join.
+    *
+    * For each left row, attaches the right row with the greatest
+    * `rightTime <= leftTime` for the same key; ties on `rightTime` break to
+    * the greatest `tieBreak`. Left rows with no prior right row keep null
+    * payload columns (left-outer semantics).
+    *
+    * @param leftOut   left columns to carry into the output (must exist)
+    * @param rightPayload right columns attached to each matched left row
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      leftOut: Seq[String],
+      rightPayload: Seq[String],
+      tieBreak: String): DataFrame = {
+    val payloadCols =
+      if (rightPayload.contains(tieBreak)) rightPayload else rightPayload :+ tieBreak
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+
+    // side 0 = right, 1 = left: at equal times the right row sorts first,
+    // so an exactly-simultaneous right row is visible to the left row
+    // (inclusive <=). Among equal-time right rows the greatest tieBreak
+    // sorts last and wins the forward fill.
+    val taggedRight = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(tieBreak).as("__tb"), payloadStruct.as("__r"))
+
+    val leftCarried = left.select(
+      (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(right.schema(tieBreak).dataType).as("__tb"),
+        lit(null).cast(payloadType).as("__r")) ++ leftOut.map(col)): _*)
+    val rightPadded = taggedRight.select(
+      (taggedRight.columns.map(col).toSeq ++
+        leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rightPadded.unionByName(leftCarried)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select((leftOut.map(col) ++
+        rightPayload.map(c => col(s"__match.$c").as(c))): _*)
+  }
+
+  /** Point-in-interval range join, aggregated per point.
+    *
+    * Intervals are `[startCol, startCol + lengthDays)`; every point row is
+    * joined to the intervals containing it via a bucket equi-join
+    * (bucket width = interval length, so each interval spans at most two
+    * buckets), then `aggs` run grouped by the point's id. Points contained
+    * in no interval survive with count 0 / null sums (left-outer).
+    *
+    * `pointTime`/`intervalStart` must be timestamp columns; `lengthDays`
+    * bounds every interval, which is what makes the bucket fan-out finite.
+    */
+  def rangeJoinAgg(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointId: String,
+      pointTime: String,
+      intervalStart: String,
+      lengthDays: Int,
+      aggs: Seq[Column]): DataFrame = {
+    val secs = lengthDays * 86400L
+    val pts = points.select(col(pointId), col(pointTime).as("__pt"),
+      (unix_timestamp(col(pointTime)) / secs).cast("long").as("__b"))
+    // an interval [s, s+len) touches bucket(s) and bucket(s+len-ε); with
+    // bucket == len those are at most two distinct values
+    val ivs = intervals
+      .withColumn("__s", col(intervalStart))
+      .withColumn("__bs", (unix_timestamp(col("__s")) / secs).cast("long"))
+      .withColumn("__be",
+        ((unix_timestamp(col("__s")) + secs - 1) / secs).cast("long"))
+      .withColumn("__b", explode(array_distinct(array(col("__bs"), col("__be")))))
+      .drop("__bs", "__be")
+
+    pts.join(ivs,
+        pts("__b") === ivs("__b") &&
+          col("__pt") >= col("__s") &&
+          col("__pt") < col("__s") + expr(s"INTERVAL $lengthDays DAYS"),
+        "left")
+      .groupBy(col(pointId))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

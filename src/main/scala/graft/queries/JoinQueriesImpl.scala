@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Joins
+
+/** Temporal-join queries: point-in-time (as-of) and range joins — the
+  * feature-lookup shapes a training pipeline runs constantly and Spark has
+  * no built-in operator for. Both avoid the O(n*m) inequality-join plan
+  * (see [[graft.operators.Joins]] scale notes).
+  *
+  * Events live in 2024 while orders span 1995–2001, so each event derives a
+  * deterministic `as_of_ts` inside the order history (event_id % 2400 days
+  * from 1995-01-01) — every lookup lands at a different point of the
+  * history, exercising early/late/no-match cases.
+  */
+object JoinQueriesImpl {
+
+  private def withAsOfTs(e: org.apache.spark.sql.DataFrame) =
+    e.withColumn("as_of_ts",
+      expr("cast(date_add(date'1995-01-01', cast(event_id % 2400 as int)) as timestamp)"))
+
+  /** As-of join: each event → the user's most recent order at or before
+    * as_of_ts (ties → greatest o_orderkey). Oracle replays it as a
+    * windowed left join in DuckDB. */
+  val asofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val events = withAsOfTs(Tables.events(s, dir))
+      val orders = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey").as("asof_orderkey"),
+        round(col("o_totalprice"), 2).as("asof_price"))
+      Joins.asofJoinBackward(
+        events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "as_of_ts", rightTime = "o_orderdate",
+        leftOut = Seq("event_id", "user_id", "as_of_ts"),
+        rightPayload = Seq("asof_orderkey", "asof_price"),
+        tieBreak = "asof_orderkey")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (
+        SELECT event_id, user_id,
+          CAST(DATE '1995-01-01' + INTERVAL (event_id % 2400) DAY AS TIMESTAMP) AS as_of_ts
+        FROM events),
+      j AS (
+        SELECT e.event_id, e.user_id, e.as_of_ts,
+          o.o_orderkey, o.o_totalprice,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.as_of_ts)
+      SELECT event_id, user_id, as_of_ts,
+        o_orderkey AS asof_orderkey, round(o_totalprice, 2) AS asof_price
+      FROM j WHERE rn = 1 ORDER BY event_id"""))
+
+  /** Range join: per event, how many urgent-order 7-day windows contain its
+    * as_of_ts, and their total price. Bucketed equi-join (bucket = window
+    * length), no nested-loop. Oracle is the direct inequality join. */
+  val rangeJoin = Q(
+    "q_range_join",
+    (s, dir) => {
+      val events = withAsOfTs(Tables.events(s, dir))
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+      Joins.rangeJoinAgg(
+        points = events, intervals = urgent,
+        pointId = "event_id", pointTime = "as_of_ts",
+        intervalStart = "o_orderdate", lengthDays = 7,
+        aggs = Seq(
+          count(col("o_orderkey")).as("n_open"),
+          round(sum(col("o_totalprice")), 2).as("open_price")))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (
+        SELECT event_id,
+          CAST(DATE '1995-01-01' + INTERVAL (event_id % 2400) DAY AS TIMESTAMP) AS as_of_ts
+        FROM events),
+      u AS (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT e.event_id, count(u.o_orderkey) AS n_open,
+        round(sum(u.o_totalprice), 2) AS open_price
+      FROM e LEFT JOIN u
+        ON e.as_of_ts >= u.o_orderdate
+       AND e.as_of_ts < u.o_orderdate + INTERVAL 7 DAY
+      GROUP BY e.event_id ORDER BY e.event_id"""))
+
+  def all: Seq[Q] = Seq(asofJoin, rangeJoin)
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    // key, time, trade id
+    (1L, ts("2020-01-01 00:00:05"), 100L),
+    (1L, ts("2020-01-01 00:00:10"), 101L),
+    (1L, ts("2020-01-01 00:00:01"), 102L), // before any quote -> no match
+    (2L, ts("2020-01-01 00:00:05"), 200L), // equal-time quote -> included
+    (3L, ts("2020-01-01 00:00:05"), 300L)  // key with no quotes at all
+  ).toDF("sym", "t", "trade_id")
+
+  private lazy val quotes = Seq(
+    // key, time, quote id, px
+    (1L, ts("2020-01-01 00:00:03"), 10L, 1.0),
+    (1L, ts("2020-01-01 00:00:07"), 11L, 2.0),
+    (1L, ts("2020-01-01 00:00:07"), 12L, 3.0), // tie on time -> greatest id wins
+    (2L, ts("2020-01-01 00:00:05"), 20L, 4.0)
+  ).toDF("sym", "qt", "quote_id", "px")
+
+  test("asofJoinBackward picks most recent prior row, inclusive, with tiebreak") {
+    val out = Joins.asofJoinBackward(
+        trades, quotes,
+        leftKey = "sym", rightKey = "sym",
+        leftTime = "t", rightTime = "qt",
+        leftOut = Seq("trade_id"),
+        rightPayload = Seq("quote_id", "px"),
+        tieBreak = "quote_id")
+      .orderBy($"trade_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.get(2))))
+
+    assert(out.toSeq === Seq(
+      (100L, Some(10L), Some(1.0)),  // 00:05 -> quote at 00:03
+      (101L, Some(12L), Some(3.0)),  // 00:10 -> tie at 00:07, id 12 wins
+      (102L, None, None),            // before first quote
+      (200L, Some(20L), Some(4.0)),  // equal time is inclusive
+      (300L, None, None)))           // key never quoted
+  }
+
+  test("asofJoinBackward plans no nested-loop or cartesian join") {
+    val out = Joins.asofJoinBackward(trades, quotes, "sym", "sym", "t", "qt",
+      Seq("trade_id"), Seq("quote_id"), "quote_id")
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect {
+      case b: BroadcastNestedLoopJoinExec => b
+      case c: CartesianProductExec => c
+    }.isEmpty, plan.toString)
+  }
+
+  test("rangeJoinAgg counts containing intervals across bucket boundaries") {
+    // bucket width = interval length = 2 days; interval B spans two buckets
+    val points = Seq(
+      (1L, ts("2020-01-02 12:00:00")), // inside A only
+      (2L, ts("2020-01-03 12:00:00")), // inside A and B (B started Jan 2)
+      (3L, ts("2020-01-04 23:00:00")), // inside C only; C starts mid-bucket
+      (4L, ts("2020-03-01 00:00:00"))  // inside nothing
+    ).toDF("pid", "pt")
+    val intervals = Seq(
+      (10L, ts("2020-01-02 00:00:00"), 5.0), // A: [Jan2, Jan4)
+      (11L, ts("2020-01-02 06:00:00"), 7.0), // B: [Jan2 06:00, Jan4 06:00)
+      (12L, ts("2020-01-04 20:00:00"), 9.0)  // C: [Jan4 20:00, Jan6 20:00)
+    ).toDF("iid", "istart", "w")
+
+    val out = Joins.rangeJoinAgg(points, intervals, "pid", "pt", "istart",
+        lengthDays = 2,
+        aggs = Seq(count($"iid").as("n"), sum($"w").as("sw")))
+      .orderBy($"pid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+
+    assert(out.toSeq === Seq(
+      (1L, 2L, Some(12.0)), // A and B both contain Jan 2 12:00
+      (2L, 2L, Some(12.0)),
+      (3L, 1L, Some(9.0)),
+      (4L, 0L, None)))
+  }
+
+  test("rangeJoinAgg plans no nested-loop or cartesian join") {
+    val points = Seq((1L, ts("2020-01-02 12:00:00"))).toDF("pid", "pt")
+    val intervals = Seq((10L, ts("2020-01-02 00:00:00"), 5.0)).toDF("iid", "istart", "w")
+    val out = Joins.rangeJoinAgg(points, intervals, "pid", "pt", "istart", 2,
+      Seq(count($"iid").as("n")))
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect {
+      case b: BroadcastNestedLoopJoinExec => b
+      case c: CartesianProductExec => c
+    }.isEmpty, plan.toString)
+  }
+}
