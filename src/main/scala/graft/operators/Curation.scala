@@ -80,6 +80,23 @@ object Curation {
     df.where(pmod(col(idCol), lit(100)) < pct)
   }
 
+  /** PII patterns (ASCII, RE2-compatible so a DuckDB oracle can replay
+    * them exactly): email, NNN-NNN-NNNN phone, dotted-quad IPv4. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+  val Ipv4Re = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+
+  /** Redact PII in place: emails → <EMAIL>, phones → <PHONE>, IPv4 →
+    * <IP>. Email first so an address is consumed whole before the
+    * digit-oriented patterns see its local part. Pure codegen'd
+    * regexp_replace chain — a single-scan projection at any scale. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Top-k most frequent tokens per group (length ≥ minLen, stopwords
     * excluded), ranked (count desc, token asc) for determinism. */
   def topTerms(df: DataFrame, groupCol: String, textCol: String,

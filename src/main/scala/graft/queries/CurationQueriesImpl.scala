@@ -82,5 +82,46 @@ object CurationQueriesImpl {
             FROM f)
       SELECT source, rank, tok, n FROM r WHERE rank <= 5 ORDER BY source, rank"""))
 
-  def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms)
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * trigram with the "benchmark" set (docs with doc_id % 50 == 0 stand in
+    * for an eval suite). The real-pipeline shape: eval grams are tiny →
+    * broadcast; corpus grams are map-side semi-joined (never shuffled) and
+    * only (doc_id, partial count) reaches the exchange. A doc that is a
+    * near-copy of an eval doc lights up with a high n_shared. */
+  val decontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(col("doc_id"),
+        explode(graft.operators.Dedup.wordNgrams(col("text"), 3)).as("gram"))
+      val evalGrams = grams.where(col("doc_id") % 50 === 0)
+        .select("gram").distinct()
+      val hits = grams.where(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalGrams), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      docs.where(col("doc_id") % 50 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
+            for i in range(1, greatest(len(t) - 1, 2))]) AS grams
+        FROM toks),
+      eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+      dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0),
+      hit AS (SELECT dg.doc_id, count(*) AS n_shared
+        FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id)
+      SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+        coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      LEFT JOIN hit h USING (doc_id)
+      ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
+    decontaminate)
 }

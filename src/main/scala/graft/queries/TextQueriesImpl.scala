@@ -86,6 +86,84 @@ object TextQueriesImpl {
         round(1.0 - distinct_grams * 1.0 / total_grams, 4) AS rep_ratio
       FROM d ORDER BY doc_id"""))
 
+  /** PII redaction. The synthetic corpus carries no PII, so the query
+    * first injects deterministic email/phone/IPv4 strings derived from
+    * doc_id (same expression replayed in the oracle), then counts and
+    * redacts them with [[graft.operators.Curation.redactPii]]. What the
+    * oracle pins: the three redaction regexes behave identically under
+    * Java regex and RE2, and redaction is global, not first-match. */
+  val piiRedact = Q(
+    "q_pii_redact",
+    (s, dir) => {
+      import graft.operators.Curation
+      val docs = Tables.documents(s, dir)
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (expr("doc_id div 7") % 256).cast("string"))).otherwise(lit("")))
+      docs.select(col("doc_id"), injected.as("pii_text"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii_text"), lit(Curation.EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("pii_text"), lit(Curation.PhoneRe), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("pii_text"), lit(Curation.Ipv4Re), lit(0))).as("n_ips"),
+          md5(Curation.redactPii(col("pii_text"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+               THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) ELSE '' END
+          AS pii_text
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(pii_text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        len(regexp_extract_all(pii_text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ips,
+        md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+          '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS redacted_md5
+      FROM p ORDER BY doc_id"""))
+
+  /** Fixed-size token chunking with overlap (chunk 40, stride 32) — the
+    * standard pre-tokenization shard step. One explode per chunk; every
+    * token lands in ≥1 chunk; tail chunks may be short. Shuffle-free
+    * (scan → explode → projection). */
+  val chunkOverlap = Q(
+    "q_chunk_overlap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(0, int(greatest(ceil((size(t) - 40) / 32.0), 0)))")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          expr("slice(t, chunk_idx * 32 + 1, 40)").as("c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).as("chunk_tokens"),
+          md5(concat_ws(" ", col("c"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      c AS (SELECT doc_id, t,
+          unnest(range(0, 1 + greatest(CAST(ceil((len(t) - 40) / 32.0) AS INT), 0))) AS chunk_idx
+        FROM toks)
+      SELECT doc_id, chunk_idx,
+        len(t[chunk_idx*32 + 1 : chunk_idx*32 + 40]) AS chunk_tokens,
+        md5(list_aggregate(t[chunk_idx*32 + 1 : chunk_idx*32 + 40], 'string_agg', ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   /** Language ID (stopword-profile heuristic) scored against the table's
     * lang column. Oracle: the same argmax-of-stopword-hits heuristic in
     * DuckDB SQL (ties go to the alphabetically-first language, matching
@@ -165,5 +243,5 @@ object TextQueriesImpl {
       ORDER BY event_type, k_bucket"""))
 
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
-    fingerprintFnv, jsonMeta)
+    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap)
 }
