@@ -204,6 +204,68 @@ object DedupQueriesImpl {
         round(avg(quality), 4) AS avg_quality
       FROM dedup"""))
 
+  /** Near-dup CLUSTERS: similarity pairs are not transitive, so dedup
+    * must keep one doc per connected component of the similarity graph.
+    * Candidate pairs = docs sharing ≥1 RARE trigram (document frequency
+    * ≤ 20 — common shingles carry no dedup signal and capping df bounds
+    * the per-gram join fan-out at any corpus size); edges = candidates
+    * whose exact gram-set Jaccard ≥ 0.35 (sorted-merge kernel);
+    * clusters = min-label connected components. Every stage is exactly
+    * replayable in SQL, so this one IS oracle-checked (recursive-CTE
+    * reachability), unlike the seeded-LSH candidate paths. */
+  val clusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g = docs.select(col("doc_id"),
+        Dedup.wordNgrams(col("text"), 3).as("grams"),
+        Dedup.sortedGramHashes(col("text"), 3).as("h"))
+      val eg = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      val rare = eg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= 20).select("gram")
+      val re = eg.join(rare, "gram")
+      val cand = re.as("x").join(re.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
+        .distinct()
+      val edges = cand
+        .join(g.select(col("doc_id").as("u"), col("h").as("ha")), "u")
+        .join(g.select(col("doc_id").as("v"), col("h").as("hb")), "v")
+        .where(graft.functions.KernelExpressions.jaccard_sorted(
+          col("ha"), col("hb")) >= 0.35)
+        .select(col("u"), col("v"))
+      graft.operators.Components.connectedComponents(edges, "u", "v")
+        .groupBy(col("component").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"), sum(col("node")).as("members_sum"))
+        .where(col("n_members") > 1)
+        .orderBy(col("cluster_rep"))
+    },
+    Some("""WITH RECURSIVE
+      toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
+            for i in range(1, greatest(len(t) - 1, 2))]) AS grams
+        FROM toks),
+      eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      rare AS (SELECT gram FROM eg GROUP BY gram HAVING count(*) <= 20),
+      re AS (SELECT eg.doc_id, eg.gram FROM eg JOIN rare USING (gram)),
+      cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM re a JOIN re b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      ed AS (SELECT u, v FROM cand
+        JOIN g ga ON ga.doc_id = cand.u JOIN g gb ON gb.doc_id = cand.v
+        WHERE len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) * 1.0
+              / (len(ga.grams) + len(gb.grams)
+                 - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))) >= 0.35),
+      sym AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
+      reach(node, lab) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
+      comp AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
+      SELECT cluster_rep, count(*) AS n_members, sum(node) AS members_sum
+      FROM comp GROUP BY cluster_rep HAVING count(*) > 1
+      ORDER BY cluster_rep"""))
+
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
-    ngramJaccard, embedding, embeddingLsh, curation)
+    ngramJaccard, embedding, embeddingLsh, curation, clusters)
 }
