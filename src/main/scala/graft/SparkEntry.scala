@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.SimilarityQueries.all ++
     graft.queries.MiscQueriesImpl.all ++
     graft.queries.CurationQueriesImpl.all ++
-    graft.queries.JoinQueriesImpl.all
+    graft.queries.JoinQueriesImpl.all ++
+    graft.queries.SkewQueriesImpl.all ++
+    graft.queries.AnalyticsQueriesImpl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** OLAP analytics surface: multi-level aggregation (ROLLUP) and window
+  * functions — single-shuffle plans whose partial aggregation / per-
+  * partition sort Catalyst handles, so they scale with the grouping/
+  * partition key cardinality, not row count.
+  */
+object AnalyticsQueriesImpl {
+
+  /** ROLLUP (year, priority): detail rows + per-year subtotals + grand
+    * total in ONE pass (Spark expands grouping sets map-side; one
+    * shuffle). gid disambiguates the NULL-keyed subtotal rows; nulls
+    * ordered FIRST on both sides (Spark's ASC default; DuckDB needs it
+    * spelled out). */
+  val rollup = Q(
+    "q_rollup",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+      o.rollup(col("o_year"), col("o_orderpriority"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_orders"),
+          grouping_id(col("o_year"), col("o_orderpriority")).as("gid"))
+        .orderBy(col("gid"),
+          col("o_year").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT year(o_orderdate) AS o_year, o_orderpriority,
+      round(sum(o_totalprice), 2) AS sum_price,
+      count(*) AS n_orders,
+      GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority) AS gid
+      FROM orders
+      GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+      ORDER BY gid, o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** Window analytics: each customer's 3 most recent orders with rank,
+    * previous price (lag) and running total — rank/lag/sum share ONE
+    * window spec, so Spark plans a single shuffle + per-partition sort.
+    * Full tie-break (date DESC, key DESC) makes rank and the ROWS frame
+    * deterministic. */
+  val windowRank = Q(
+    "q_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("prev_price",
+          round(lag(col("o_totalprice"), 1).over(w), 2))
+        .withColumn("running_total",
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("price"),
+          col("prev_price"), col("running_total"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    Some("""WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+          row_number() OVER w AS rk,
+          round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+          round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW), 2) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC))
+      SELECT o_custkey, rk, o_orderkey, o_orderdate,
+        round(o_totalprice, 2) AS price, prev_price, running_total
+      FROM ranked WHERE rk <= 3
+      ORDER BY o_custkey, rk"""))
+
+  /** Approximate sketches — HLL++ distinct and GK-quantile — the 100 TB
+    * substitutes for exact distinct/median (bounded memory, one pass,
+    * mergeable partials). Sketch outputs aren't bit-comparable across
+    * engines, so the query emits WITHIN-BOUNDS booleans (approx vs the
+    * exact value, both computed in Spark) next to the exact values; the
+    * oracle replays the exact columns and literal TRUE — a hash-pass
+    * proves the sketches landed inside their error contracts. */
+  val approxSketch = Q(
+    "q_approx_sketch",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("__hll"),
+          expr("percentile(value, 0.5)").as("__p50x"),
+          expr("percentile_approx(value, 0.5, 10000)").as("__p50a"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("__hll") - col("n_users_exact"))
+            <= col("n_users_exact") * 0.05).as("hll_ok"),
+          round(col("__p50x"), 4).as("p50"),
+          (abs(col("__p50a") - col("__p50x"))
+            <= greatest(abs(col("__p50x")) * 0.05, lit(0.01))).as("p50_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+      count(DISTINCT user_id) AS n_users_exact,
+      TRUE AS hll_ok,
+      round(quantile_cont(value, 0.5), 4) AS p50,
+      TRUE AS p50_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch)
+}

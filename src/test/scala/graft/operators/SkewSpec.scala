@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew rewrites on CONSTRUCTED zipf-ish data: one key holds 90% of the
+  * rows. Pins (a) result equality with the naive form, (b) that the salt
+  * actually spreads the hot key over many sub-keys.
+  */
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  // key 0 is hot: 900 of 1000 rows
+  private def fact = (0 until 1000).map { i =>
+    val k = if (i < 900) 0L else (i % 10).toLong
+    (k, i.toLong, i * 0.5)
+  }.toDF("k", "id", "v")
+
+  private def dim = (0L until 10L).map(k => (k, s"name_$k")).toDF("k", "kname")
+
+  test("saltedJoin equals plain join on skewed data") {
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .select("k", "id", "v", "kname")
+    val plain = fact.join(dim, "k").select("k", "id", "v", "kname")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt spreads the hot key over multiple sub-keys") {
+    val spread = fact.where($"k" === 0L)
+      .withColumn("__salt", pmod(abs(hash(struct(fact.columns.map(col): _*))), lit(8)))
+      .select(countDistinct($"__salt")).as[Long].head()
+    assert(spread >= 6, s"hot key only spread over $spread of 8 salts")
+  }
+
+  test("distinctCountTwoStage equals countDistinct") {
+    val two = Skew.distinctCountTwoStage(fact, "k", "v", "nd")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = fact.groupBy($"k").agg(countDistinct($"v").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == one)
+  }
+
+  test("saltedSumCount equals one-stage sum/count (exact on longs)") {
+    // integer-valued doubles → FP-order-independent, so equality is exact
+    val intVals = fact.withColumn("v", ($"id" % 100).cast("double"))
+    val two = Skew.saltedSumCount(intVals, "k", col("v"), salts = 8)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val one = intVals.groupBy($"k").agg(sum($"v").as("s"), count($"v").as("c"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(two == one)
+  }
+}
