@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * maps (the Scala analogue of `mapInPandas`-style vectorized UDFs).
   *
   * The IMAGE path is real: PNG/JPEG/GIF/BMP decode, pixel feature
-  * extraction and resize run on `javax.imageio` + `BufferedImage`
-  * (JDK built-ins, zero extra dependencies). Bytes that are not a
-  * decodable image — and the audio/video kinds, for which the JDK ships
-  * no codec — fall back to [[DecodeStub]]/[[ResizeStub]], deterministic
-  * byte-derived fakes, so synthetic fixtures and foreign blobs flow
-  * through the same plumbing instead of killing the task. Everything
+  * extraction and resize run on `javax.imageio` + `BufferedImage`.
+  * The AUDIO path is real too: WAV/PCM16 decode + waveform statistics on
+  * `javax.sound.sampled` (both JDK built-ins, zero extra dependencies).
+  * Bytes neither codec reads — and the video kind, for which the JDK
+  * ships no codec — fall back to [[DecodeStub]]/[[ResizeStub]],
+  * deterministic byte-derived fakes, so synthetic fixtures and foreign
+  * blobs flow through the same plumbing instead of killing the task. Everything
   * Spark-side is shared: the schema convention, the batched
   * mapPartitions execution (fixed batch shape, one codec init per
   * partition — the pattern that amortizes decoder setup at scale),
@@ -78,6 +79,75 @@ object Multimodal {
     }
   }
 
+  /** Real JDK audio codec (`javax.sound.sampled`, WAV/PCM — JDK built-in,
+    * zero extra dependencies); one instance per partition/task. */
+  final class AudioCodec extends Serializable {
+
+    /** Decodes WAV bytes to FeatureDim audio statistics:
+      * [rate/48k, channels/2, dur_s/60, rms, peak, zero-cross rate,
+      * dc-offset, mean-abs]. Returns null for non-WAV / non-PCM16 bytes. */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      if (bytes == null || bytes.length == 0) return null
+      var in: javax.sound.sampled.AudioInputStream = null
+      try {
+        in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return null
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) return null
+        var sum = 0.0; var sumAbs = 0.0; var sum2 = 0.0
+        var peak = 0.0; var crossings = 0L
+        var prev = 0.0
+        var i = 0
+        while (i < n) {
+          val s = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort) / 32768.0
+          sum += s; sumAbs += math.abs(s); sum2 += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && (s > 0) != (prev > 0)) crossings += 1
+          prev = s
+          i += 1
+        }
+        val rate = fmt.getSampleRate
+        val frames = n / fmt.getChannels
+        val durS = frames / rate
+        Array((rate / 48000.0f).min(1f), fmt.getChannels / 2.0f,
+          (durS / 60.0).min(1.0).toFloat,
+          math.sqrt(sum2 / n).toFloat, peak.toFloat,
+          (crossings.toDouble / n).toFloat,
+          (sum / n).toFloat, (sumAbs / n).toFloat)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      } finally if (in != null) in.close()
+    }
+  }
+
+  /** Renders a 16-bit mono PCM sine tone as WAV bytes (fixture helper —
+    * also what [[syntheticMediaTable]] embeds in audio rows so the
+    * registered queries exercise the real `javax.sound.sampled` path). */
+  def sineWav(freqHz: Double, durMs: Int, sampleRate: Int = 16000,
+      amplitude: Double = 0.5): Array[Byte] = {
+    val n = math.max(1, (sampleRate.toLong * durMs / 1000).toInt)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   val MediaMetaType: StructType = StructType(Seq(
     StructField("kind", StringType),        // "image" | "audio" | "video"
     StructField("width", IntegerType),
@@ -121,13 +191,17 @@ object Multimodal {
     implicit val enc = Encoders.row(outSchema)
     df.mapPartitions { rows =>
       val codec = new ImageCodec // one init per partition/task
+      val audio = new AudioCodec
       val fallback = new DecodeStub
       rows.grouped(BatchSize).flatMap { batch =>
         val contents = batch.map(_.getAs[Array[Byte]](contentIdx)).toArray
         val feats = contents.map { bytes =>
           val img = codec.decode(bytes)
           if (img != null) codec.features(img)
-          else fallback.decodeBatch(Array(bytes))(0)
+          else {
+            val af = audio.features(bytes)
+            if (af != null) af else fallback.decodeBatch(Array(bytes))(0)
+          }
         }
         batch.iterator.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ (feats(i).toIndexedSeq: Seq[Float]))
@@ -239,7 +313,9 @@ object Multimodal {
         when(kind === "image", lit(SynthImageW)).otherwise(lit(null).cast("int")).as("width"),
         when(kind === "image", lit(SynthImageH)).otherwise(lit(null).cast("int")).as("height"),
         when(kind === "audio", lit(16000)).otherwise(lit(null).cast("int")).as("sample_rate"),
-        when(kind =!= "image", (length(col("text")) * 10).cast("int"))
+        when(kind === "audio", // capped: 16 kHz PCM16 is 32 bytes/ms per row
+          least(greatest(length(col("text")) * 10, lit(10)), lit(250)).cast("int"))
+          .when(kind === "video", (length(col("text")) * 10).cast("int"))
           .otherwise(lit(null).cast("int")).as("duration_ms")).as("meta"))
     val schema = base.schema
     val contentIdx = schema.fieldIndex("content")
@@ -248,7 +324,19 @@ object Multimodal {
     base.mapPartitions { rows =>
       rows.map { r =>
         val m = r.getStruct(metaIdx)
-        if (m == null || m.getString(0) != "image") r
+        if (m == null) r
+        else if (m.getString(0) == "audio") {
+          // real WAV content (tone seeded by id + text hash) so the decode
+          // queries exercise the actual javax.sound.sampled path
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          var h = 0xcbf29ce484222325L ^ id
+          if (bytes != null) { var i = 0; while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 } }
+          val freq = 200.0 + java.lang.Long.remainderUnsigned(h, 2000L)
+          val vals = r.toSeq.toArray
+          vals(contentIdx) = sineWav(freq, m.getInt(4), m.getInt(3))
+          Row.fromSeq(vals.toIndexedSeq)
+        } else if (m.getString(0) != "image") r
         else {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](contentIdx)

@@ -116,6 +116,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.map(_._2).sorted.sameElements(0 until 4), "4 evenly-indexed frames")
   }
 
+  test("real WAV decode: waveform statistics match the signal's physics") {
+    // 440 Hz sine, 200 ms, 16 kHz, amplitude 0.5
+    val wav = Multimodal.sineWav(440.0, 200, 16000, amplitude = 0.5)
+    val f = new Multimodal.AudioCodec().features(wav)
+    assert(f != null && f.length == Multimodal.FeatureDim)
+    assert(math.abs(f(0) - 16000.0 / 48000) < 1e-4, s"rate feature: ${f(0)}")
+    assert(f(1) == 0.5f, "mono → channels/2 = 0.5")
+    assert(math.abs(f(2) - 0.2 / 60) < 1e-3, s"duration feature: ${f(2)}")
+    assert(math.abs(f(3) - 0.5 / math.sqrt(2)) < 0.01, s"rms of A*sin ≈ A/sqrt2: ${f(3)}")
+    assert(math.abs(f(4) - 0.5) < 0.01, s"peak ≈ amplitude: ${f(4)}")
+    // sine crosses zero twice per period → rate ≈ 2*440/16000
+    assert(math.abs(f(5) - 2 * 440.0 / 16000) < 0.005, s"zero-cross rate: ${f(5)}")
+    assert(math.abs(f(6)) < 0.01, s"dc offset ≈ 0: ${f(6)}")
+  }
+
+  test("AudioCodec rejects non-WAV bytes; decodeFeatures routes audio rows to it") {
+    assert(new Multimodal.AudioCodec().features("not audio".getBytes) == null)
+    assert(new Multimodal.AudioCodec().features(Array.empty[Byte]) == null)
+    // in the synthetic table, audio rows carry real WAVs: their decoded
+    // peak/rms features must show the 0.5-amplitude tone, not stub hashes
+    val feats = Multimodal.decodeFeatures(media, "content")
+    val audioRows = feats.where(col("meta.kind") === "audio")
+      .select("features").collect()
+    assert(audioRows.nonEmpty)
+    audioRows.foreach { r =>
+      val f = r.getSeq[Float](0)
+      assert(math.abs(f(4) - 0.5) < 0.01, s"audio row peak: ${f(4)}")
+      assert(math.abs(f(3) - 0.5 / math.sqrt(2)) < 0.01, s"audio row rms: ${f(3)}")
+    }
+  }
+
   test("batched execution: batch boundaries do not change results") {
     val big = Multimodal.syntheticMediaTable(
       (0 until 300).map(i => (i.toLong, s"content number $i")).toDF("doc_id", "text"))
