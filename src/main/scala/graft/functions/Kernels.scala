@@ -171,6 +171,40 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Distinct word n-gram STRINGS in first-occurrence order — semantics
+    * identical to the composed
+    * `array_distinct(transform(sequence(1, max(nTok-(n-1),1)), i ->
+    * concat_ws(" ", slice(toks, i, n))))`, including the fewer-than-n-
+    * tokens clamp (one short gram; empty text → [""]). The composed form
+    * is interpreted AND its lambda re-evaluates the token-array subtree
+    * per element — O(tokens²) per row, measured 188 s for the 20×
+    * cluster-dedup probe; this is one native O(tokens) pass. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val tk = toks(text)
+    val nTok = tk.length
+    val nGr = math.max(nTok - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nGr) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, nTok)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tk(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var w = 0
+    while (it.hasNext) { out(w) = UTF8String.fromString(it.next()); w += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard similarity of two SORTED long arrays (distinct elements) via
     * linear merge — zero allocation per pair, the exact-verifier inner
     * loop for LSH candidate sets. */
@@ -310,6 +344,17 @@ object KernelExpressions {
       copy(child = c)
   }
 
+  case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.wordNgrams(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.wordNgrams($c, $n);")
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+  }
+
   case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -390,6 +435,9 @@ object KernelExpressions {
 
   def sorted_gram_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(SortedGramHashes(ColumnBridge.expression(text), n))
+
+  def word_ngrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
 
   def unit_vector(a: Column): Column =
     ColumnBridge.column(UnitVector(ColumnBridge.expression(a)))

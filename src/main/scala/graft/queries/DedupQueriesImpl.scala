@@ -217,10 +217,8 @@ object DedupQueriesImpl {
     "q_dedup_clusters",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val g = docs.select(col("doc_id"),
-        Dedup.wordNgrams(col("text"), 3).as("grams"),
-        Dedup.sortedGramHashes(col("text"), 3).as("h"))
-      val eg = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      val eg = docs.select(col("doc_id"),
+        explode(Dedup.wordNgrams(col("text"), 3)).as("gram"))
       val rare = eg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
         .where(col("df") <= 20).select("gram")
       val re = eg.join(rare, "gram")
@@ -228,9 +226,15 @@ object DedupQueriesImpl {
           col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
         .distinct()
+      // gram-hash arrays only for docs that appear in a candidate pair
+      // (semi-join prefilter — same shape as q_dedup_minhash_verified)
+      val candIds = cand.select(col("u").as("doc_id"))
+        .union(cand.select(col("v").as("doc_id"))).distinct()
+      val h = docs.join(candIds, "doc_id")
+        .select(col("doc_id"), Dedup.sortedGramHashes(col("text"), 3).as("h"))
       val edges = cand
-        .join(g.select(col("doc_id").as("u"), col("h").as("ha")), "u")
-        .join(g.select(col("doc_id").as("v"), col("h").as("hb")), "v")
+        .join(h.select(col("doc_id").as("u"), col("h").as("ha")), "u")
+        .join(h.select(col("doc_id").as("v"), col("h").as("hb")), "v")
         .where(graft.functions.KernelExpressions.jaccard_sorted(
           col("ha"), col("hb")) >= 0.35)
         .select(col("u"), col("v"))

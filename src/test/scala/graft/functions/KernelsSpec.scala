@@ -15,6 +15,23 @@ class KernelsSpec extends AnyFunSuite {
   private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
   private def embeddings = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
 
+  test("word_ngrams kernel == composed HOF form, incl. short/empty texts") {
+    val texts = docs.select(col("text")).as[String].collect().toSeq ++
+      Seq("", "   ", "one", "one two", "a b a b a b", "x x x")
+    val df = texts.toDF("text")
+    val composedToks = graft.functions.TextFunctions.tokens(col("text"))
+    val composed = array_distinct(transform(
+      sequence(lit(1), greatest(size(composedToks) - 2, lit(1))),
+      i => concat_ws(" ", slice(composedToks, i, lit(3)))))
+    val rows = df.select(
+      KernelExpressions.word_ngrams(col("text"), 3).as("k"),
+      composed.as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel ${r.getSeq[String](0)} vs composed ${r.getSeq[String](1)}")
+    }
+  }
+
   test("sorted_gram_hashes jaccard == string-gram jaccard on real documents") {
     val d = docs.select(col("doc_id"),
       Dedup.wordNgrams(col("text"), 3).as("grams"),
