@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.CurationQueriesImpl.all ++
     graft.queries.JoinQueriesImpl.all ++
     graft.queries.SkewQueriesImpl.all ++
-    graft.queries.AnalyticsQueriesImpl.all
+    graft.queries.AnalyticsQueriesImpl.all ++
+    graft.queries.SourceQueriesImpl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

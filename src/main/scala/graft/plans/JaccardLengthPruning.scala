@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.KernelExpressions.JaccardSorted
+
+/** Catalyst optimizer rule: derive cheap length bounds from Jaccard
+  * threshold predicates.
+  *
+  * For distinct-element sets, `J(a,b) = |a∩b| / |a∪b| ≤ min(|a|,|b|) /
+  * max(|a|,|b|)`, so `jaccard_sorted(a,b) >= t` (t > 0) implies
+  * `size(a) >= t*size(b) AND size(b) >= t*size(a)`. Injecting those
+  * bounds next to the threshold lets wildly-different-length pairs fail
+  * on two array-length reads instead of running the O(|a|+|b|) merge
+  * kernel — and, unlike the kernel call, the bounds are ordinary
+  * comparisons Catalyst can reorder or push further down on its own.
+  * Semantics-preserving: rows pruned by a bound would have been pruned
+  * by the threshold (a null array nulls both predicates alike).
+  *
+  * Registered either via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or
+  * [[JaccardLengthPruning.install]] on a live session. The optimizer
+  * runs its batch to fixpoint, so the rule skips filters that already
+  * carry the bounds (idempotent).
+  */
+object JaccardLengthPruning extends Rule[LogicalPlan] {
+
+  private def bounds(js: JaccardSorted, t: Double): Seq[Expression] = {
+    def side(x: Expression, y: Expression) =
+      GreaterThanOrEqual(
+        Cast(Size(x), DoubleType),
+        Multiply(Literal(t, DoubleType), Cast(Size(y), DoubleType)))
+    Seq(side(js.left, js.right), side(js.right, js.left))
+  }
+
+  /** Idempotence guard, robust to later normalization of the injected
+    * expressions (e.g. timezone tagging on Cast breaking semanticEquals):
+    * a conjunct that reads Size of the jaccard argument counts as
+    * already-bounded. */
+  private def hasSizeOf(conjuncts: Seq[Expression], arg: Expression): Boolean =
+    conjuncts.exists(_.exists {
+      case s: Size => s.child.semanticEquals(arg)
+      case _ => false
+    })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val derived = conjuncts.flatMap {
+        case GreaterThanOrEqual(js: JaccardSorted, Literal(t: Double, DoubleType))
+            if t > 0 && t <= 1 && !hasSizeOf(conjuncts, js.left) => bounds(js, t)
+        case GreaterThan(js: JaccardSorted, Literal(t: Double, DoubleType))
+            if t > 0 && t <= 1 && !hasSizeOf(conjuncts, js.left) => bounds(js, t)
+        case LessThanOrEqual(Literal(t: Double, DoubleType), js: JaccardSorted)
+            if t > 0 && t <= 1 && !hasSizeOf(conjuncts, js.left) => bounds(js, t)
+        case _ => Nil
+      }
+      if (derived.isEmpty) f
+      else Filter((derived ++ conjuncts).reduce(And), child)
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+
+  /** Adds the rule to a live session's experimental optimizations
+    * (no-op if already installed) — the path the registered queries use,
+    * since the driver's Verify/Bench sessions are built without the
+    * extensions config. */
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(this)) spark.experimental.extraOptimizations = cur :+ this
+  }
+}
+
+/** `spark.sql.extensions` entry point for cluster deployments. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => JaccardLengthPruning)
+}

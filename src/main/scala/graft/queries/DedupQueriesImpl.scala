@@ -216,6 +216,7 @@ object DedupQueriesImpl {
   val clusters = Q(
     "q_dedup_clusters",
     (s, dir) => {
+      graft.plans.JaccardLengthPruning.install(s) // size bounds before the merge kernel
       val docs = Tables.documents(s, dir)
       val eg = docs.select(col("doc_id"),
         explode(Dedup.wordNgrams(col("text"), 3)).as("gram"))

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.KernelExpressions
+
+/** The optimizer rule must (a) inject exactly two size bounds next to a
+  * jaccard threshold, (b) stay a pure optimization — same rows as the
+  * un-ruled plan, (c) be idempotent under the optimizer's fixpoint. */
+class JaccardLengthPruningSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    JaccardLengthPruning.install(s)
+    s
+  }
+  import spark.implicits._
+
+  // sorted distinct long arrays with known Jaccard relations; parquet-backed
+  // so ConvertToLocalRelation can't fold the Filter away at optimization time
+  private lazy val pairs = {
+    val dir = java.nio.file.Files.createTempDirectory("jlp").toString
+    Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),        // J = 1.0
+      (2L, Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 5L)),        // J = 0.6
+      (3L, Seq(1L, 2L), Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)),// J = 0.25, len-skewed
+      (4L, Seq(1L), (1L to 100L).toSeq)                      // J = 0.01, very skewed
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def filtered(t: Double) =
+    pairs.where(KernelExpressions.jaccard_sorted(col("a"), col("b")) >= t)
+
+  test("injects exactly two size bounds (and only once under fixpoint)") {
+    val plan = filtered(0.5).queryExecution.optimizedPlan.toString
+    // two bounds, each reading size(a) and size(b) → exactly 4 size() reads;
+    // 8 would mean the fixpoint re-injected
+    val nSize = "size\\(".r.findAllIn(plan).length
+    assert(nSize == 4, s"expected 4 size() reads (2 bounds), got $nSize in:\n$plan")
+  }
+
+  test("same rows as the threshold alone, at several thresholds") {
+    for (t <- Seq(0.01, 0.25, 0.5, 0.9)) {
+      val got = filtered(t).select("id").as[Long].collect().sorted.toSeq
+      val exp = pairs.collect().map { r =>
+        val a = r.getSeq[Long](1).toSet
+        val b = r.getSeq[Long](2).toSet
+        (r.getLong(0), a.intersect(b).size.toDouble / a.union(b).size)
+      }.collect { case (id, j) if j >= t => id }.sorted.toSeq
+      assert(got == exp, s"threshold $t")
+    }
+  }
+
+  test("length-skewed pairs are prunable by the bounds alone") {
+    // id=4: sizes 1 vs 100 → min/max = 0.01 < 0.5 → bound must reject it
+    // without the kernel; semantic check: it is absent from the output.
+    assert(!filtered(0.5).select("id").as[Long].collect().contains(4L))
+  }
+
+  test("no injection without a jaccard threshold conjunct") {
+    val plan = pairs.where(col("id") > 1L).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("size("), plan)
+  }
+}
