@@ -107,5 +107,33 @@ object AnalyticsQueriesImpl {
       TRUE AS p50_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch)
+  /** Per-group exact top-k via the custom bounded-heap aggregate
+    * ([[graft.functions.TopKByValue]]): map-side partial aggregation
+    * ships at most k rows per group per task, vs the window-rank idiom's
+    * full-row shuffle. The oracle replays it AS the window idiom — a
+    * hash-pass proves the aggregate ≡ row_number() <= k. */
+  val topkAgg = Q(
+    "q_topk_agg",
+    (s, dir) => {
+      val top = graft.functions.TopKByValue.top_k_by(
+        col("value"), col("event_id"), 5)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(top.as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).as("rk"),
+          col("col.id").as("event_id"),
+          round(col("col.value"), 2).as("value"))
+        .orderBy(col("event_type"), col("rk"))
+    },
+    Some("""WITH ranked AS (
+        SELECT event_type, event_id, value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value DESC, event_id ASC) AS rk
+        FROM events)
+      SELECT event_type, rk, event_id, round(value, 2) AS value
+      FROM ranked WHERE rk <= 5
+      ORDER BY event_type, rk"""))
+
+  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, topkAgg)
 }
