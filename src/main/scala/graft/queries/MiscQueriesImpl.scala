@@ -87,6 +87,17 @@ object MiscQueriesImpl {
        AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
       ORDER BY user_id, c_id, p_id"""))
 
+  /** Stream–static enrichment join (broadcast dim, stateless) + complete-
+    * mode aggregate; batch-parity oracle. */
+  val streamStatic = Q(
+    "q_stream_static_join",
+    (s, dir) => EventStreams.streamStaticEnrich(s, dir),
+    Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+        round(sum(value), 2) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment, event_type
+      ORDER BY c_mktsegment, event_type"""))
+
   /** Streaming exact-dedup (dropDuplicates under a watermark); the
     * emitted key set is deterministic → DISTINCT oracle. */
   val streamDedup = Q(
@@ -131,5 +142,5 @@ object MiscQueriesImpl {
     None)
 
   def all: Seq[Q] = Seq(streamWindow, streamWindowSink, streamSessionize, streamDedup,
-    streamJoin, multimodalDecode, multimodalPipeline)
+    streamJoin, streamStatic, multimodalDecode, multimodalPipeline)
 }

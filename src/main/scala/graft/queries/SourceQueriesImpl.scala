@@ -64,5 +64,68 @@ object SourceQueriesImpl {
       FROM orders WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY o_year"""))
 
-  def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip)
+  /** Hive-style partitioned layout: write orders partitioned by year,
+    * read back with a year predicate — the scan lists ONLY the matching
+    * partition directories (partition pruning, visible as
+    * PartitionFilters in the plan; PlanSpec asserts it). At 100 TB,
+    * partitioning on the dominant filter column is the first lever:
+    * pruning happens at file-listing time, before any I/O. */
+  val partitionedPrune = Q(
+    "q_partitioned_prune",
+    (s, dir) => {
+      val out = s"$sinkRoot/orders_by_year"
+      val ord = Tables.orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
+      ord.write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .where(col("o_year") === 1997)
+        .groupBy(month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_month"))
+    },
+    Some("""SELECT month(o_orderdate) AS o_month, count(*) AS n,
+      round(sum(o_totalprice), 2) AS sum_price
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY 1 ORDER BY o_month"""))
+
+  /** Upsert/merge: apply an updates table onto a base snapshot —
+    * update-wins on the key, inserts appended. The dataset-versioning
+    * primitive (SCD-1) done as one full-outer join + coalesce: one
+    * shuffle on the key, no driver involvement. Updates here are a
+    * deterministic derivation (1996+ orders re-priced +10%) so the
+    * oracle can rebuild both sides. */
+  val upsertMerge = Q(
+    "q_upsert_merge",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val base = ord.where(year(col("o_orderdate")) < 1997)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val updates = ord.where(year(col("o_orderdate")) >= 1996)
+        .select(col("o_orderkey"), round(col("o_totalprice") * 1.1, 2).as("u_price"))
+      base.join(updates, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          round(coalesce(col("u_price"), col("o_totalprice")), 2).as("price"),
+          when(col("u_price").isNotNull && col("o_totalprice").isNotNull, "updated")
+            .when(col("u_price").isNotNull, "inserted")
+            .otherwise("kept").as("action"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sum_price"))
+        .orderBy(col("action"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE year(o_orderdate) < 1997),
+      updates AS (
+        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS u_price
+        FROM orders WHERE year(o_orderdate) >= 1996),
+      merged AS (
+        SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+          round(coalesce(u.u_price, b.o_totalprice), 2) AS price,
+          CASE WHEN u.u_price IS NOT NULL AND b.o_totalprice IS NOT NULL THEN 'updated'
+               WHEN u.u_price IS NOT NULL THEN 'inserted'
+               ELSE 'kept' END AS action
+        FROM base b FULL OUTER JOIN updates u USING (o_orderkey))
+      SELECT action, count(*) AS n, round(sum(price), 2) AS sum_price
+      FROM merged GROUP BY action ORDER BY action"""))
+
+  def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
+    partitionedPrune, upsertMerge)
 }

@@ -170,6 +170,31 @@ object EventStreams {
 
   /** Gap-based sessionization (30-min inactivity) with
     * flatMapGroupsWithState + event-time timeout. */
+  /** Stream–static enrichment: the streaming events join a STATIC dim
+    * table (customer) on the fly — at deployment scale the static side is
+    * broadcast to every task, so the join adds no shuffle and no state
+    * (stateless row-at-a-time enrichment; only the downstream aggregate
+    * keeps state). The standard shape for tagging a live event stream
+    * with slowly-changing reference data. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = readEvents(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val q = enriched.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     import spark.implicits._
     val events = readEvents(spark, sfDir)

@@ -30,6 +30,13 @@ class PlanSpec extends AnyFunSuite {
       s"scan must prune unused columns: $read")
   }
 
+  test("q_partitioned_prune: the year predicate prunes partitions at the scan") {
+    val p = plan("q_partitioned_prune")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_year"), s"scan must carry a PartitionFilter on o_year: $pf\n${p.take(800)}")
+    assert(!pf.trim.endsWith("[]"), s"PartitionFilters must be non-empty: $pf")
+  }
+
   test("q_s6_repartition: column pruning pushes through the repartition") {
     val p = plan("q_s6_repartition")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
