@@ -61,7 +61,22 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 4, tables: Int = 3,
       seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // empty-corpus guard: there is no vector to size the hyperplanes from,
+    // and no possible neighbor — return the empty result, correctly shaped
+    val dimRow = corpus.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty)
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("vid",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType))))
+    val dim = dimRow.head.getInt(0)
     val allPlanes = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
     val bucketCols = (t: Column, b: Column) => t * lit(1 << bits) + b // (table, bucket) key
     val c = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"),
@@ -104,8 +119,18 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, bits: Int = 0, tables: Int = 0,
       seed: Long = 42L): DataFrame = {
-    val first = corpus.select(size(col(vecCol))).first()
-    val dim = first.getInt(0)
+    val dimRow = corpus.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) // no vectors → no pairs (and no dim to tune from)
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("b",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType))))
+    val dim = dimRow.head.getInt(0)
     val b =
       if (bits > 0) bits
       else {

@@ -76,7 +76,9 @@ object SourceQueriesImpl {
       val out = s"$sinkRoot/orders_by_year"
       val ord = Tables.orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
       ord.write.mode("overwrite").partitionBy("o_year").parquet(out)
-      s.read.parquet(out)
+      // explicit schema (incl. the partition column): an empty write
+      // commits no partition dirs, which breaks schema/partition inference
+      s.read.schema(ord.schema).parquet(out)
         .where(col("o_year") === 1997)
         .groupBy(month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))

@@ -102,7 +102,14 @@ object EventStreams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      spark.read.parquet(outDir)
+      // explicit schema: an all-late/empty input commits ZERO files and a
+      // bare read would fail schema inference on the empty sink dir
+      spark.read.schema(StructType(Seq(
+          StructField("window_start", TimestampType),
+          StructField("event_type", StringType),
+          StructField("n", LongType),
+          StructField("sum_value", DoubleType))))
+        .parquet(outDir)
         .orderBy(col("window_start"), col("event_type"))
     }
 
