@@ -297,6 +297,22 @@ object Multimodal {
   val SynthImageW = 48
   val SynthImageH = 32
 
+  /** Disk-cached media table per source dir: media content is INPUT data —
+    * synthesizing PNGs/WAVs per query run would bill fixture generation to
+    * the decode operators (it tripled the bench numbers). Content is
+    * deterministic, so synthesize-once-and-read is exact. */
+  def mediaTableCached(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, sfDir: String): DataFrame = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"/tmp/graft_media/$key"
+    val done = new java.io.File(s"$path/_SUCCESS")
+    if (!done.isFile) synchronized {
+      if (!done.isFile)
+        syntheticMediaTable(docs).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Builds a multimodal table from the documents table. IMAGE rows carry
     * a REAL rendered PNG (a deterministic two-band pattern seeded by
     * media_id and text hash) so the registered multimodal queries

@@ -111,7 +111,7 @@ object MiscQueriesImpl {
   val multimodalDecode = Q(
     "q_multimodal_decode",
     (s, dir) => {
-      val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
+      val media = Multimodal.mediaTableCached(s, Tables.documents(s, dir), dir)
       Multimodal.decodeFeatures(media, "content")
         .select(col("media_id"), col("meta.kind").as("kind"),
           length(col("content")).as("n_bytes"),
@@ -128,7 +128,7 @@ object MiscQueriesImpl {
   val multimodalPipeline = Q(
     "q_multimodal_pipeline",
     (s, dir) => {
-      val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
+      val media = Multimodal.mediaTableCached(s, Tables.documents(s, dir), dir)
       val resized = Multimodal.resizeImages(media, 224, 224)
       val frames = Multimodal.sampleFrames(media, 4)
       val kinds = resized.groupBy(col("meta.kind").as("kind"))
