@@ -128,6 +128,30 @@ object SourceQueriesImpl {
       SELECT action, count(*) AS n, round(sum(price), 2) AS sum_price
       FROM merged GROUP BY action ORDER BY action"""))
 
+  /** Custom DataSource V2 source ([[graft.sources.SynthSource]]):
+    * deterministic generated corpus, planned as parallel range
+    * partitions with column pruning in the connector. The generation
+    * rule is integer arithmetic on the row id, so DuckDB replays it from
+    * `range(n)` — the source is correctness-gated like any operator. */
+  val customSource = Q(
+    "q_source_custom",
+    (s, dir) => {
+      s.read.format("graft-synth")
+        .option("rows", 60000).option("partitions", 8).load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          // sum the exact integer numerators (val = k/1e6), divide once:
+          // summing 3750 doubles drifts a ulp and flips round(.,4)
+          round(sum(expr("(id * 2654435761) % 1000000")) / 1e6, 4).as("sum_val"),
+          min(col("text")).as("first_text"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      round(sum((id * 2654435761) % 1000000) / 1e6, 4) AS sum_val,
+      min('tok' || CAST(id % 101 AS VARCHAR) || ' tok' || CAST(id % 97 AS VARCHAR)
+          || ' tok' || CAST(id % 89 AS VARCHAR)) AS first_text
+      FROM range(60000) t(id) GROUP BY 1 ORDER BY bucket"""))
+
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    partitionedPrune, upsertMerge)
+    partitionedPrune, upsertMerge, customSource)
 }

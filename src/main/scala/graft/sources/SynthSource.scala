@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 batch source generating a deterministic synthetic corpus
+  * — `spark.read.format("graft-synth").option("rows", n)
+  * .option("partitions", p).load()`.
+  *
+  * Demonstrates the full connector read path: `TableProvider` →
+  * `ScanBuilder` (with COLUMN PRUNING via SupportsPushDownRequiredColumns
+  * — unrequested columns are never generated) → `Batch` splitting the row
+  * range into `partitions` independent `InputPartition`s → per-partition
+  * `PartitionReader`s that stream rows without materializing anything.
+  * The generation rule is pure integer arithmetic on the row id, so a
+  * DuckDB oracle can replay it exactly from `range(n)` — the correctness
+  * gate covers the source like any operator.
+  *
+  * Schema: id BIGINT, bucket INT (= id % 16),
+  * val DOUBLE (= (id * 2654435761) % 1e6 / 1e6),
+  * text STRING (= "tok<id%101> tok<id%97> tok<id%89>").
+  */
+class SynthSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synth"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SynthSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object SynthSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("val", DoubleType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  @inline def bucketOf(id: Long): Int = (id % 16).toInt
+  @inline def valOf(id: Long): Double = ((id * 2654435761L) % 1000000L).toDouble / 1e6
+  @inline def textOf(id: Long): String = s"tok${id % 101} tok${id % 97} tok${id % 89}"
+}
+
+final class SynthTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_synth($rows, $partitions)"
+  override def schema(): StructType = SynthSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, partitions)
+}
+
+final class SynthScanBuilder(rows: Long, partitions: Int)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SynthSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // generation order is fixed; keep only the requested fields
+    required = StructType(SynthSource.schema.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new SynthScan(rows, partitions, required)
+}
+
+final class SynthScan(rows: Long, partitions: Int, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = math.max(1, partitions)
+    (0 until p).map { i =>
+      SynthRange(rows * i / p, rows * (i + 1) / p): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames)
+}
+
+case class SynthRange(start: Long, end: Long) extends InputPartition
+
+final class SynthReaderFactory(fields: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[SynthRange]
+    new PartitionReader[InternalRow] {
+      private var cur = r.start - 1
+      override def next(): Boolean = { cur += 1; cur < r.end }
+      override def get(): InternalRow = {
+        val vals = fields.map {
+          case "id" => cur: java.lang.Long
+          case "bucket" => SynthSource.bucketOf(cur): java.lang.Integer
+          case "val" => SynthSource.valOf(cur): java.lang.Double
+          case "text" => UTF8String.fromString(SynthSource.textOf(cur))
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
