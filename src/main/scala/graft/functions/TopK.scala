@@ -47,6 +47,12 @@ final class BoundedTopK(val k: Int) {
   * partial aggregation, so each map task ships at most k rows per group
   * — at 100 TB the shuffle drops from O(rows) to O(groups·k·tasks).
   * Output: array<struct<value,event-id>> sorted best-first.
+  *
+  * Contract: rows with a NULL value or id are SKIPPED (like SQL
+  * aggregates; a window row_number replay must filter `value IS NOT
+  * NULL` to match), and values are expected non-NaN — [[BoundedTopK]]'s
+  * ordering treats NaN as worst, whereas Spark's descending sort ranks
+  * NaN first.
   */
 case class TopKByValue(
     valueExpr: Expression,

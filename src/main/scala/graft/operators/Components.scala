@@ -73,7 +73,18 @@ object Components {
       prev.unpersist(blocking = false)
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter with $changed labels " +
+          "still changing — a component's diameter exceeds the budget and the " +
+          "returned clusters are SPLIT. Raise maxIter.")
     sym.unpersist(blocking = false)
-    labels
+    // hand back a materialized frame and drop the loop's CacheManager
+    // entries: localCheckpoint caches at the RDD level, which the
+    // ContextCleaner releases when the result is garbage collected —
+    // repeated invocations in one session don't accumulate cache blocks.
+    val out = labels.localCheckpoint(true)
+    cached.unpersist(blocking = false)
+    out
   }
 }

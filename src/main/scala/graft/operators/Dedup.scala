@@ -28,8 +28,9 @@ object Dedup {
     * native pass ([[graft.functions.Kernels.wordNgrams]]). The composed
     * `array_distinct(transform(sequence, i -> concat_ws(slice(toks...))))`
     * form this replaces is interpreted and re-evaluates the token array
-    * per gram — O(tokens²)/row, 188 s → 1.7 s on the 20× cluster probe
-    * (KernelsSpec pins the two forms equal). */
+    * per gram — O(tokens²)/row: the 20× cluster probe went 188 s → 12 s
+    * with this kernel (→ 4.9 s once the candidate set was also cached;
+    * see SCALE.md). KernelsSpec pins the two forms equal. */
   def wordNgrams(text: Column, n: Int): Column =
     graft.functions.KernelExpressions.word_ngrams(text, n)
 

@@ -301,10 +301,15 @@ object Multimodal {
     * synthesizing PNGs/WAVs per query run would bill fixture generation to
     * the decode operators (it tripled the bench numbers). Content is
     * deterministic, so synthesize-once-and-read is exact. */
+  /** Bump when [[syntheticMediaTable]]'s generation rule changes — the
+    * version is part of the cache path, so stale renders are never
+    * served after a logic change. */
+  val MediaGenVersion = 2
+
   def mediaTableCached(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, sfDir: String): DataFrame = {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"/tmp/graft_media/$key"
+    val path = s"/tmp/graft_media/v$MediaGenVersion/$key"
     val done = new java.io.File(s"$path/_SUCCESS")
     if (!done.isFile) synchronized {
       if (!done.isFile)

@@ -69,7 +69,7 @@ object Similarity {
         corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("qid",
-            corpus.schema(idCol).dataType),
+            queries.schema(idCol).dataType), // qid comes from the QUERIES side
           org.apache.spark.sql.types.StructField("rank",
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("vid",

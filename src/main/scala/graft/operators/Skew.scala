@@ -48,7 +48,10 @@ object Skew {
       key: String,
       valCol: String,
       alias: String): DataFrame =
-    df.groupBy(col(key), col(valCol)).agg(lit(1).as("__one"))
+    // drop NULL values first: COUNT(DISTINCT v) excludes NULLs, and the
+    // (key, v) grouping would otherwise count the NULL group as a value
+    df.where(col(valCol).isNotNull)
+      .groupBy(col(key), col(valCol)).agg(lit(1).as("__one"))
       .groupBy(col(key)).agg(count(lit(1)).as(alias))
 
   /** Salted two-stage aggregate for algebraic aggregates whose per-key

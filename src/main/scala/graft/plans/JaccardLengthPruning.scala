@@ -39,24 +39,28 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
 
   /** Idempotence guard, robust to later normalization of the injected
     * expressions (e.g. timezone tagging on Cast breaking semanticEquals):
-    * a conjunct that reads Size of the jaccard argument counts as
-    * already-bounded. */
+    * the filter counts as already-bounded only when conjuncts read Size
+    * of BOTH jaccard arguments — a user's one-sided `size(a) > 5`
+    * pre-filter must not suppress the injection. */
   private def hasSizeOf(conjuncts: Seq[Expression], arg: Expression): Boolean =
     conjuncts.exists(_.exists {
       case s: Size => s.child.semanticEquals(arg)
       case _ => false
     })
 
+  private def alreadyBounded(conjuncts: Seq[Expression], js: JaccardSorted): Boolean =
+    hasSizeOf(conjuncts, js.left) && hasSizeOf(conjuncts, js.right)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val derived = conjuncts.flatMap {
         case GreaterThanOrEqual(js: JaccardSorted, Literal(t: Double, DoubleType))
-            if t > 0 && t <= 1 && !hasSizeOf(conjuncts, js.left) => bounds(js, t)
+            if t > 0 && t <= 1 && !alreadyBounded(conjuncts, js) => bounds(js, t)
         case GreaterThan(js: JaccardSorted, Literal(t: Double, DoubleType))
-            if t > 0 && t <= 1 && !hasSizeOf(conjuncts, js.left) => bounds(js, t)
+            if t > 0 && t <= 1 && !alreadyBounded(conjuncts, js) => bounds(js, t)
         case LessThanOrEqual(Literal(t: Double, DoubleType), js: JaccardSorted)
-            if t > 0 && t <= 1 && !hasSizeOf(conjuncts, js.left) => bounds(js, t)
+            if t > 0 && t <= 1 && !alreadyBounded(conjuncts, js) => bounds(js, t)
         case _ => Nil
       }
       if (derived.isEmpty) f

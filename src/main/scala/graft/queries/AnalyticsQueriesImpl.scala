@@ -130,7 +130,7 @@ object AnalyticsQueriesImpl {
         SELECT event_type, event_id, value,
           row_number() OVER (PARTITION BY event_type
             ORDER BY value DESC, event_id ASC) AS rk
-        FROM events)
+        FROM events WHERE value IS NOT NULL)  -- aggregate skips NULLs
       SELECT event_type, rk, event_id, round(value, 2) AS value
       FROM ranked WHERE rk <= 5
       ORDER BY event_type, rk"""))

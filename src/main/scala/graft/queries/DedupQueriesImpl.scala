@@ -225,13 +225,15 @@ object DedupQueriesImpl {
       val re = eg.join(rare, "gram")
       // materialized once: cand feeds BOTH candIds and the edge join, and
       // recomputing it re-runs the whole gram-explode self-join. The
-      // candidate set is tiny (pairs sharing a rare gram), so the cached
-      // footprint is KBs.
+      // candidate set is tiny (pairs sharing a rare gram). Lazy
+      // localCheckpoint, not persist: RDD-level cache blocks are released
+      // by the ContextCleaner once the query result is GC'd, so repeated
+      // runs in one session don't accumulate CacheManager entries.
       val cand = re.as("x").join(re.as("y"),
           col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       // gram-hash arrays only for docs that appear in a candidate pair
       // (semi-join prefilter — same shape as q_dedup_minhash_verified)
       val candIds = cand.select(col("u").as("doc_id"))

@@ -92,17 +92,30 @@ final class SynthReaderFactory(fields: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[SynthRange]
+    // resolve field names to column codes ONCE — get() is the hot loop
+    // and must not pattern-match strings or re-resolve per row
+    val codes: Array[Int] = fields.map {
+      case "id" => 0
+      case "bucket" => 1
+      case "val" => 2
+      case "text" => 3
+    }
     new PartitionReader[InternalRow] {
       private var cur = r.start - 1
+      private val vals = new Array[Any](codes.length)
       override def next(): Boolean = { cur += 1; cur < r.end }
       override def get(): InternalRow = {
-        val vals = fields.map {
-          case "id" => cur: java.lang.Long
-          case "bucket" => SynthSource.bucketOf(cur): java.lang.Integer
-          case "val" => SynthSource.valOf(cur): java.lang.Double
-          case "text" => UTF8String.fromString(SynthSource.textOf(cur))
+        var i = 0
+        while (i < codes.length) {
+          vals(i) = codes(i) match {
+            case 0 => cur: java.lang.Long
+            case 1 => SynthSource.bucketOf(cur): java.lang.Integer
+            case 2 => SynthSource.valOf(cur): java.lang.Double
+            case 3 => UTF8String.fromString(SynthSource.textOf(cur))
+          }
+          i += 1
         }
-        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        new GenericInternalRow(vals.clone())
       }
       override def close(): Unit = ()
     }

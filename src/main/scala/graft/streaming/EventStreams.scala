@@ -185,7 +185,7 @@ object EventStreams {
     * with slowly-changing reference data. */
   def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
-    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+    val dim = graft.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = readEvents(spark, sfDir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))

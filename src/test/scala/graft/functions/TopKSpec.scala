@@ -50,6 +50,16 @@ class TopKSpec extends AnyFunSuite {
       (0 until b.size).map(i => (b.values(i), b.ids(i))))
   }
 
+  test("NULL values are skipped (the documented contract)") {
+    val df = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 3.0), (2L, "a", null), (3L, "a", 1.0), (4L, "b", null)
+    ).toDF("id", "g", "v")
+    val got = df.groupBy($"g").agg(top_k_by($"v", $"id", 5).as("top"))
+      .select($"g", size($"top").as("n")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 2, "b" -> 0), s"got $got")
+  }
+
   test("groups smaller than k emit all their rows") {
     val df = Seq((1L, "a", 2.0), (2L, "a", 1.0), (3L, "b", 5.0)).toDF("id", "g", "v")
     val got = df.groupBy($"g").agg(top_k_by($"v", $"id", 10).as("top"))

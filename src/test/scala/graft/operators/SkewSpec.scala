@@ -41,6 +41,16 @@ class SkewSpec extends AnyFunSuite {
     assert(two == one)
   }
 
+  test("distinctCountTwoStage excludes NULL values, like countDistinct") {
+    val withNulls = Seq[(Long, java.lang.Double)](
+      (1L, 1.0), (1L, null), (1L, 1.0), (2L, null), (2L, null)
+    ).toDF("k", "v")
+    val two = Skew.distinctCountTwoStage(withNulls, "k", "v", "nd")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 2 has ONLY nulls → no output row, exactly like COUNT(DISTINCT)
+    assert(two == Map(1L -> 1L), s"got $two")
+  }
+
   test("saltedSumCount equals one-stage sum/count (exact on longs)") {
     // integer-valued doubles → FP-order-independent, so equality is exact
     val intVals = fact.withColumn("v", ($"id" % 100).cast("double"))
