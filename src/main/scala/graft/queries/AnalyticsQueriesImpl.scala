@@ -135,5 +135,58 @@ object AnalyticsQueriesImpl {
       FROM ranked WHERE rk <= 5
       ORDER BY event_type, rk"""))
 
-  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, topkAgg)
+  /** Pivot (long→wide): per-cohort event counts spread into one column
+    * per event type. With an EXPLICIT value list Spark skips the
+    * distinct-values pre-scan and plans a single partial-aggregated
+    * shuffle — the only pivot shape that belongs in a 100 TB job. */
+  val pivot = Q(
+    "q_pivot",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("cohort", expr("user_id % 10"))
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("cohort"))
+    },
+    Some("""SELECT (user_id % 10) AS cohort,
+      count(*) FILTER (WHERE event_type = 'click') AS click,
+      count(*) FILTER (WHERE event_type = 'error') AS error,
+      count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      count(*) FILTER (WHERE event_type = 'view') AS "view"
+      FROM events GROUP BY 1 ORDER BY cohort"""))
+
+  /** Set operations: INTERSECT/EXCEPT distinct semantics on key sets. */
+  val setOps = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val custKeys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      // restrict to one order year so BOTH branches are non-empty
+      val orderCust = Tables.orders(s, dir)
+        .where(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("k"))
+      val both = custKeys.intersect(orderCust)
+        .withColumn("src", lit("with_orders"))
+      val noOrders = custKeys.except(orderCust)
+        .withColumn("src", lit("no_orders"))
+      both.union(noOrders)
+        .groupBy(col("src")).agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("src"))
+    },
+    Some("""WITH o95 AS (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      both_k AS (
+        SELECT c_custkey AS k FROM customer
+        INTERSECT SELECT o_custkey FROM o95),
+      no_k AS (
+        SELECT c_custkey AS k FROM customer
+        EXCEPT SELECT o_custkey FROM o95),
+      u AS (SELECT k, 'with_orders' AS src FROM both_k
+            UNION ALL SELECT k, 'no_orders' FROM no_k)
+      SELECT src, count(*) AS n, sum(k) AS sum_k
+      FROM u GROUP BY src ORDER BY src"""))
+
+  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, topkAgg, pivot, setOps)
 }

@@ -152,6 +152,34 @@ object SourceQueriesImpl {
           || ' tok' || CAST(id % 89 AS VARCHAR)) AS first_text
       FROM range(60000) t(id) GROUP BY 1 ORDER BY bucket"""))
 
+  /** LIBSVM sink+source — the reference's external-storage interchange
+    * format (C5) through Spark's built-in `format("libsvm")`. Sparse
+    * round-trip is lossless here: labels are always written and the two
+    * features are strictly positive, so nothing is dropped as a sparse
+    * zero. */
+  val libsvmRoundtrip = Q(
+    "q_source_libsvm_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val out = s"$sinkRoot/libsvm_lineitem"
+      Tables.lineitem(s, dir)
+        .select(col("l_discount").as("label"),
+          array_to_vector(array(col("l_extendedprice"), col("l_quantity")))
+            .as("features"))
+        .write.mode("overwrite").format("libsvm").save(out)
+      s.read.format("libsvm").option("numFeatures", "2").load(out)
+        .select(col("label"), vector_to_array(col("features")).as("f"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("label")), 2).as("sum_label"),
+          round(sum(element_at(col("f"), 1)), 2).as("sum_price"),
+          round(sum(element_at(col("f"), 2)), 2).as("sum_qty"))
+    },
+    Some("""SELECT count(*) AS n,
+      round(sum(l_discount), 2) AS sum_label,
+      round(sum(l_extendedprice), 2) AS sum_price,
+      round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem"""))
+
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    partitionedPrune, upsertMerge, customSource)
+    partitionedPrune, upsertMerge, customSource, libsvmRoundtrip)
 }
