@@ -141,10 +141,22 @@ private[ml] object FitSupport extends org.apache.spark.internal.Logging {
     warnOnCapacity(est, dataset)
     validateGpuSetup(est, dataset)
     val (projected, hasW, hasV, hasM) = projectTrain(est, dataset)
-    val (obj, k) =
+    val (inferredObj, k) =
       if (isClassifier) inferClassifierObjective(est, projected)
       else (if (est.hasNonEmpty(est.objective)) est.getOrDefault(est.objective)
             else "reg:squarederror", est.getOrDefault(est.numClass))
+    // arbitraryParams objective overrides (reference: arbitrary keys reach
+    // xgboost last); for a classifier it must agree with the label-derived
+    // family — silently training a different objective is the no-op trap
+    val obj = est.objectiveFromArbitrary match {
+      case Some(j) if isClassifier =>
+        require(Objective.fromName(j).numGroups(k) == Objective.fromName(inferredObj).numGroups(k),
+          s"arbitraryParams objective '$j' is incompatible with the " +
+            s"label-derived objective '$inferredObj' (numClass=$k)")
+        j
+      case Some(j) => Objective.fromName(j).name // validates the name
+      case None => inferredObj
+    }
     val bp = est.boosterParams(obj, k)
     val n = est.getOrDefault(est.numWorkers)
     val useExt = est.getOrDefault(est.useExternalStorage)

@@ -66,6 +66,10 @@ object Objective {
         i += 1
       }
     }
+    // xgboost's binary:logistic PredTransform is sigmoid — a REGRESSOR
+    // with this objective must output probabilities, not raw margins
+    // (the classifier computes sigmoid/argmax itself from raw margins)
+    override def predictTransform(margin: Double): Double = sigmoid(margin)
     def defaultMetric(numClass: Int) = "logloss"
   }
 

@@ -197,7 +197,10 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
   private[ml] def boosterParamsWithWarnings(
       resolvedObjective: String, resolvedNumClass: Int): (BoosterParams, Seq[String]) = {
     val mb = $(maxBin)
-    if (mb > 255)
+    // warn only for EXPLICIT settings: the xgboost-parity default (256)
+    // clamps to 255 silently — a per-fit warning for the default would
+    // bury the meaningful unimplemented-key warnings
+    if (mb > 255 && isSet(maxBin))
       logWarning(s"maxBin=$mb exceeds this build's byte bin layout; clamped to 255")
     var bp = BoosterParams(
       numRounds = $(nEstimators), eta = $(eta), maxDepth = $(maxDepth),
@@ -265,6 +268,11 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
         case ("missing", v) => bp = bp.copy(missing = num(v).toFloat)
         case ("eval_metric", JString(s)) => bp = bp.copy(evalMetric = Some(s))
         case ("tree_method", _) => // resolved separately (resolvedTreeMethod) for validation
+        case ("objective", _) => // resolved separately (objectiveFromArbitrary) before fit
+        case ("num_class", v) =>
+          if (num(v).toInt != bp.numClass)
+            warnings += s"num_class=${num(v).toInt} ignored: this build derives " +
+              s"numClass=${bp.numClass} from the label column / explicit param"
         case ("booster", JString("gbtree")) => // this build's only booster
         case (k, _) if ModelInvariantKeys(k) => // logging/threading knobs: no model effect
         case (k, v) if KnownUnimplementedKeys(k) =>
@@ -276,6 +284,21 @@ trait XGBoostParams extends Params with org.apache.spark.internal.Logging {
     }
     warnings.foreach(logWarning(_))
     (bp, warnings.toSeq)
+  }
+
+  /** objective from arbitraryParams JSON — in the reference, arbitrary
+    * keys reach xgboost and OVERRIDE explicit params, so `{"objective":
+    * "count:poisson"}` must change the trained model here too (it was
+    * silently dropped before). None when absent. */
+  private[ml] def objectiveFromArbitrary: Option[String] = {
+    val json = getOrDefault(arbitraryParams)
+    if (json.nonEmpty && json.trim != "{}") {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(json) match {
+        case JObject(fs) => fs.collectFirst { case ("objective", JString(s)) => s }
+        case _ => None
+      }
+    } else None
   }
 
   /** tree_method from arbitraryParams (the reference reads the

@@ -102,12 +102,17 @@ object Joins {
     val pts = points.select(col(pointId), col(pointTime).as("__pt"),
       (unix_timestamp(col(pointTime)) / secs).cast("long").as("__b"))
     // an interval [s, s+len) touches bucket(s) and bucket(s+len-ε); with
-    // bucket == len those are at most two distinct values
+    // bucket == len those are at most two distinct values. The end bucket
+    // uses +secs, NOT +secs-1: unix_timestamp truncates sub-second starts,
+    // and for a fractional s the interval reaches into bucket(s_trunc +
+    // secs) — with -1 those contained points were silently missed. For
+    // second-aligned starts this explodes one extra bucket whose rows all
+    // fail the exact range predicate below (candidates only, no wrong rows).
     val ivs = intervals
       .withColumn("__s", col(intervalStart))
       .withColumn("__bs", (unix_timestamp(col("__s")) / secs).cast("long"))
       .withColumn("__be",
-        ((unix_timestamp(col("__s")) + secs - 1) / secs).cast("long"))
+        ((unix_timestamp(col("__s")) + secs) / secs).cast("long"))
       .withColumn("__b", explode(array_distinct(array(col("__bs"), col("__be")))))
       .drop("__bs", "__be")
 

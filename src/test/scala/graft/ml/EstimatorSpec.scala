@@ -564,4 +564,42 @@ class EstimatorSpec extends AnyFunSuite {
       .setNEstimators(60).fit(df)
     assert(model.booster.bestScore.exists(_ < 0.5))
   }
+
+  test("arbitraryParams objective overrides the explicit param (reference: " +
+      "arbitrary keys reach xgboost last) and changes the trained model") {
+    val df = spark.createDataFrame(Seq(
+      (Vectors.dense(1.0, 2.0, 3.0), 2.0),
+      (Vectors.dense(4.0, 5.0, 6.0), 7.0))).toDF("features", "label")
+    val est = new XgboostRegressor().setNEstimators(20)
+    est.set(est.arbitraryParams, """{"objective": "count:poisson"}""")
+    val model = est.fit(df)
+    assert(model.booster.objectiveName == "count:poisson",
+      s"objective must come from arbitraryParams: ${model.booster.objectiveName}")
+    // poisson PredTransform = exp(margin) → strictly positive predictions
+    val preds = model.transform(df).select("prediction").collect().map(_.getDouble(0))
+    assert(preds.forall(_ > 0.0), preds.mkString(","))
+  }
+
+  test("classifier rejects an arbitraryParams objective incompatible with " +
+      "the label-derived family") {
+    val est = new XgboostClassifier().setNEstimators(2)
+    est.set(est.arbitraryParams, """{"objective": "multi:softprob"}""")
+    val e = intercept[IllegalArgumentException] { est.fit(clsTrainDf) }
+    assert(e.getMessage.contains("incompatible"), e.getMessage)
+  }
+
+  test("regressor with binary:logistic outputs sigmoid probabilities, " +
+      "matching xgboost's PredTransform") {
+    // replicated: logistic hessians are p(1-p) <= 0.25/row, so a 2-row
+    // fixture can never pass min_child_weight=1 and the model stays at 0.5
+    val df = spark.createDataFrame(Seq.fill(50)(Seq(
+      (Vectors.dense(1.0, 2.0, 3.0), 0.0),
+      (Vectors.dense(4.0, 5.0, 6.0), 1.0))).flatten).toDF("features", "label")
+    val preds = new XgboostRegressor().setObjective("binary:logistic")
+      .setNEstimators(20).fit(df)
+      .transform(df).select("prediction").collect().map(_.getDouble(0))
+    assert(preds.forall(p => p > 0.0 && p < 1.0),
+      s"binary:logistic regressor must emit probabilities: ${preds.mkString(",")}")
+    assert(preds(0) < 0.5 && preds(1) > 0.5, preds.mkString(","))
+  }
 }

@@ -90,6 +90,24 @@ class JoinsSpec extends AnyFunSuite {
       (4L, 0L, None)))
   }
 
+  test("rangeJoinAgg finds points past a bucket boundary when the interval " +
+      "start has fractional seconds") {
+    // interval [Jan 1 00:00:00.500, Jan 3 00:00:00.500): unix_timestamp
+    // truncates the start to bucket 0, but the point below sits in bucket 1
+    // (epoch 172800) AND inside the interval — the old end-bucket -1 math
+    // never exploded bucket 1 and silently dropped it
+    val intervals = Seq((10L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00.5")))
+      .toDF("iid", "istart")
+    val points = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-03 00:00:00.2")), // inside, bucket+1
+      (2L, java.sql.Timestamp.valueOf("2020-01-03 00:00:00.7"))  // outside (>= end)
+    ).toDF("pid", "pt")
+    val out = Joins.rangeJoinAgg(points, intervals, "pid", "pt", "istart", 2,
+      Seq(count($"iid").as("n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L), s"got $out")
+  }
+
   test("rangeJoinAgg plans no nested-loop or cartesian join") {
     val points = Seq((1L, ts("2020-01-02 12:00:00"))).toDF("pid", "pt")
     val intervals = Seq((10L, ts("2020-01-02 00:00:00"), 5.0)).toDF("iid", "istart", "w")
