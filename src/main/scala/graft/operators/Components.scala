@@ -31,6 +31,17 @@ object Components {
   private def planCut(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Edge-count threshold below which the component computation runs as
+    * a driver-side union-find over the collected edge list — the same
+    * size-based escape as a broadcast join. Near-dup edge graphs are
+    * tiny relative to the corpus (they are the VERIFIED duplicate pairs),
+    * so this path usually wins: one collect of (long, long) pairs and a
+    * linear union-find replace diameter-many shuffle rounds. 2 M edges ≈
+    * 32 MB on the driver. Above the threshold — boilerplate-heavy crawls
+    * can produce billions of pairs — the distributed min-label loop runs
+    * unchanged. */
+  val DriverUnionFindMaxEdges = 2000000L
+
   /** @return (node, component) where component = min node id reachable.
     *         Only nodes appearing in `edges` are labeled.
     */
@@ -38,11 +49,38 @@ object Components {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      driverMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val edgeCount = sym.count()
+    if (edgeCount <= driverMaxEdges) {
+      val pairs = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      sym.unpersist(blocking = false)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.get(root) != root) root = parent.get(root)
+        var cur = x // path compression
+        while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+        root
+      }
+      pairs.foreach { case (u, v) =>
+        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      }
+      // union-by-min keeps roots minimal, so find(x) IS the min label
+      val rows = parent.keySet().iterator()
+      val out = Array.newBuilder[(Long, Long)]
+      while (rows.hasNext) { val n = rows.next(); out += ((n, find(n))) }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.result().toSeq.toDF("node", "component")
+    }
 
     // cached = materialized (node, component, next) of the latest round;
     // labels = projection over it. persist truncates RDD recomputation,

@@ -233,7 +233,7 @@ object DedupQueriesImpl {
           col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
         .distinct()
-        .localCheckpoint(false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // gram-hash arrays only for docs that appear in a candidate pair
       // (semi-join prefilter — same shape as q_dedup_minhash_verified)
       val candIds = cand.select(col("u").as("doc_id"))
