@@ -49,14 +49,26 @@ object Bench {
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
-    val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
+    def fmt(v: Double) = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1).map {
+      case (k, Right(v)) => s"\"" + k + "\":" + fmt(v)
       case (k, Left(e)) => s"\"" + k + "\":{\"err\":\"" + esc(e) + "\"}"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(_)) => k }
     val total = results.values.collect { case Right(v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    // The round driver keeps only a ~4 KB stdout tail: with 70+ queries a
+    // single JSON line with the full per-query map arrives truncated and
+    // parses as null (observed in rounds 3-4). Print the full line only
+    // when it fits comfortably; otherwise print a compact summary the
+    // driver can always parse, and put per-query detail in a file.
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+    val compactLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size}$errField,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(if (fullLine.length <= 2000) fullLine else compactLine)
     spark.stop()
   }
 }

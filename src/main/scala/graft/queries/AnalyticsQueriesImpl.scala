@@ -185,7 +185,7 @@ object AnalyticsQueriesImpl {
         EXCEPT SELECT o_custkey FROM o95),
       u AS (SELECT k, 'with_orders' AS src FROM both_k
             UNION ALL SELECT k, 'no_orders' FROM no_k)
-      SELECT src, count(*) AS n, sum(k) AS sum_k
+      SELECT src, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       FROM u GROUP BY src ORDER BY src"""))
 
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, topkAgg, pivot, setOps)

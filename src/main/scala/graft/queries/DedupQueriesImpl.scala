@@ -274,7 +274,7 @@ object DedupQueriesImpl {
         UNION
         SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
       comp AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
-      SELECT cluster_rep, count(*) AS n_members, sum(node) AS members_sum
+      SELECT cluster_rep, count(*) AS n_members, CAST(sum(node) AS BIGINT) AS members_sum
       FROM comp GROUP BY cluster_rep HAVING count(*) > 1
       ORDER BY cluster_rep"""))
 

@@ -94,38 +94,49 @@ object SourceQueriesImpl {
     * primitive (SCD-1) done as one full-outer join + coalesce: one
     * shuffle on the key, no driver involvement. Updates here are a
     * deterministic derivation (1996+ orders re-priced +10%) so the
-    * oracle can rebuild both sides. */
+    * oracle can rebuild both sides. Money math is exact DECIMAL(18,2)
+    * on BOTH sides: `round(double * 1.1, 2)` sits on half-cent
+    * boundaries for ~6% of rows and Spark/DuckDB double rounding
+    * genuinely diverges there; decimal arithmetic with HALF_UP ties
+    * is bit-identical across engines. (The raw doubles are 2-decimal
+    * values, so the initial cast is tie-free.) */
   val upsertMerge = Q(
     "q_upsert_merge",
     (s, dir) => {
       val ord = Tables.orders(s, dir)
       val base = ord.where(year(col("o_orderdate")) < 1997)
-        .select(col("o_orderkey"), col("o_totalprice"))
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
       val updates = ord.where(year(col("o_orderdate")) >= 1996)
-        .select(col("o_orderkey"), round(col("o_totalprice") * 1.1, 2).as("u_price"))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice").cast("decimal(18,2)")
+            * lit(new java.math.BigDecimal("1.1")), 2).as("u_price"))
       base.join(updates, Seq("o_orderkey"), "full_outer")
         .select(col("o_orderkey"),
-          round(coalesce(col("u_price"), col("o_totalprice")), 2).as("price"),
+          coalesce(col("u_price"), col("o_totalprice")).as("price"),
           when(col("u_price").isNotNull && col("o_totalprice").isNotNull, "updated")
             .when(col("u_price").isNotNull, "inserted")
             .otherwise("kept").as("action"))
         .groupBy(col("action"))
-        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("decimal(18,2)").as("sum_price"))
         .orderBy(col("action"))
     },
     Some("""WITH base AS (
-        SELECT o_orderkey, o_totalprice FROM orders WHERE year(o_orderdate) < 1997),
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders WHERE year(o_orderdate) < 1997),
       updates AS (
-        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS u_price
+        SELECT o_orderkey,
+          round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS u_price
         FROM orders WHERE year(o_orderdate) >= 1996),
       merged AS (
         SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
-          round(coalesce(u.u_price, b.o_totalprice), 2) AS price,
+          coalesce(u.u_price, b.o_totalprice) AS price,
           CASE WHEN u.u_price IS NOT NULL AND b.o_totalprice IS NOT NULL THEN 'updated'
                WHEN u.u_price IS NOT NULL THEN 'inserted'
                ELSE 'kept' END AS action
         FROM base b FULL OUTER JOIN updates u USING (o_orderkey))
-      SELECT action, count(*) AS n, round(sum(price), 2) AS sum_price
+      SELECT action, count(*) AS n, CAST(sum(price) AS DECIMAL(18,2)) AS sum_price
       FROM merged GROUP BY action ORDER BY action"""))
 
   /** Custom DataSource V2 source ([[graft.sources.SynthSource]]):
