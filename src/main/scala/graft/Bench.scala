@@ -57,18 +57,27 @@ object Bench {
     val errs = results.collect { case (k, Left(_)) => k }
     val total = results.values.collect { case Right(v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
-    // The round driver keeps only a ~4 KB stdout tail: with 70+ queries a
-    // single JSON line with the full per-query map arrives truncated and
-    // parses as null (observed in rounds 3-4). Print the full line only
-    // when it fits comfortably; otherwise print a compact summary the
-    // driver can always parse, and put per-query detail in a file.
+    // The round driver keeps only a ~2 KB stdout TAIL, and sbt's trailing
+    // "[success] Total time ..." line consumes the end of that window: in
+    // round 5 a 1950-byte line was still truncated mid-object and parsed
+    // as null. Budget the printed line to ~1.2 KB: total + the slowest
+    // queries that fit, with full per-query detail in BENCH_DETAIL.json.
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
-    val compactLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size}$errField,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(if (fullLine.length <= 2000) fullLine else compactLine)
+    val slowest = results.toSeq
+      .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
+    val budget = 900 // bytes for the queries map
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val entry = s"\"" + k + "\":" + fmt(v)
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+    }
+    val compactLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    println(compactLine)
     spark.stop()
   }
 }

@@ -51,15 +51,21 @@ object Components {
       dstCol: String,
       maxIter: Int = 25,
       driverMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+    // One persisted UNDIRECTED edge list; the size gate is a single
+    // bounded limit(threshold+1).collect() job — if it comes back within
+    // the threshold it IS the complete edge list, so the driver path
+    // needs no separate count() pass (the count+collect sequence was
+    // latency-bound under host load: 2.9-6.1 s swings on identical code).
+    // Symmetrization happens only on the distributed path, where
+    // duplicate directed edges are harmless to the min() aggregate.
+    val uniq = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val edgeCount = sym.count()
-    if (edgeCount <= driverMaxEdges) {
-      val pairs = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
-      sym.unpersist(blocking = false)
+    val probe = uniq.limit(math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= driverMaxEdges) {
+      val pairs = probe.map(r => (r.getLong(0), r.getLong(1)))
+      uniq.unpersist(blocking = false)
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var root = x
@@ -81,6 +87,8 @@ object Components {
       import spark.implicits._
       return out.result().toSeq.toDF("node", "component")
     }
+
+    val sym = uniq.union(uniq.select(col("v").as("u"), col("u").as("v")))
 
     // cached = materialized (node, component, next) of the latest round;
     // labels = projection over it. persist truncates RDD recomputation,
@@ -116,7 +124,7 @@ object Components {
         s"connectedComponents stopped at maxIter=$maxIter with $changed labels " +
           "still changing — a component's diameter exceeds the budget and the " +
           "returned clusters are SPLIT. Raise maxIter.")
-    sym.unpersist(blocking = false)
+    uniq.unpersist(blocking = false)
     // hand back a materialized frame and drop the loop's CacheManager
     // entries: localCheckpoint caches at the RDD level, which the
     // ContextCleaner releases when the result is garbage collected —

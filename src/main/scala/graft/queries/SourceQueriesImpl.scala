@@ -94,12 +94,18 @@ object SourceQueriesImpl {
     * primitive (SCD-1) done as one full-outer join + coalesce: one
     * shuffle on the key, no driver involvement. Updates here are a
     * deterministic derivation (1996+ orders re-priced +10%) so the
-    * oracle can rebuild both sides. Money math is exact DECIMAL(18,2)
-    * on BOTH sides: `round(double * 1.1, 2)` sits on half-cent
-    * boundaries for ~6% of rows and Spark/DuckDB double rounding
-    * genuinely diverges there; decimal arithmetic with HALF_UP ties
-    * is bit-identical across engines. (The raw doubles are 2-decimal
-    * values, so the initial cast is tie-free.) */
+    * oracle can rebuild both sides. Money math is exact DECIMAL on
+    * BOTH sides with NO rounding step and NO decimal output column:
+    * `round(double * 1.1, 2)` sits on half-cent boundaries for ~6% of
+    * rows and engines diverge there; even `round(DECIMAL, 2)` ties
+    * (~10% of rows after *1.1) are rounding-mode-sensitive across
+    * DuckDB versions. So the re-price stays at exact scale 3
+    * (DECIMAL(18,2) * DECIMAL(2,1), no round), the sum is exact, and
+    * only the FINAL scalar is cast to DOUBLE — a single
+    * correctly-rounded conversion of the identical exact value, hence
+    * bit-identical in both engines. The output schema carries no
+    * decimal128 column (the driver's canon hashed decimal columns
+    * asymmetrically in rounds 4-5). */
   val upsertMerge = Q(
     "q_upsert_merge",
     (s, dir) => {
@@ -109,8 +115,8 @@ object SourceQueriesImpl {
           col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
       val updates = ord.where(year(col("o_orderdate")) >= 1996)
         .select(col("o_orderkey"),
-          round(col("o_totalprice").cast("decimal(18,2)")
-            * lit(new java.math.BigDecimal("1.1")), 2).as("u_price"))
+          (col("o_totalprice").cast("decimal(18,2)")
+            * lit(new java.math.BigDecimal("1.1"))).as("u_price"))
       base.join(updates, Seq("o_orderkey"), "full_outer")
         .select(col("o_orderkey"),
           coalesce(col("u_price"), col("o_totalprice")).as("price"),
@@ -119,7 +125,7 @@ object SourceQueriesImpl {
             .otherwise("kept").as("action"))
         .groupBy(col("action"))
         .agg(count(lit(1)).as("n"),
-          sum(col("price")).cast("decimal(18,2)").as("sum_price"))
+          sum(col("price")).cast("double").as("sum_price"))
         .orderBy(col("action"))
     },
     Some("""WITH base AS (
@@ -127,7 +133,7 @@ object SourceQueriesImpl {
         FROM orders WHERE year(o_orderdate) < 1997),
       updates AS (
         SELECT o_orderkey,
-          round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS u_price
+          CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS u_price
         FROM orders WHERE year(o_orderdate) >= 1996),
       merged AS (
         SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
@@ -136,7 +142,7 @@ object SourceQueriesImpl {
                WHEN u.u_price IS NOT NULL THEN 'inserted'
                ELSE 'kept' END AS action
         FROM base b FULL OUTER JOIN updates u USING (o_orderkey))
-      SELECT action, count(*) AS n, CAST(sum(price) AS DECIMAL(18,2)) AS sum_price
+      SELECT action, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
       FROM merged GROUP BY action ORDER BY action"""))
 
   /** Custom DataSource V2 source ([[graft.sources.SynthSource]]):

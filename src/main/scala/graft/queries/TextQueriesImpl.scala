@@ -210,7 +210,12 @@ object TextQueriesImpl {
 
   /** Fingerprinting, native-Expression variant: 64-bit FNV-1a rolling hash
     * as a codegen'd Catalyst Expression (whole-stage-codegen friendly).
-    * Rows-only: DuckDB's hash() is a different function. */
+    * Oracle: DuckDB replays FNV-1a exactly in HUGEINT arithmetic — fold
+    * the UTF-8 bytes (code points expanded per the UTF-8 rules) with
+    * `list_reduce`, wrapping each step mod 2^64; the xor touches only the
+    * low byte so it stays in BIGINT range. The final HUGEINT is mapped to
+    * Java's signed long. Validated char-for-char against an independent
+    * implementation on the sf0.01 corpus. */
   val fingerprintFnv = Q(
     "q_text_fingerprint_fnv",
     (s, dir) => {
@@ -218,7 +223,31 @@ object TextQueriesImpl {
         .select(col("doc_id"), TextFunctions.fnv64(lower(trim(col("text")))).as("fp64"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH b AS (
+        SELECT doc_id,
+          flatten(list_transform(
+            list_transform(string_split(lower(trim(text)), ''), ch -> ord(ch)),
+            c -> CASE
+              WHEN c < 128   THEN [c]
+              WHEN c < 2048  THEN [192 + c // 64, 128 + c % 64]
+              WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
+              ELSE [240 + c // 262144, 128 + (c // 4096) % 64, 128 + (c // 64) % 64, 128 + c % 64]
+            END)) AS bytes
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          CASE WHEN len(bytes) = 0 OR bytes IS NULL
+               THEN CAST('14695981039346656037' AS HUGEINT)
+               ELSE list_reduce(
+                 list_prepend(CAST('14695981039346656037' AS HUGEINT), bytes),
+                 (h, c) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), c)) * 1099511628211
+                           % CAST('18446744073709551616' AS HUGEINT))
+          END AS hu
+        FROM b)
+      SELECT doc_id,
+        CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS fp64
+      FROM h ORDER BY doc_id"""))
 
   /** Semi-structured metadata extraction: parse the JSON props column
     * with a typed schema (from_json is a codegen'd Catalyst expression,
