@@ -40,6 +40,12 @@ object Kernels {
     (a, b)
   }
 
+  /** The permutation constants, exposed for the DuckDB oracle generator
+    * ([[graft.queries.MinhashOracle]]) so the replayed SQL stays in sync
+    * with the seed by construction. */
+  private[graft] def minhashPermA: Array[Long] = permA.clone()
+  private[graft] def minhashPermB: Array[Long] = permB.clone()
+
   @inline private def fmix64(x0: Long): Long = {
     var x = x0
     x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL

@@ -21,8 +21,9 @@ object DedupQueriesImpl {
       FROM documents GROUP BY md5(text) ORDER BY fp"""))
 
   /** MinHash(64) + LSH(16×4) near-dup candidate pairs with estimated
-    * jaccard — band-bucket join, no all-pairs product. Rows-only (not
-    * SQL-expressible). */
+    * jaccard — band-bucket join, no all-pairs product. Oracle: the whole
+    * signature + band pipeline replayed exactly in DuckDB HUGEINT
+    * arithmetic (generated SQL, [[MinhashOracle]]). */
   val minhash = Q(
     "q_dedup_minhash",
     (s, dir) => {
@@ -30,7 +31,7 @@ object DedupQueriesImpl {
         .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("a"), col("b"))
     },
-    None)
+    Some(MinhashOracle.candidatesSql))
 
   /** SimHash fingerprints + 16-bit segments (the LSH key for hamming
     * candidates). Oracle: DuckDB replays the whole construction in
@@ -85,7 +86,36 @@ object DedupQueriesImpl {
       Dedup.simhashNearPairs(Tables.documents(s, dir), "doc_id", "text", 3)
         .orderBy(col("a"), col("b"))
     },
-    None)
+    // Oracle: all pairs at hamming <= 3 over the replayed simhash — the
+    // segment join is candidate-COMPLETE for the radius (pigeonhole), and
+    // the hot-bucket guard (>10000 docs per (seg, value)) cannot trigger
+    // at oracle scale, so the operator's output IS the plain hamming cut.
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      th AS (
+        SELECT doc_id, list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+            list_transform(string_split(t, ''), ch -> ord(ch))),
+            (h, c) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), c)) * 1099511628211
+                       % CAST('18446744073709551616' AS HUGEINT)) AS hu
+        FROM tok),
+      bits AS (
+        SELECT doc_id, p,
+               (2 * sum(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE 0 END) > count(*)) AS bset
+        FROM th CROSS JOIN
+          (SELECT CAST(1 AS HUGEINT) << CAST(b AS INTEGER) AS p FROM range(64) r(b)) pw
+        GROUP BY doc_id, p),
+      sh AS (
+        SELECT doc_id,
+          CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
+               THEN s - CAST('18446744073709551616' AS HUGEINT) ELSE s END AS BIGINT) AS simhash
+        FROM (SELECT doc_id, sum(CASE WHEN bset THEN p ELSE CAST(0 AS HUGEINT) END) AS s
+              FROM bits GROUP BY doc_id))
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             bit_count(xor(x.simhash, y.simhash)) AS hamming
+      FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+      ORDER BY a, b"""))
 
   /** Exact word-trigram Jaccard over a bounded id range — the exact
     * verifier the LSH candidates feed at scale. Oracle-checked. */
@@ -178,7 +208,7 @@ object DedupQueriesImpl {
         .where(col("jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))
     },
-    None)
+    Some(MinhashOracle.verifiedSql))
 
   /** The flagship curation pipeline, end to end as ml.Transformer stages:
     * tag language → score quality → keep en docs above a quality bar →
