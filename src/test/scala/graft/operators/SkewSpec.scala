@@ -51,6 +51,35 @@ class SkewSpec extends AnyFunSuite {
     assert(two == Map(1L -> 1L), s"got $two")
   }
 
+  test("adversarial parquet-backed skew at sf0.1: salted join and agg equal naive") {
+    // The 1000-row fixture above proves semantics; this proves them on a
+    // REAL parquet-backed table at the bench scale factor with a 90%-one-
+    // key distribution — the shape that breaks salting that only looks
+    // right on toy data (driver-generated sf0.1 ≈ 600 k lineitem rows).
+    val path = "/root/testdata/sf0.1/lineitem.parquet"
+    assume(new java.io.File(path).exists, s"$path not generated")
+    val li = spark.read.parquet(path)
+    // 90% of rows collapse onto key 0, the rest spread over keys 1-9;
+    // id = orderkey*10 + linenumber is unique, so equality is row-exact
+    val skewed = li.select(
+      when(pmod(col("l_orderkey"), lit(10)) < 9, 0L)
+        .otherwise(pmod(col("l_orderkey"), lit(9)) + 1L).as("k"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      col("l_quantity").as("v")) // integral doubles → order-independent sums
+    val bigDim = (0L until 10L).map(k => (k, s"name_$k")).toDF("k", "kname")
+
+    val salted = Skew.saltedJoin(skewed, bigDim, "k", salts = 16)
+      .select("k", "id", "v", "kname")
+    val plain = skewed.join(bigDim, "k").select("k", "id", "v", "kname")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    val two = Skew.saltedSumCount(skewed, "k", col("v"), salts = 16)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val one = skewed.groupBy($"k").agg(sum($"v").as("s"), count($"v").as("c"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(two == one)
+  }
+
   test("saltedSumCount equals one-stage sum/count (exact on longs)") {
     // integer-valued doubles → FP-order-independent, so equality is exact
     val intVals = fact.withColumn("v", ($"id" % 100).cast("double"))
