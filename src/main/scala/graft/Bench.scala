@@ -47,6 +47,23 @@ object Bench {
       val ok = runs.collect { case Right(t) => t }
       name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
     }
+    val (fullLine, compactLine) = lines(results, sfDir)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(compactLine)
+    spark.stop()
+  }
+
+  /** The two output forms: the full per-query JSON line (goes to
+    * BENCH_DETAIL.json) and the compact stdout line. The round driver
+    * keeps only a ~2 KB stdout TAIL, and sbt's trailing "[success] Total
+    * time ..." line consumes the end of that window: in round 5 a
+    * 1950-byte line was still truncated mid-object and parsed as null, so
+    * the compact line budgets the queries map to 900 bytes — the slowest
+    * queries that fit — keeping the whole line comfortably under 1.3 KB
+    * regardless of suite size (BenchLineSpec pins this). */
+  private[graft] def lines(
+      results: Map[String, Either[String, Double]], sfDir: String): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     def fmt(v: Double) = f"$v%.3f"
@@ -57,15 +74,8 @@ object Bench {
     val errs = results.collect { case (k, Left(_)) => k }
     val total = results.values.collect { case Right(v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
-    // The round driver keeps only a ~2 KB stdout TAIL, and sbt's trailing
-    // "[success] Total time ..." line consumes the end of that window: in
-    // round 5 a 1950-byte line was still truncated mid-object and parsed
-    // as null. Budget the printed line to ~1.2 KB: total + the slowest
-    // queries that fit, with full per-query detail in BENCH_DETAIL.json.
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
     val budget = 900 // bytes for the queries map
@@ -77,7 +87,6 @@ object Bench {
     }
     val compactLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
-    println(compactLine)
-    spark.stop()
+    (fullLine, compactLine)
   }
 }
