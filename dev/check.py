@@ -93,8 +93,8 @@ def main(sf_dir, out_dir):
             # even when values and types matched exactly here — its canon
             # evidently converts decimals asymmetrically. Ban them outright:
             # cast final decimals to BIGINT or DOUBLE on both sides.
-            dec_cols = [c for c in gcols if gtypes[c].startswith("decimal")
-                        or etypes[c].startswith("decimal")]
+            dec_cols = [c for c in gcols if "decimal" in gtypes[c]
+                        or "decimal" in etypes[c]]  # incl. nested list/struct
             if dec_cols:
                 print(f"FAIL {name}: decimal output column(s) {dec_cols} — "
                       "driver hash rejects decimal128; cast to BIGINT/DOUBLE")

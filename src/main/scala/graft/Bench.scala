@@ -66,7 +66,9 @@ object Bench {
       results: Map[String, Either[String, Double]], sfDir: String): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would make every number invalid JSON.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1).map {
       case (k, Right(v)) => s"\"" + k + "\":" + fmt(v)
       case (k, Left(e)) => s"\"" + k + "\":{\"err\":\"" + esc(e) + "\"}"

@@ -62,8 +62,13 @@ object Components {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val probe = uniq.limit(math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt).collect()
-    if (probe.length <= driverMaxEdges) {
+    // The probe is complete only if it came back UNDER its own limit, so
+    // the effective driver-path threshold is capped below Int.MaxValue —
+    // a larger configured threshold silently falls through to the
+    // distributed loop instead of union-finding a truncated edge list.
+    val cap = math.min(driverMaxEdges, (Int.MaxValue - 2).toLong)
+    val probe = uniq.limit(cap.toInt + 1).collect()
+    if (probe.length <= cap) {
       val pairs = probe.map(r => (r.getLong(0), r.getLong(1)))
       uniq.unpersist(blocking = false)
       val parent = new java.util.HashMap[Long, Long]()

@@ -34,46 +34,18 @@ object DedupQueriesImpl {
     Some(MinhashOracle.candidatesSql))
 
   /** SimHash fingerprints + 16-bit segments (the LSH key for hamming
-    * candidates). Oracle: DuckDB replays the whole construction in
-    * HUGEINT — per-token FNV (char-based; the corpus is ASCII so code
-    * points are bytes), per-bit sign-sum majority vote via a 64-power
-    * cross join, bits reassembled with HUGEINT shifts, segments as
-    * shift-mod slices. Tokenless docs coalesce to simhash 0 like the
-    * kernel. Validated against an independent implementation on sf0.01. */
+    * candidates). Oracle: generated DuckDB HUGEINT replay
+    * ([[SimhashOracle]]) — per-token FNV, per-bit sign-sum majority vote,
+    * bits reassembled with HUGEINT shifts, segments as shift-mod slices.
+    * Tokenless docs coalesce to simhash 0 and NULL text stays NULL, like
+    * the kernel (OracleEdgeSpec pins the Spark side). */
   val simhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
       Dedup.simhashTable(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
-    Some("""WITH tok AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      th AS (
-        SELECT doc_id, list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
-            list_transform(string_split(t, ''), ch -> ord(ch))),
-            (h, c) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), c)) * 1099511628211
-                       % CAST('18446744073709551616' AS HUGEINT)) AS hu
-        FROM tok),
-      bits AS (
-        SELECT doc_id, p,
-               (2 * sum(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE 0 END) > count(*)) AS bset
-        FROM th CROSS JOIN
-          (SELECT CAST(1 AS HUGEINT) << CAST(b AS INTEGER) AS p FROM range(64) r(b)) pw
-        GROUP BY doc_id, p),
-      sh AS (
-        SELECT doc_id, sum(CASE WHEN bset THEN p ELSE CAST(0 AS HUGEINT) END) AS hu
-        FROM bits GROUP BY doc_id)
-      SELECT d.doc_id,
-        CAST(CASE WHEN coalesce(s.hu, 0) >= CAST('9223372036854775808' AS HUGEINT)
-             THEN s.hu - CAST('18446744073709551616' AS HUGEINT)
-             ELSE coalesce(s.hu, 0) END AS BIGINT) AS simhash,
-        CAST((coalesce(s.hu, 0) // (CAST(1 AS HUGEINT) << 0))  % 65536 AS BIGINT) AS seg0,
-        CAST((coalesce(s.hu, 0) // (CAST(1 AS HUGEINT) << 16)) % 65536 AS BIGINT) AS seg1,
-        CAST((coalesce(s.hu, 0) // (CAST(1 AS HUGEINT) << 32)) % 65536 AS BIGINT) AS seg2,
-        CAST((coalesce(s.hu, 0) // (CAST(1 AS HUGEINT) << 48)) % 65536 AS BIGINT) AS seg3
-      FROM documents d LEFT JOIN sh s USING (doc_id)
-      ORDER BY d.doc_id"""))
+    Some(SimhashOracle.tableSql))
 
   /** SimHash near pairs at the classic radius 3 (Manku et al.'s 64-bit
     * near-dup setting): 4×16-bit segments keep buckets sparse at corpus
@@ -90,32 +62,7 @@ object DedupQueriesImpl {
     // segment join is candidate-COMPLETE for the radius (pigeonhole), and
     // the hot-bucket guard (>10000 docs per (seg, value)) cannot trigger
     // at oracle scale, so the operator's output IS the plain hamming cut.
-    Some("""WITH tok AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      th AS (
-        SELECT doc_id, list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
-            list_transform(string_split(t, ''), ch -> ord(ch))),
-            (h, c) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), c)) * 1099511628211
-                       % CAST('18446744073709551616' AS HUGEINT)) AS hu
-        FROM tok),
-      bits AS (
-        SELECT doc_id, p,
-               (2 * sum(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE 0 END) > count(*)) AS bset
-        FROM th CROSS JOIN
-          (SELECT CAST(1 AS HUGEINT) << CAST(b AS INTEGER) AS p FROM range(64) r(b)) pw
-        GROUP BY doc_id, p),
-      sh AS (
-        SELECT doc_id,
-          CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
-               THEN s - CAST('18446744073709551616' AS HUGEINT) ELSE s END AS BIGINT) AS simhash
-        FROM (SELECT doc_id, sum(CASE WHEN bset THEN p ELSE CAST(0 AS HUGEINT) END) AS s
-              FROM bits GROUP BY doc_id))
-      SELECT x.doc_id AS a, y.doc_id AS b,
-             bit_count(xor(x.simhash, y.simhash)) AS hamming
-      FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-      WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
-      ORDER BY a, b"""))
+    Some(SimhashOracle.pairsSql))
 
   /** Exact word-trigram Jaccard over a bounded id range — the exact
     * verifier the LSH candidates feed at scale. Oracle-checked. */

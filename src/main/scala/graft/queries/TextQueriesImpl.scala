@@ -223,8 +223,11 @@ object TextQueriesImpl {
         .select(col("doc_id"), TextFunctions.fnv64(lower(trim(col("text")))).as("fp64"))
         .orderBy(col("doc_id"))
     },
+    // Empty text takes the FNV basis branch BEFORE any byte work (DuckDB
+    // string_split('','') is [''] and ord('') is -1, so len(bytes)=0 never
+    // fires); NULL text propagates NULL like the null-safe expression.
     Some("""WITH b AS (
-        SELECT doc_id,
+        SELECT doc_id, lower(trim(text)) AS s,
           flatten(list_transform(
             list_transform(string_split(lower(trim(text)), ''), ch -> ord(ch)),
             c -> CASE
@@ -236,8 +239,8 @@ object TextQueriesImpl {
         FROM documents),
       h AS (
         SELECT doc_id,
-          CASE WHEN len(bytes) = 0 OR bytes IS NULL
-               THEN CAST('14695981039346656037' AS HUGEINT)
+          CASE WHEN s IS NULL THEN NULL
+               WHEN length(s) = 0 THEN CAST('14695981039346656037' AS HUGEINT)
                ELSE list_reduce(
                  list_prepend(CAST('14695981039346656037' AS HUGEINT), bytes),
                  (h, c) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), c)) * 1099511628211
