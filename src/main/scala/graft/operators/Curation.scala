@@ -80,6 +80,21 @@ object Curation {
     df.where(pmod(col(idCol), lit(100)) < pct)
   }
 
+  /** Content-addressed deterministic train/val split: the split key is
+    * the md5 of the TEXT, not the row id, so exact duplicates always land
+    * in the SAME split — the property that stops train/val contamination
+    * through duplicated documents (an id- or rand()-keyed split scatters
+    * copies across both sides). `valSixteenths` of the 16 first-nibble
+    * values route to "val" (k/16 fraction). No rand(): reproducible
+    * across runs, engines, and partitionings, and a pure scan-level
+    * projection at any scale. */
+  def contentHashSplit(textCol: Column, valSixteenths: Int): Column = {
+    require(valSixteenths >= 0 && valSixteenths <= 15,
+      s"valSixteenths must be in [0, 15], got $valSixteenths")
+    val boundary = java.lang.Integer.toHexString(valSixteenths)
+    when(substring(md5(textCol), 1, 1) < lit(boundary), "val").otherwise("train")
+  }
+
   /** PII patterns (ASCII, RE2-compatible so a DuckDB oracle can replay
     * them exactly): email, NNN-NNN-NNNN phone, dotted-quad IPv4. */
   val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""

@@ -62,6 +62,25 @@ object CurationQueriesImpl {
       WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
       GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** Content-hash train/val split (12.5% val) + per-split stats: exact
+    * duplicate docs provably share a split, so dedup-sensitive eval
+    * can't leak. Pure projection + one tiny aggregate. */
+  val splitTrainVal = Q(
+    "q_split_train_val",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(Curation.contentHashSplit(col("text"), 2).as("split"),
+          col("doc_id"), length(col("text")).as("len"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    },
+    Some("""SELECT CASE WHEN substr(md5(text), 1, 1) < '2' THEN 'val' ELSE 'train' END AS split,
+        count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents GROUP BY 1 ORDER BY split"""))
+
   private val stop = Seq("the", "a", "of", "and", "in", "to", "is", "that", "with")
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
 
@@ -123,5 +142,5 @@ object CurationQueriesImpl {
       ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
-    decontaminate)
+    decontaminate, splitTrainVal)
 }

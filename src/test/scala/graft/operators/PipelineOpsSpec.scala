@@ -237,4 +237,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rl > 0.6, s"LSH recall too low: $rl")
     assert(ri > 0.3, s"IVF recall too low: $ri")
   }
+
+  test("contentHashSplit: exact duplicates always share a split; fraction tracks k/16") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // duplicate every doc under a new id: every text now has >= 2 copies
+    val dup = real.unionAll(real.withColumn("doc_id", $"doc_id" + 1000000L))
+    val split = dup.select($"text", Curation.contentHashSplit($"text", 2).as("split"))
+    val mixedTexts = split.groupBy($"text")
+      .agg(countDistinct($"split").as("nsplits"))
+      .where($"nsplits" > 1).count()
+    assert(mixedTexts == 0, s"$mixedTexts texts leak across the split")
+    val frac = split.where($"split" === "val").count().toDouble / split.count()
+    assert(frac > 0.05 && frac < 0.20, s"val fraction $frac far from 2/16")
+    // determinism across partitionings
+    val a = split.orderBy($"text").collect().toSeq
+    val b = dup.repartition(7)
+      .select($"text", Curation.contentHashSplit($"text", 2).as("split"))
+      .orderBy($"text").collect().toSeq
+    assert(a == b)
+  }
 }
