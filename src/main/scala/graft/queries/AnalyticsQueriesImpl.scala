@@ -107,6 +107,38 @@ object AnalyticsQueriesImpl {
       TRUE AS p50_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Count-Min-Sketch frequency estimation (seeded → deterministic):
+    * one distributed sketch-merge pass, then driver-side point estimates
+    * for a fixed key set, checked against exact counts. CMS guarantees
+    * estimate >= exact always, and estimate <= exact + eps*N with
+    * probability 1-delta — at this seed both hold, so the oracle replays
+    * the exact counts and literal TRUEs (same pattern as the HLL/GK
+    * sketch query). The sketch is mergeable map-side state: the 100 TB
+    * shape is one pass, no per-key shuffle. */
+  val approxFreq = Q(
+    "q_approx_freq",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val keys = (1L to 5L).toSeq
+      val eps = 0.001
+      val cms = li.stat.countMinSketch(col("l_suppkey"), eps, 0.99, 42)
+      val bound = math.ceil(eps * cms.totalCount()).toLong
+      import s.implicits._
+      val est = keys.map(k => (k, cms.estimateCount(java.lang.Long.valueOf(k))))
+        .toDF("l_suppkey", "est")
+      li.where(col("l_suppkey").isin(keys: _*))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(est), "l_suppkey")
+        .select(col("l_suppkey"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("cms_ge_exact"),
+          (col("est") <= col("n_exact") + lit(bound)).as("cms_within_eps"))
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""SELECT l_suppkey, count(*) AS n_exact,
+        TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+      FROM lineitem WHERE l_suppkey IN (1, 2, 3, 4, 5)
+      GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
   /** Per-group exact top-k via the custom bounded-heap aggregate
     * ([[graft.functions.TopKByValue]]): map-side partial aggregation
     * ships at most k rows per group per task, vs the window-rank idiom's
@@ -188,5 +220,5 @@ object AnalyticsQueriesImpl {
       SELECT src, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       FROM u GROUP BY src ORDER BY src"""))
 
-  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, topkAgg, pivot, setOps)
+  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps)
 }
