@@ -64,6 +64,33 @@ object SourceQueriesImpl {
       FROM orders WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY o_year"""))
 
+  /** Schema evolution: two dataset versions land under one root — v1
+    * without `o_orderpriority`, v2 with it — and a single
+    * `mergeSchema=true` read reconciles them (v1 rows surface NULL for
+    * the added column). The shape every long-lived 100 TB dataset hits
+    * when a column is added mid-history; the merged read stays one scan,
+    * schema reconciliation is footer-only work. The aggregate uses
+    * count + an integral sum so the oracle compare is exact. */
+  val schemaMerge = Q(
+    "q_source_schema_merge",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val out = s"$sinkRoot/schema_merge_orders"
+      ord.where(year(col("o_orderdate")) < 1996)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .write.mode("overwrite").parquet(s"$out/v=1")
+      ord.where(year(col("o_orderdate")) >= 1996)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/v=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+        .orderBy(col("prio").asc_nulls_first)
+    },
+    Some("""SELECT CASE WHEN year(o_orderdate) >= 1996 THEN o_orderpriority END AS prio,
+        count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+      FROM orders GROUP BY 1 ORDER BY prio NULLS FIRST"""))
+
   /** Hive-style partitioned layout: write orders partitioned by year,
     * read back with a year predicate — the scan lists ONLY the matching
     * partition directories (partition pruning, visible as
@@ -198,5 +225,5 @@ object SourceQueriesImpl {
       FROM lineitem"""))
 
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    partitionedPrune, upsertMerge, customSource, libsvmRoundtrip)
+    partitionedPrune, upsertMerge, customSource, libsvmRoundtrip, schemaMerge)
 }
