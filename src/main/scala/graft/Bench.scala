@@ -50,8 +50,25 @@ object Bench {
     val (fullLine, compactLine) = lines(results, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(compactLine)
+    println(emitBlock(compactLine))
     spark.stop()
+  }
+
+  /** Redundant emission: the round driver stores a FIXED ~2 KB window of
+    * the stdout tail, and sbt's trailing "[success] ..." block (~0.8-2.5 KB,
+    * length varies with warnings) sits between our line and the end of
+    * stdout — in rounds 3-5 a single line always landed with either its
+    * head or its tail outside the stored window (`BENCH_r0{3,4,5}.json`
+    * all record `parsed: null`). Printing IDENTICAL copies of the line
+    * spaced ~1 KB apart across ~4.5 KB guarantees that any contiguous
+    * 2 KB window positioned by an sbt trailer of 0-3.4 KB contains at
+    * least one complete copy; a line-by-line JSON parse of the tail then
+    * succeeds regardless of which copy survives. Pad lines carry no
+    * braces so they can never half-match as JSON. */
+  private[graft] def emitBlock(compactLine: String): String = {
+    val pad = "bench-pad " + ("." * 120)
+    Seq(compactLine, pad, compactLine, pad, compactLine, pad, compactLine, pad, compactLine)
+      .mkString("\n")
   }
 
   /** The two output forms: the full per-query JSON line (goes to
@@ -80,7 +97,10 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
-    val budget = 900 // bytes for the queries map
+    // 500-byte queries map keeps the whole line ≤ ~750 B, so emitBlock's
+    // copy spacing (line + pad) stays under the 2 KB window minus one line
+    // — the condition for every window position to contain a full copy.
+    val budget = 500 // bytes for the queries map
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
     slowest.foreach { case (k, v) =>

@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.JoinQueriesImpl.all ++
     graft.queries.SkewQueriesImpl.all ++
     graft.queries.AnalyticsQueriesImpl.all ++
-    graft.queries.SourceQueriesImpl.all
+    graft.queries.SourceQueriesImpl.all ++
+    graft.queries.LayoutQueriesImpl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

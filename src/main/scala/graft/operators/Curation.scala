@@ -125,4 +125,34 @@ object Curation {
       .where(col("rank") <= k)
       .select(col(groupCol), col("rank"), col("tok"), col("n"))
   }
+
+  /** Top-k DISTINCTIVE tokens per group by tf-idf with a linear
+    * (rational) idf: `score = tf * nGroups / df` where df = number of
+    * groups containing the token. The linear idf keeps every score an
+    * exact small-integer ratio — one IEEE division, bit-identical across
+    * engines — where `log(N/df)` would hang correctness on library `ln`
+    * ulp differences; the RANKING it induces is the same as log-idf's for
+    * fixed tf (both monotone decreasing in df).
+    *
+    * Plan shape: tokenize+explode → per-(group, token) count (map-side
+    * partial agg absorbs the token Zipf skew) → per-token df (second agg
+    * over the ALREADY-aggregated tf table, tiny) → join back on token,
+    * co-partitioned with the df agg so no extra exchange on the big side.
+    */
+  def tfidfTerms(df: DataFrame, groupCol: String, textCol: String,
+      k: Int, minLen: Int, stopwords: Seq[String]): DataFrame = {
+    val nGroups = df.select(col(groupCol)).distinct().count()
+    val tf = df.select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= minLen && !col("tok").isin(stopwords: _*))
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("score", col("tf") * lit(nGroups.toDouble) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("tok"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"))
+  }
 }

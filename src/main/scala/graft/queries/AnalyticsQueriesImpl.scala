@@ -220,5 +220,60 @@ object AnalyticsQueriesImpl {
       SELECT src, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       FROM u GROUP BY src ORDER BY src"""))
 
-  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps)
+  /** Rolling (trailing-4-orders) spend per customer — the time-series
+    * window frame (`ROWS BETWEEN 3 PRECEDING AND CURRENT ROW`) every
+    * feature pipeline computes. Money math is exact DECIMAL inside the
+    * frame and a single final cast to DOUBLE, so Spark's running-frame
+    * accumulation and DuckDB's segment-tree evaluation cannot diverge on
+    * summation order (they would on raw doubles). The customer filter is
+    * on the PARTITION key, so it pushes to the scan without changing any
+    * frame's contents. */
+  val windowRolling = Q(
+    "q_window_rolling",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.orders(s, dir)
+        .where(col("o_custkey") % 100 === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("trailing_spend"),
+          count(lit(1)).over(w).as("n_in_window"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_spend,
+        count(*) OVER w AS n_in_window
+      FROM orders WHERE o_custkey % 100 = 1
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** CUBE over (priority, year): all four grouping sets in ONE pass —
+    * Spark expands the grouping sets map-side, so it is a single shuffle
+    * regardless of how many sets the cube implies. NULL group markers
+    * are unambiguous here (neither dimension is nullable), and both
+    * engines order them NULLS FIRST explicitly. */
+  val cube = Q(
+    "q_cube",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy(col("prio").asc_nulls_first, col("yr").asc_nulls_first)
+    },
+    Some("""SELECT o_orderpriority AS prio, year(o_orderdate) AS yr,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+      ORDER BY prio NULLS FIRST, yr NULLS FIRST"""))
+
+  def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
+    windowRolling, cube)
 }

@@ -101,6 +101,31 @@ object CurationQueriesImpl {
             FROM f)
       SELECT source, rank, tok, n FROM r WHERE rank <= 5 ORDER BY source, rank"""))
 
+  /** Per-source top-5 DISTINCTIVE terms by tf-idf (linear idf — exact
+    * rational scores, see [[Curation.tfidfTerms]]): where top_terms ranks
+    * raw frequency, this downweights tokens common to every source. The
+    * oracle recomputes tf, df and N entirely in SQL. */
+  val tfidfTerms = Q(
+    "q_text_tfidf",
+    (s, dir) => {
+      Curation.tfidfTerms(Tables.documents(s, dir), "source", "text", 5, 4, stop)
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH t AS (SELECT source,
+        unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+      f AS (SELECT source, tok, count(*) AS tf FROM t
+            WHERE length(tok) >= 4 AND tok NOT IN ($stopSql)
+            GROUP BY source, tok),
+      d AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
+      n AS (SELECT count(DISTINCT source) AS ng FROM documents),
+      sc AS (SELECT f.source, f.tok, f.tf, d.df,
+               f.tf * (SELECT CAST(ng AS DOUBLE) FROM n) / d.df AS score
+             FROM f JOIN d USING (tok)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY score DESC, tok) AS rank FROM sc)
+      SELECT source, rank, tok, tf, df, round(score, 4) AS score
+      FROM r WHERE rank <= 5 ORDER BY source, rank"""))
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * trigram with the "benchmark" set (docs with doc_id % 50 == 0 stand in
     * for an eval suite). The real-pipeline shape: eval grams are tiny →
@@ -142,5 +167,5 @@ object CurationQueriesImpl {
       ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
-    decontaminate, splitTrainVal)
+    tfidfTerms, decontaminate, splitTrainVal)
 }

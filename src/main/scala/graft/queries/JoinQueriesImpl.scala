@@ -85,5 +85,28 @@ object JoinQueriesImpl {
        AND e.as_of_ts < u.o_orderdate + INTERVAL 7 DAY
       GROUP BY e.event_id ORDER BY e.event_id"""))
 
-  def all: Seq[Q] = Seq(asofJoin, rangeJoin)
+  /** Anti join: customers with NO orders, profiled per market segment.
+    * Spark plans left_anti as a broadcast/shuffled hash anti join — one
+    * pass, no materialized NOT-IN list. The curation twin of
+    * decontamination's semi join (rows that do NOT hit the reference
+    * set). */
+  val antiJoin = Q(
+    "q_anti_join",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir).select(col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+        min(c_custkey) AS min_key, max(c_custkey) AS max_key
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  def all: Seq[Q] = Seq(asofJoin, rangeJoin, antiJoin)
 }

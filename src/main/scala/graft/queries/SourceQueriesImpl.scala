@@ -224,6 +224,49 @@ object SourceQueriesImpl {
       round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem"""))
 
+  /** SCD-2 history build ([[graft.operators.Versioning.scd2]]): two
+    * dataset versions of order priority (v2 re-prioritizes 1996+ orders)
+    * become validity intervals per key — `valid_from`/`valid_to`/
+    * `is_current`. The complement of upsert/merge (SCD-1): instead of
+    * update-wins, every historical value stays queryable "as of" its
+    * version. One shuffle on the key; the oracle replays the lag/lead
+    * construction in SQL. */
+  val scd2History = Q(
+    "q_scd2_history",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val v1 = ord.select(col("o_orderkey"),
+        col("o_orderpriority").as("prio"), lit(1).as("version"))
+      val v2 = ord.select(col("o_orderkey"),
+        when(year(col("o_orderdate")) >= 1996, lit("1-URGENT"))
+          .otherwise(col("o_orderpriority")).as("prio"),
+        lit(2).as("version"))
+      graft.operators.Versioning.scd2(
+          v1.unionByName(v2), "o_orderkey", "prio", "version")
+        .groupBy(col("prio"), col("valid_from"), col("valid_to"), col("is_current"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("prio"), col("valid_from"),
+          col("valid_to").asc_nulls_first)
+    },
+    Some("""WITH v1 AS (SELECT o_orderkey, o_orderpriority AS prio, 1 AS version FROM orders),
+      v2 AS (SELECT o_orderkey,
+          CASE WHEN year(o_orderdate) >= 1996 THEN '1-URGENT' ELSE o_orderpriority END AS prio,
+          2 AS version FROM orders),
+      u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+      ch AS (SELECT *, lag(prio) OVER w AS prev, lag(version) OVER w AS prev_v
+             FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)),
+      f AS (SELECT o_orderkey, prio, version AS valid_from FROM ch
+            WHERE prev_v IS NULL OR prio IS DISTINCT FROM prev),
+      h AS (SELECT *, lead(valid_from) OVER (PARTITION BY o_orderkey
+              ORDER BY valid_from) AS valid_to FROM f)
+      SELECT prio, valid_from, valid_to, valid_to IS NULL AS is_current,
+        count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM h GROUP BY 1, 2, 3, 4
+      ORDER BY prio, valid_from, valid_to NULLS FIRST"""))
+
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    partitionedPrune, upsertMerge, customSource, libsvmRoundtrip, schemaMerge)
+    partitionedPrune, upsertMerge, customSource, libsvmRoundtrip, schemaMerge,
+    scd2History)
 }

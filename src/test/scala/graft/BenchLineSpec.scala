@@ -14,10 +14,10 @@ class BenchLineSpec extends AnyFunSuite {
       f"q_some_rather_long_query_name_$i%03d" -> (Right(i * 0.137): Either[String, Double])
     }.toMap
 
-  test("compact line stays under 1.3 KB even for huge suites") {
+  test("compact line stays under 800 bytes even for huge suites") {
     for (n <- Seq(0, 1, 73, 500)) {
       val (_, compact) = Bench.lines(results(n), "/root/testdata/sf0.1")
-      assert(compact.length < 1300, s"n=$n line is ${compact.length} bytes")
+      assert(compact.length < 800, s"n=$n line is ${compact.length} bytes")
     }
   }
 
@@ -30,6 +30,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(compact.contains("\"nqueries\":200"))
     // slowest query (highest index) must be in the kept map
     assert(compact.contains("q_some_rather_long_query_name_199"))
+  }
+
+  test("emitBlock spaces full copies so any 2 KB tail window holds one") {
+    val (_, compact) = Bench.lines(results(76), "/root/testdata/sf0.1")
+    val block = Bench.emitBlock(compact)
+    val lines = block.split("\n")
+    val copies = lines.count(_ == compact)
+    assert(copies >= 5, s"only $copies full copies")
+    // pad lines must not look like JSON to a line-by-line parser
+    assert(lines.filterNot(_ == compact).forall(l => !l.contains("{") && !l.contains("}")))
+    // any contiguous 2000-byte window that starts within the block's span
+    // (trailer 0..block-2000 bytes after us) must contain a full copy
+    val n = block.length
+    for (start <- 0 to (n - 2000) by 97) {
+      val window = block.substring(start, start + 2000)
+      assert(window.contains(compact), s"window at $start misses the line")
+    }
   }
 
   test("full line carries every query and the error marker form") {

@@ -220,6 +220,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("s2", 1, "delta", 2L), ("s2", 2, "echo", 1L)), s"got ${got.toSeq}")
   }
 
+  test("tfidfTerms downweights tokens shared across groups") {
+    val df = Seq(
+      // "common" appears in both sources; each has a distinctive token
+      ("s1", "common common common unique1 unique1"),
+      ("s2", "common common common unique2")
+    ).toDF("source", "text")
+    val got = Curation.tfidfTerms(df, "source", "text", 2, 4, Nil)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // scores: unique1 tf=2 df=1 N=2 -> 4.0; common tf=3 df=2 -> 3.0
+    assert(got.toSet == Set(
+      ("s1", 1, "unique1", 2L, 1L, 4.0), ("s1", 2, "common", 3L, 2L, 3.0),
+      ("s2", 1, "common", 3L, 2L, 3.0), ("s2", 2, "unique2", 1L, 1L, 2.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("LSH and IVF ANN achieve reasonable recall@5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)

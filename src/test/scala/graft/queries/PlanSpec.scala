@@ -87,6 +87,35 @@ class PlanSpec extends AnyFunSuite {
     // EXCHANGE is the claim that matters at scale.
   }
 
+  test("q_window_rolling: the partition-key filter pushes to the parquet scan") {
+    val p = plan("q_window_rolling")
+    // formatted explain numbers nodes bottom-up: the Filter's id must be
+    // below the first Exchange's — i.e. the filter runs scan-side, so the
+    // window shuffle carries only the 1% of customers that survive
+    def minId(node: String): Int =
+      (node + """ \((\d+)\)""").r.findAllMatchIn(p).map(_.group(1).toInt).minOption.getOrElse(Int.MaxValue)
+    assert(minId("Filter") < minId("Exchange"),
+      "custkey filter must precede the shuffle:\n" + p.take(1200))
+  }
+
+  test("q_zorder_layout: the interleave is pure codegen (no UDF) and one aggregation shuffle") {
+    val df = SparkEntry.queries("q_zorder_layout")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), "z-value must be expression-only:\n" + p.take(1000))
+    val exchanges = "(?m)Exchange ".r.findAllIn(p).length
+    // one partial->final agg exchange + the orderBy's range exchange
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("partial"), "aggregation must have a map-side partial phase")
+  }
+
+  test("q_cube: grouping sets expand before ONE aggregation shuffle") {
+    val df = SparkEntry.queries("q_cube")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), "cube must plan an Expand operator:\n" + p.take(800))
+    val aggExchanges = "(?m)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(aggExchanges == 1, s"expected 1 hash exchange, got $aggExchanges:\n$p")
+  }
+
   test("q_sim_topk_lsh: the bucket projection runs inside whole-stage codegen " +
       "(native HyperplaneBucket expression, not a boxing UDF)") {
     val df = SparkEntry.queries("q_sim_topk_lsh")(spark, sf)
