@@ -22,9 +22,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional probe filter: SPARK_GRAFT_ONLY=q_a,q_b runs just those
+    // queries (used by the SCALE.md 20x probes; unset = full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
     }
@@ -33,7 +40,7 @@ object Bench {
     // repeated runs is the standard robust estimator of noise-free cost.
     // A failing query records an explicit "err" marker — a swallowed
     // exception would otherwise SHRINK the total and read as a speedup.
-    val results: Map[String, Either[String, Double]] = SparkEntry.queries.map { case (name, fn) =>
+    val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {

@@ -155,4 +155,69 @@ object Curation {
       .select(col(groupCol), col("rank"), col("tok"), col("tf"), col("df"),
         round(col("score"), 4).as("score"))
   }
+
+  /** Sequence packing (pretraining concat-then-chunk): documents are
+    * concatenated per group in a deterministic order and cut into
+    * fixed-token-budget training sequences; each document is assigned to
+    * the sequence containing its FIRST token (`seq_id = floor(tokens
+    * before it / budget)`). Returns the input plus `seq_id`.
+    *
+    * The running total is a window sum partitioned by the group columns,
+    * so the operator parallelizes across groups — pass a SHARD column
+    * (not just the corpus/source) as part of the key: real packing jobs
+    * pack each input shard independently with no global coordination,
+    * and that is what keeps the window's per-partition state bounded at
+    * 100 TB (a source-only key would serialize a whole corpus into one
+    * task).
+    */
+  def packSequences(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tokensCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("seq_id",
+      (coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget).cast("long"))
+  }
+
+  /** Per-group document cap (the "max K docs per domain" rule of web-scale
+    * curation): keeps at most `k` documents per group, selected by
+    * content-hash order — uniform-random in effect but fully reproducible
+    * (no rand(), no seed state), and stable under repartitioning. Ties on
+    * identical text fall back to the id.
+    *
+    * Two-phase distributed top-k: phase 1 caps each (group, shard) to k
+    * rows — the group's true top-k is always a subset of the union of
+    * its per-shard top-ks — so phase 2's per-group window sorts at most
+    * k x shards rows, never the group's full document set. A single
+    * per-group window would serialize each group into one task (a 25 TB
+    * sort per domain at corpus scale); this shape ships ≤ k rows per
+    * shard into the final cut. */
+  def domainCap(df: DataFrame, groupCol: String, textCol: String,
+      idCol: String, k: Int, shards: Int = 32): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val local = Window
+      .partitionBy(col(groupCol), pmod(hash(col(idCol)), lit(shards)))
+      .orderBy(md5(col(textCol)), col(idCol))
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    df.withColumn("__rn1", row_number().over(local))
+      .where(col("__rn1") <= k)
+      .withColumn("__rn", row_number().over(global))
+      .where(col("__rn") <= k)
+      .drop("__rn1", "__rn")
+  }
+
+  /** Soft dedup: instead of dropping exact duplicates, weight each copy
+    * 1/cluster-size so the CLUSTER contributes one document's worth of
+    * training signal. Shuffles md5 digests, not text. Returns the input
+    * plus `n_copies` and `weight`. */
+  def softDedupWeights(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(md5(col(textCol)).as("__digest"))
+      .groupBy(col("__digest")).agg(count(lit(1)).as("n_copies"))
+    df.withColumn("__digest", md5(col(textCol)))
+      .join(counts, "__digest")
+      .withColumn("weight", lit(1.0) / col("n_copies"))
+      .drop("__digest")
+  }
 }

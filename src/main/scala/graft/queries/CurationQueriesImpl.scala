@@ -126,6 +126,82 @@ object CurationQueriesImpl {
       SELECT source, rank, tok, tf, df, round(score, 4) AS score
       FROM r WHERE rank <= 5 ORDER BY source, rank"""))
 
+  /** Sequence packing ([[Curation.packSequences]]): concat-then-chunk
+    * documents into 2048-token training sequences PER INPUT SHARD
+    * (contiguous doc_id ranges stand in for the pipeline's input files) —
+    * each shard packs independently, so parallelism grows with the data
+    * instead of being capped at the handful of sources. The budget is a
+    * power of two so the running-total division is EXACT in both
+    * engines' float math. */
+  val packSequences = Q(
+    "q_pack_sequences",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
+        .withColumn("shard", (col("doc_id") / 2000).cast("long"))
+      Curation.packSequences(d, Seq("source", "shard"), "doc_id", "toks", 2048)
+        .groupBy(col("source"), col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"), col("shard"), col("seq_id"))
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+        CAST(floor(doc_id / 2000) AS BIGINT) AS shard,
+        len(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents),
+      p AS (SELECT source, shard, doc_id, toks,
+        CAST(floor(COALESCE(sum(toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS seq_id
+        FROM d)
+      SELECT source, shard, seq_id, count(*) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM p GROUP BY 1, 2, 3 ORDER BY source, shard, seq_id"""))
+
+  /** Per-source document cap ([[Curation.domainCap]]): at most 40 docs
+    * per source, chosen by content-hash order — reproducible sampling
+    * with no rand(). The checksum columns pin WHICH docs were kept, not
+    * just how many. */
+  val domainCapQ = Q(
+    "q_domain_cap",
+    (s, dir) => {
+      Curation.domainCap(Tables.documents(s, dir), "source", "text", "doc_id", 40)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH r AS (SELECT source, doc_id, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        FROM documents)
+      SELECT source, count(*) AS n_kept,
+        CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM r WHERE rn <= 40 GROUP BY source ORDER BY source"""))
+
+  /** Soft dedup ([[Curation.softDedupWeights]]): duplicate-cluster-size
+    * histogram per source with the effective (1/n-weighted) document
+    * count — `n / n_copies` as ONE division, so the replay is exact with
+    * no float-summation-order hazard. */
+  val softDedup = Q(
+    "q_soft_dedup",
+    (s, dir) => {
+      Curation.softDedupWeights(Tables.documents(s, dir), "text")
+        .groupBy(col("source"), col("n_copies"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("effective", round(col("n").cast("double") / col("n_copies"), 4))
+        .orderBy(col("source"), col("n_copies"))
+    },
+    Some("""WITH c AS (SELECT md5(text) AS digest, count(*) AS n_copies
+        FROM documents GROUP BY 1),
+      j AS (SELECT d.source, c.n_copies FROM documents d
+            JOIN c ON md5(d.text) = c.digest)
+      SELECT source, n_copies, count(*) AS n,
+        round(CAST(count(*) AS DOUBLE) / n_copies, 4) AS effective
+      FROM j GROUP BY source, n_copies ORDER BY source, n_copies"""))
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * trigram with the "benchmark" set (docs with doc_id % 50 == 0 stand in
     * for an eval suite). The real-pipeline shape: eval grams are tiny →
@@ -167,5 +243,5 @@ object CurationQueriesImpl {
       ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
-    tfidfTerms, decontaminate, splitTrainVal)
+    tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ, softDedup)
 }

@@ -237,6 +237,53 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("packSequences assigns each doc to the chunk holding its first token, per group") {
+    val df = Seq(
+      // group g1: tokens 3,4,2 with budget 5 -> starts at 0,3,7 -> seqs 0,0,1
+      ("g1", 1L, 3), ("g1", 2L, 4), ("g1", 3L, 2),
+      // group g2 packs independently
+      ("g2", 1L, 6), ("g2", 2L, 1)
+    ).toDF("src", "id", "toks")
+    val got = Curation.packSequences(df, Seq("src"), "id", "toks", 5)
+      .orderBy($"src", $"id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 1L),
+      ("g2", 1L, 0L), ("g2", 2L, 1L)))
+  }
+
+  test("domainCap keeps at most k docs per group, deterministically") {
+    val df = (1L to 100L).map(i => (s"s${i % 3}", i, s"text body $i")).toDF("src", "id", "text")
+    val kept = Curation.domainCap(df, "src", "text", "id", 10)
+    val counts = kept.groupBy($"src").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.values.forall(_ == 10L), counts.toString)
+    // reproducible: identical selection on re-run and after repartition
+    val again = Curation.domainCap(df.repartition(7), "src", "text", "id", 10)
+    assert(kept.select($"id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select($"id").collect().map(_.getLong(0)).sorted))
+    // the two-phase (sharded) selection equals the direct global top-k
+    import org.apache.spark.sql.expressions.Window
+    val direct = df.withColumn("rn",
+        row_number().over(Window.partitionBy($"src").orderBy(md5($"text"), $"id")))
+      .where($"rn" <= 10).select($"id").collect().map(_.getLong(0)).sorted
+    assert(kept.select($"id").collect().map(_.getLong(0)).sorted.sameElements(direct))
+  }
+
+  test("softDedupWeights weights each copy 1/cluster-size") {
+    val df = Seq("dup", "dup", "dup", "unique-a", "unique-b").toDF("text")
+    val got = Curation.softDedupWeights(df, "text")
+      .select($"text", $"n_copies", $"weight").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.count(_._1 == "dup") === 3)
+    got.foreach {
+      case ("dup", n, w) => assert(n === 3L && math.abs(w - 1.0 / 3) < 1e-15)
+      case (_, n, w)     => assert(n === 1L && w === 1.0)
+    }
+    // total effective mass = number of distinct texts
+    assert(math.abs(got.map(_._3).sum - 3.0) < 1e-12)
+  }
+
   test("LSH and IVF ANN achieve reasonable recall@5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
