@@ -47,6 +47,25 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Public deterministic Gaussian plane matrix (rows x dim), seeded —
+    * shared by the LSH buckets, the random-projection operator, and the
+    * oracle-SQL generators (same values on both sides by construction). */
+  def gaussianPlanes(dim: Int, rows: Int, seed: Long): Array[Array[Double]] =
+    hyperplanes(dim, rows, seed)
+
+  /** Random-projection (Johnson-Lindenstrauss) dimensionality reduction:
+    * projects the embedding onto `planes` (one output dimension per
+    * plane) with the codegen'd ArrayDot kernel — a pure per-row
+    * projection, no shuffle, streams at any scale. The classic cheap
+    * pre-step before ANN indexing when the raw dimension is large. */
+  def randomProjection(df: DataFrame, vecCol: String,
+      planes: Array[Array[Double]], outCol: String): DataFrame = {
+    require(planes.nonEmpty, "need at least one projection plane")
+    val v = graft.functions.VectorFunctions.toDoubleArray(col(vecCol))
+    df.withColumn(outCol, array(planes.map(p =>
+      array_dot(v, typedLit(p.toSeq))): _*))
+  }
+
   /** Sign-bit bucket id of a numeric-array embedding under the planes —
     * the codegen'd [[graft.functions.KernelExpressions.HyperplaneBucket]]
     * expression (a Scala UDF here boxed every vector element and broke

@@ -274,6 +274,33 @@ object AnalyticsQueriesImpl {
       GROUP BY CUBE (o_orderpriority, year(o_orderdate))
       ORDER BY prio NULLS FIRST, yr NULLS FIRST"""))
 
+  /** Per-group EXACT quantiles + Pearson correlation — the feature-
+    * profiling pass every training pipeline runs before normalization.
+    * Exact `percentile` (same (n-1)·p linear interpolation as DuckDB's
+    * quantile_cont) is the small-group / verification tier; the 100 TB
+    * tier is the one-pass mergeable GK sketch already covered by
+    * q_approx_sketch — this query is the exact baseline it's checked
+    * against. */
+  val groupQuantiles = Q(
+    "q_group_quantiles",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(corr(col("value"), (col("user_id") % 100).cast("double")), 6).as("corr_uid"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        round(quantile_cont(value, 0.25), 4) AS p25,
+        round(quantile_cont(value, 0.5), 4) AS p50,
+        round(quantile_cont(value, 0.9), 4) AS p90,
+        round(corr(value, user_id % 100), 6) AS corr_uid
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
-    windowRolling, cube)
+    windowRolling, cube, groupQuantiles)
 }

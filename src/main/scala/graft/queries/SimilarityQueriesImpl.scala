@@ -51,5 +51,36 @@ object SimilarityQueriesImpl {
     },
     None)
 
-  def all: Seq[Q] = Seq(bruteForce, lsh, ivf)
+  /** The projection planes are seeded literals, so the SAME values are
+    * compiled into the Spark expression and the generated oracle SQL —
+    * both engines then run the identical sequential double dot product
+    * and the replay is bit-exact, not approximately equal. Embeddings
+    * are 64-dim by the testdata contract. */
+  private val projPlanes =
+    graft.operators.Similarity.gaussianPlanes(dim = 64, rows = 8, seed = 7L)
+
+  /** Random-projection (Johnson-Lindenstrauss) dimensionality reduction
+    * 64 -> 8, per-row and shuffle-free — the cheap pre-step before ANN
+    * indexing at 100 TB (the projected vectors are what gets bucketed /
+    * quantized downstream). */
+  val embedProject = Q(
+    "q_embed_project",
+    (s, dir) => {
+      val proj = graft.operators.Similarity.randomProjection(
+        Tables.embeddings(s, dir), "embedding", projPlanes, "proj")
+      proj.select(Seq(col("vec_id")) ++
+          (1 to 8).map(i => round(element_at(col("proj"), i), 6).as(s"p$i")): _*)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val cols = projPlanes.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+        s"round(list_dot_product(embedding::DOUBLE[], $arr), 6) AS p${i + 1}"
+      }.mkString(",\n        ")
+      s"""SELECT vec_id,
+        $cols
+      FROM embeddings ORDER BY vec_id"""
+    })
+
+  def all: Seq[Q] = Seq(bruteForce, lsh, ivf, embedProject)
 }

@@ -284,6 +284,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._3).sum - 3.0) < 1e-12)
   }
 
+  test("randomProjection computes the exact plane dot products, per row") {
+    val planes = Similarity.gaussianPlanes(dim = 4, rows = 2, seed = 7L)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f, -1.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+    val got = Similarity.randomProjection(vecs.toDF("id", "v"), "v", planes, "proj")
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2)))
+    vecs.zip(got).foreach { case ((id, v), (gid, proj)) =>
+      assert(id === gid)
+      planes.zipWithIndex.foreach { case (p, i) =>
+        val want = v.map(_.toDouble).zip(p).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        assert(proj(i) === want, s"id=$id dim=$i")
+      }
+    }
+  }
+
+  test("randomProjection approximately preserves relative distances (JL property)") {
+    val dim = 64
+    val planes = Similarity.gaussianPlanes(dim, rows = 16, seed = 7L)
+      .map(_.map(_ / math.sqrt(16))) // scale so E[|proj|^2] = |v|^2
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 40)
+    val proj = Similarity.randomProjection(emb, "embedding", planes, "proj")
+      .select($"vec_id", $"proj").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val raw = emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- raw.keys.toSeq.sorted.take(10); j <- raw.keys.toSeq.sorted.take(10) if i < j
+    } yield d2(proj(i), proj(j)) / d2(raw(i), raw(j))
+    // JL with 16 dims is coarse; just pin the right order of magnitude
+    assert(ratios.forall(r => r > 0.2 && r < 3.0),
+      s"distance ratios out of band: min=${ratios.min} max=${ratios.max}")
+  }
+
   test("LSH and IVF ANN achieve reasonable recall@5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
