@@ -141,6 +141,22 @@ object MiscQueriesImpl {
     },
     None)
 
+  /** foreachBatch merge sink ([[EventStreams.mergeToSnapshot]]): a batch
+    * -seeded per-user profile snapshot kept current by full-outer merging
+    * each micro-batch's deltas — streaming CDC into a versioned table.
+    * Counts and sums merge associatively, so the oracle replays the END
+    * STATE as one batch aggregation regardless of batch splits. */
+  val streamMerge = Q(
+    "q_stream_merge_sink",
+    (s, dir) => EventStreams.mergeToSnapshot(s, dir),
+    Some("""WITH prof AS (
+        SELECT user_id, count(*) AS n_events, sum(value) AS sum_value
+        FROM events GROUP BY user_id)
+      SELECT user_id % 10 AS bucket, count(*) AS n_users,
+        CAST(sum(n_events) AS BIGINT) AS sum_events,
+        round(sum(sum_value), 2) AS sum_value
+      FROM prof GROUP BY 1 ORDER BY bucket"""))
+
   def all: Seq[Q] = Seq(streamWindow, streamWindowSink, streamSessionize, streamDedup,
-    streamJoin, streamStatic, multimodalDecode, multimodalPipeline)
+    streamJoin, streamStatic, streamMerge, multimodalDecode, multimodalPipeline)
 }

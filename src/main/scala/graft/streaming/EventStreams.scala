@@ -119,6 +119,80 @@ object EventStreams {
         .orderBy(col("window_start"), col("event_type"))
     }
 
+  /** Streaming merge sink (foreachBatch upsert): the lakehouse ingestion
+    * pattern — a BATCH-seeded snapshot (here: per-user profiles from
+    * 'click' events) is kept current by merging each micro-batch's
+    * per-user deltas with a full-outer join and writing the next snapshot
+    * version. foreachBatch runs serially on the driver, and count/sum
+    * profiles merge associatively, so the final snapshot is independent
+    * of how the source splits into batches.
+    *
+    * Unlike the append sink (whose retained checkpoint IS the
+    * exactly-once demo), the merge sink rebuilds snapshot v0 and starts a
+    * fresh checkpoint each run — the in-flight snapshot pointer is
+    * run-local state, so determinism here comes from rebuilding, not
+    * resuming.
+    *
+    * At 100 TB the only change is the snapshot store (a table format
+    * with commit atomicity instead of versioned dirs); the merge itself
+    * is one key shuffle per batch, sized by the batch not the history. */
+  def mergeToSnapshot(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = new java.io.File(s"/tmp/graft_stream_merge/$key")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    if (root.exists()) deleteRec(root)
+    val snapDir = s"$root/snap"
+    val ckDir = s"$root/ck"
+
+    val profileSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_events", LongType),
+      StructField("sum_value", DoubleType)))
+    def profile(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+    // batch-seeded base snapshot: click events only
+    val batchEvents = spark.read.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    profile(batchEvents.where(col("event_type") === "click"))
+      .write.mode("overwrite").parquet(s"$snapDir/v0")
+
+    val current = new java.util.concurrent.atomic.AtomicReference[String](s"$snapDir/v0")
+    val stream = readEvents(spark, sfDir).where(col("event_type") =!= "click")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = profile(batch)
+        val snap = spark.read.schema(profileSchema).parquet(current.get)
+        val merged = snap.alias("s")
+          .join(delta.alias("d"), col("s.user_id") === col("d.user_id"), "full_outer")
+          .select(
+            coalesce(col("s.user_id"), col("d.user_id")).as("user_id"),
+            (coalesce(col("s.n_events"), lit(0L)) +
+              coalesce(col("d.n_events"), lit(0L))).as("n_events"),
+            (coalesce(col("s.sum_value"), lit(0.0)) +
+              coalesce(col("d.sum_value"), lit(0.0))).as("sum_value"))
+        val next = s"$snapDir/v${batchId + 1}"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.read.schema(profileSchema).parquet(current.get)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("sum_events"),
+        round(sum(col("sum_value")), 2).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
   /** Streaming exact-dedup: first arrival per (user_id, event_type) via
     * dropDuplicates under a watermark — the streaming face of the dedup
     * operator family. Only the key columns are emitted, so the result is
