@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint checks — the validation pass a training
+  * pipeline runs before it trusts a new dataset drop (the Deequ/
+  * expectations pattern re-expressed as plain aggregations).
+  *
+  * Every check is a conditional COUNT, so an arbitrary list of checks
+  * over one table compiles to a SINGLE scan with map-side partial
+  * aggregation — adding a constraint costs one column, not one pass.
+  * Cross-table checks (referential integrity) are left-anti joins.
+  */
+object Constraints {
+
+  /** One named constraint: `violations` must count the BAD rows. */
+  final case class Check(name: String, violations: Column)
+
+  /** Not-null constraint. */
+  def notNull(c: String): Check =
+    Check(s"not_null($c)", count(when(col(c).isNull, 1)))
+
+  /** Range constraint (inclusive lower bound). */
+  def atLeast(c: String, lower: Double): Check =
+    Check(s"min($c)>=$lower", count(when(col(c) < lower, 1)))
+
+  /** Set-membership constraint. */
+  def isIn(c: String, allowed: Seq[String]): Check =
+    Check(s"in_set($c)", count(when(!col(c).isin(allowed: _*), 1)))
+
+  /** Uniqueness is not a conditional count — it needs its own grouped
+    * pass — so it reports (duplicate keys) separately and unions in. */
+  def evaluate(df: DataFrame, checks: Seq[Check],
+      uniqueKey: Option[String] = None): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val scan = df.agg(
+      checks.head.violations.as(checks.head.name),
+      checks.tail.map(c => c.violations.as(c.name)): _*)
+    // one row per check: stack the single-row agg into (name, violations).
+    // Check names contain dots/parens, so references must be backtick-
+    // quoted or col() parses them as nested-field paths.
+    val stacked = scan.select(explode(map(
+      checks.flatMap(c => Seq(lit(c.name), col(s"`${c.name}`").cast("long"))): _*))
+      .as(Seq("constraint", "violations")))
+    val withUnique = uniqueKey.fold(stacked) { k =>
+      val dups = df.groupBy(col(k)).count().where(col("count") > 1)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("violations"))
+        .select(lit(s"unique($k)").as("constraint"), col("violations"))
+      stacked.unionByName(dups)
+    }
+    withUnique.withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Referential-integrity check: rows of `child` whose `fk` has no match
+    * in `parent.pk` (NULL fks are orphans too unless filtered upstream).
+    * A broadcast/shuffled left-anti join — one pass over the child. */
+  def referential(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val orphans = child.join(parent, col(fk) === col(pk), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("violations"))
+    orphans.select(lit(s"ref($fk->$pk)").as("constraint"), col("violations"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+}

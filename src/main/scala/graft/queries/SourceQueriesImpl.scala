@@ -266,7 +266,50 @@ object SourceQueriesImpl {
       FROM h GROUP BY 1, 2, 3, 4
       ORDER BY prio, valid_from, valid_to NULLS FIRST"""))
 
+  /** Data-quality constraint checks ([[graft.operators.Constraints]]):
+    * the Deequ-style validation pass before a dataset drop is trusted.
+    * All conditional-count checks over orders compile into ONE scan; the
+    * uniqueness check is one grouped pass; referential integrity is a
+    * left-anti join against customer. The oracle replays every check as
+    * SQL counts. */
+  val qualityConstraints = Q(
+    "q_quality_constraints",
+    (s, dir) => {
+      import graft.operators.Constraints
+      val ord = Tables.orders(s, dir)
+      val checks = Seq(
+        Constraints.notNull("o_orderkey"),
+        Constraints.atLeast("o_totalprice", 0.0),
+        Constraints.isIn("o_orderpriority", Seq(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+      Constraints.evaluate(ord, checks, uniqueKey = Some("o_orderkey"))
+        .unionByName(Constraints.referential(
+          ord, "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .orderBy(col("constraint"))
+    },
+    Some("""WITH v AS (
+        SELECT 'not_null(o_orderkey)' AS "constraint",
+          count(*) FILTER (WHERE o_orderkey IS NULL) AS violations FROM orders
+        UNION ALL
+        SELECT 'min(o_totalprice)>=0.0',
+          count(*) FILTER (WHERE o_totalprice < 0.0) FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderpriority)',
+          count(*) FILTER (WHERE o_orderpriority NOT IN
+            ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+          (SELECT count(*) FROM
+            (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+        UNION ALL
+        SELECT 'ref(o_custkey->c_custkey)',
+          (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+      SELECT "constraint", CAST(violations AS BIGINT) AS violations,
+        violations = 0 AS passed
+      FROM v ORDER BY "constraint""""))
+
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     partitionedPrune, upsertMerge, customSource, libsvmRoundtrip, schemaMerge,
-    scd2History)
+    scd2History, qualityConstraints)
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class ConstraintsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dirty = Seq(
+    (Some(1L), 10.0, "ok"),
+    (Some(2L), -5.0, "ok"),    // range violation
+    (None, 3.0, "ok"),         // null key
+    (Some(4L), 7.0, "BAD"),    // set violation
+    (Some(4L), 8.0, "ok")      // duplicate key
+  ).toDF("k", "price", "status")
+
+  test("conditional-count checks find each planted violation exactly once") {
+    val out = Constraints.evaluate(dirty, Seq(
+        Constraints.notNull("k"),
+        Constraints.atLeast("price", 0.0),
+        Constraints.isIn("status", Seq("ok"))),
+        uniqueKey = Some("k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("not_null(k)") === ((1L, false)))
+    assert(out("min(price)>=0.0") === ((1L, false)))
+    assert(out("in_set(status)") === ((1L, false)))
+    assert(out("unique(k)") === ((1L, false))) // one duplicated key value
+  }
+
+  test("clean data passes every check") {
+    val clean = Seq((1L, 1.0, "ok"), (2L, 2.0, "ok")).toDF("k", "price", "status")
+    val out = Constraints.evaluate(clean, Seq(
+        Constraints.notNull("k"), Constraints.atLeast("price", 0.0)),
+        uniqueKey = Some("k")).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[Boolean]("passed")))
+    assert(out.forall(_.getAs[Long]("violations") === 0L))
+  }
+
+  test("referential check counts orphans (including null fks)") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Constraints.referential(child, "fk", parent, "pk").collect().head
+    assert(out.getString(0) === "ref(fk->pk)")
+    assert(out.getLong(1) === 2L) // 99 and NULL
+    assert(!out.getBoolean(2))
+  }
+
+  test("all conditional checks compile into a single scan") {
+    val plan = Constraints.evaluate(dirty, Seq(
+        Constraints.notNull("k"),
+        Constraints.atLeast("price", 0.0),
+        Constraints.isIn("status", Seq("ok"))))
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).length
+    assert(scans === 1, s"expected one scan:\n$plan")
+  }
+}
