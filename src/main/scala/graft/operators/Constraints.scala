@@ -52,6 +52,39 @@ object Constraints {
     withUnique.withColumn("passed", col("violations") === 0L)
   }
 
+  /** Distribution-drift detection between two dataset versions: fixed-
+    * width histogram both sides, then the per-bin chi-square contribution
+    * `(observed - expected)^2 / expected` against the pooled no-drift
+    * expectation. The monitoring check that catches a silently shifted
+    * feature before it reaches training.
+    *
+    * Chi-square instead of the usual PSI/KL deliberately: every term is
+    * +,-,*,/ over exact counts (one IEEE rounding per op, same result in
+    * any engine), where PSI's `ln` would hang correctness on math-library
+    * ulp differences. Plan shape: two scan+group passes (one per side),
+    * a full-outer join of ~nBins rows, and a broadcast of the two totals.
+    */
+  def histogramDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      binWidth: Double, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 1, s"bad binning: width=$binWidth n=$nBins")
+    def hist(df: DataFrame, n: String) =
+      df.groupBy(least(floor(col(valueCol) / binWidth), lit(nBins - 1))
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as(n))
+    val j = hist(ref, "n_ref").alias("r")
+      .join(hist(cur, "n_cur").alias("c"), col("r.bin") === col("c.bin"), "full_outer")
+      .select(coalesce(col("r.bin"), col("c.bin")).as("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val eRef = (col("n_ref") + col("n_cur")) * col("t_ref") / (col("t_ref") + col("t_cur"))
+    val eCur = (col("n_ref") + col("n_cur")) * col("t_cur") / (col("t_ref") + col("t_cur"))
+    j.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (((col("n_ref") - eRef) * (col("n_ref") - eRef)) / eRef +
+          ((col("n_cur") - eCur) * (col("n_cur") - eCur)) / eCur).as("chi2"))
+  }
+
   /** Referential-integrity check: rows of `child` whose `fk` has no match
     * in `parent.pk` (NULL fks are orphans too unless filtered upstream).
     * A broadcast/shuffled left-anti join — one pass over the child. */

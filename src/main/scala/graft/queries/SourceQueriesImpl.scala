@@ -309,7 +309,43 @@ object SourceQueriesImpl {
         violations = 0 AS passed
       FROM v ORDER BY "constraint""""))
 
+  /** Distribution-drift detection ([[graft.operators.Constraints
+    * .histogramDrift]]) between two dataset versions (pre-1997 vs 1997+
+    * orders stand in for release N and N+1): per-price-bin chi-square
+    * contributions against the pooled expectation. Chi-square, not PSI:
+    * rational arithmetic only, so the oracle replay is bit-exact (PSI's
+    * ln is math-library-dependent). */
+  val driftDetect = Q(
+    "q_drift_detect",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      graft.operators.Constraints.histogramDrift(
+          ord.where(year(col("o_orderdate")) < 1997),
+          ord.where(year(col("o_orderdate")) >= 1997),
+          "o_totalprice", binWidth = 50000.0, nBins = 10)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("chi2"), 4).as("chi2"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH r AS (SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+          count(*) AS n_ref FROM orders WHERE year(o_orderdate) < 1997 GROUP BY 1),
+      c AS (SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+          count(*) AS n_cur FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1),
+      j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+          COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+      t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+          CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j)
+      SELECT bin, n_ref, n_cur,
+        round(((n_ref - (n_ref + n_cur) * t_ref / (t_ref + t_cur))
+             * (n_ref - (n_ref + n_cur) * t_ref / (t_ref + t_cur)))
+             / ((n_ref + n_cur) * t_ref / (t_ref + t_cur))
+            + ((n_cur - (n_ref + n_cur) * t_cur / (t_ref + t_cur))
+             * (n_cur - (n_ref + n_cur) * t_cur / (t_ref + t_cur)))
+             / ((n_ref + n_cur) * t_cur / (t_ref + t_cur)), 4) AS chi2
+      FROM j, t ORDER BY bin"""))
+
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     partitionedPrune, upsertMerge, customSource, libsvmRoundtrip, schemaMerge,
-    scd2History, qualityConstraints)
+    scd2History, qualityConstraints, driftDetect)
 }

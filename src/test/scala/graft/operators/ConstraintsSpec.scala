@@ -47,6 +47,28 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(!out.getBoolean(2))
   }
 
+  test("histogramDrift: identical distributions give zero chi-square everywhere") {
+    val a = (1 to 1000).map(i => (i % 10) * 10.0 + 1).toDF("v")
+    val out = Constraints.histogramDrift(a, a, "v", binWidth = 10.0, nBins = 10)
+      .collect()
+    assert(out.length === 10)
+    out.foreach(r => assert(r.getAs[Double]("chi2") === 0.0))
+  }
+
+  test("histogramDrift: a shifted bin dominates the chi-square") {
+    val ref = (1 to 1000).map(i => (i % 10) * 10.0 + 1).toDF("v")
+    // current: bin 0 mass moved to bin 9
+    val cur = (1 to 1000).map { i =>
+      val b = i % 10; (if (b == 0) 9 else b) * 10.0 + 1
+    }.toDF("v")
+    val out = Constraints.histogramDrift(ref, cur, "v", binWidth = 10.0, nBins = 10)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Double]("chi2"))).toMap
+    val quiet = (1L to 8L).map(out)
+    assert(out(0L) > 10 * quiet.max, s"bin 0 should dominate: $out")
+    assert(out(9L) > 10 * quiet.max, s"bin 9 should dominate: $out")
+    quiet.foreach(c => assert(c === 0.0)) // untouched bins match exactly
+  }
+
   test("all conditional checks compile into a single scan") {
     val plan = Constraints.evaluate(dirty, Seq(
         Constraints.notNull("k"),
