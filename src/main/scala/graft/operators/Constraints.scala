@@ -66,9 +66,13 @@ object Constraints {
     */
   def histogramDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       binWidth: Double, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(binWidth > 0 && nBins > 1, s"bad binning: width=$binWidth n=$nBins")
+    // clamp BOTH ends so signed features keep the [0, nBins) contract,
+    // and drop NULLs (a histogram over present values, like any profiler)
     def hist(df: DataFrame, n: String) =
-      df.groupBy(least(floor(col(valueCol) / binWidth), lit(nBins - 1))
+      df.where(col(valueCol).isNotNull)
+        .groupBy(greatest(least(floor(col(valueCol) / binWidth), lit(nBins - 1)), lit(0))
           .cast("long").as("bin"))
         .agg(count(lit(1)).as(n))
     val j = hist(ref, "n_ref").alias("r")
@@ -76,13 +80,17 @@ object Constraints {
       .select(coalesce(col("r.bin"), col("c.bin")).as("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val totals = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    // totals via a global window over the HISTOGRAM (≤ nBins rows, so the
+    // single-partition window is free) — an agg + crossJoin would plan
+    // the two hist subtrees twice, doubling the input scans
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val t = j.withColumn("t_ref", sum(col("n_ref")).over(w))
+      .withColumn("t_cur", sum(col("n_cur")).over(w))
     val eRef = (col("n_ref") + col("n_cur")) * col("t_ref") / (col("t_ref") + col("t_cur"))
     val eCur = (col("n_ref") + col("n_cur")) * col("t_cur") / (col("t_ref") + col("t_cur"))
-    j.crossJoin(broadcast(totals))
-      .select(col("bin"), col("n_ref"), col("n_cur"),
-        (((col("n_ref") - eRef) * (col("n_ref") - eRef)) / eRef +
-          ((col("n_cur") - eCur) * (col("n_cur") - eCur)) / eCur).as("chi2"))
+    t.select(col("bin"), col("n_ref"), col("n_cur"),
+      (((col("n_ref") - eRef) * (col("n_ref") - eRef)) / eRef +
+        ((col("n_cur") - eCur) * (col("n_cur") - eCur)) / eCur).as("chi2"))
   }
 
   /** Referential-integrity check: rows of `child` whose `fk` has no match

@@ -141,7 +141,10 @@ object Curation {
     */
   def tfidfTerms(df: DataFrame, groupCol: String, textCol: String,
       k: Int, minLen: Int, stopwords: Seq[String]): DataFrame = {
-    val nGroups = df.select(col(groupCol)).distinct().count()
+    // N as a broadcast one-row aggregate, NOT an eager count(): building
+    // the plan must not trigger a corpus scan, and the real scan happens
+    // once at execution
+    val nGroups = df.agg(countDistinct(col(groupCol)).cast("double").as("__ng"))
     val tf = df.select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .where(length(col("tok")) >= minLen && !col("tok").isin(stopwords: _*))
       .groupBy(col(groupCol), col("tok"))
@@ -149,7 +152,8 @@ object Curation {
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("score").desc, col("tok"))
     tf.join(dfreq, "tok")
-      .withColumn("score", col("tf") * lit(nGroups.toDouble) / col("df"))
+      .crossJoin(broadcast(nGroups))
+      .withColumn("score", col("tf") * col("__ng") / col("df"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(groupCol), col("rank"), col("tok"), col("tf"), col("df"),

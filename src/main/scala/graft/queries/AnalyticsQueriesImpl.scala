@@ -291,14 +291,17 @@ object AnalyticsQueriesImpl {
           round(expr("percentile(value, 0.25)"), 4).as("p25"),
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          round(corr(col("value"), (col("user_id") % 100).cast("double")), 6).as("corr_uid"))
+          // 4 dp, not 6: corr's co-moment accumulation is the one term
+          // here with (tiny) merge-order float sensitivity — the wider
+          // rounding margin makes a boundary flip practically impossible
+          round(corr(col("value"), (col("user_id") % 100).cast("double")), 4).as("corr_uid"))
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type, count(*) AS n,
         round(quantile_cont(value, 0.25), 4) AS p25,
         round(quantile_cont(value, 0.5), 4) AS p50,
         round(quantile_cont(value, 0.9), 4) AS p90,
-        round(corr(value, user_id % 100), 6) AS corr_uid
+        round(corr(value, user_id % 100), 4) AS corr_uid
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,

@@ -150,11 +150,12 @@ object MiscQueriesImpl {
     "q_stream_merge_sink",
     (s, dir) => EventStreams.mergeToSnapshot(s, dir),
     Some("""WITH prof AS (
-        SELECT user_id, count(*) AS n_events, sum(value) AS sum_value
+        SELECT user_id, count(*) AS n_events,
+          sum(CAST(value AS DECIMAL(18,6))) AS sum_value
         FROM events GROUP BY user_id)
       SELECT user_id % 10 AS bucket, count(*) AS n_users,
         CAST(sum(n_events) AS BIGINT) AS sum_events,
-        round(sum(sum_value), 2) AS sum_value
+        CAST(sum(sum_value) AS DOUBLE) AS sum_value
       FROM prof GROUP BY 1 ORDER BY bucket"""))
 
   def all: Seq[Q] = Seq(streamWindow, streamWindowSink, streamSessionize, streamDedup,

@@ -327,10 +327,12 @@ object SourceQueriesImpl {
           round(col("chi2"), 4).as("chi2"))
         .orderBy(col("bin"))
     },
-    Some("""WITH r AS (SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
-          count(*) AS n_ref FROM orders WHERE year(o_orderdate) < 1997 GROUP BY 1),
-      c AS (SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
-          count(*) AS n_cur FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1),
+    Some("""WITH r AS (SELECT greatest(least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9), 0) AS bin,
+          count(*) AS n_ref FROM orders
+          WHERE year(o_orderdate) < 1997 AND o_totalprice IS NOT NULL GROUP BY 1),
+      c AS (SELECT greatest(least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9), 0) AS bin,
+          count(*) AS n_cur FROM orders
+          WHERE year(o_orderdate) >= 1997 AND o_totalprice IS NOT NULL GROUP BY 1),
       j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
           COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
         FROM r FULL OUTER JOIN c ON r.bin = c.bin),

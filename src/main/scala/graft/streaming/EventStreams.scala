@@ -147,13 +147,21 @@ object EventStreams {
     val snapDir = s"$root/snap"
     val ckDir = s"$root/ck"
 
+    // sum_value is EXACT DECIMAL through the whole merge chain: the
+    // snapshot accumulates seed + one delta per batch, and a double sum
+    // would make the result depend on that addition order (vs the
+    // oracle's single-pass sum). DECIMAL(38,6) addition is associative,
+    // so the end state is batch-split independent bit-for-bit; the one
+    // double-rounding happens at the final bucket output.
     val profileSchema = StructType(Seq(
       StructField("user_id", LongType),
       StructField("n_events", LongType),
-      StructField("sum_value", DoubleType)))
+      StructField("sum_value", DecimalType(38, 6))))
     def profile(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").as("sum_value"))
 
     // batch-seeded base snapshot: click events only
     val batchEvents = spark.read.schema(eventsSchema)
@@ -162,7 +170,9 @@ object EventStreams {
       .write.mode("overwrite").parquet(s"$snapDir/v0")
 
     val current = new java.util.concurrent.atomic.AtomicReference[String](s"$snapDir/v0")
-    val stream = readEvents(spark, sfDir).where(col("event_type") =!= "click")
+    // null-safe complement of the seed's === "click": a NULL event_type
+    // must reach exactly one side or its user's counts silently drop
+    val stream = readEvents(spark, sfDir).where(!(col("event_type") <=> "click"))
     val q = stream.writeStream
       .option("checkpointLocation", ckDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -174,8 +184,9 @@ object EventStreams {
             coalesce(col("s.user_id"), col("d.user_id")).as("user_id"),
             (coalesce(col("s.n_events"), lit(0L)) +
               coalesce(col("d.n_events"), lit(0L))).as("n_events"),
-            (coalesce(col("s.sum_value"), lit(0.0)) +
-              coalesce(col("d.sum_value"), lit(0.0))).as("sum_value"))
+            (coalesce(col("s.sum_value"), lit(0).cast("decimal(38,6)")) +
+              coalesce(col("d.sum_value"), lit(0).cast("decimal(38,6)")))
+              .cast("decimal(38,6)").as("sum_value"))
         val next = s"$snapDir/v${batchId + 1}"
         merged.write.mode("overwrite").parquet(next)
         current.set(next)
@@ -189,7 +200,7 @@ object EventStreams {
       .groupBy((col("user_id") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("n_events")).as("sum_events"),
-        round(sum(col("sum_value")), 2).as("sum_value"))
+        sum(col("sum_value")).cast("double").as("sum_value"))
       .orderBy(col("bucket"))
   }
 

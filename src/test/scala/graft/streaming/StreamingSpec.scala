@@ -48,16 +48,15 @@ class StreamingSpec extends AnyFunSuite {
     val batch = spark.read.schema(EventStreams.eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
       .groupBy((col("user_id") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("sum_events"),
-        round(sum(col("sum_value")), 2).as("sum_value"))
+        sum(col("sum_value")).cast("double").as("sum_value"))
       .orderBy(col("bucket"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(merged.map(t => (t._1, t._2, t._3)).sameElements(batch.map(t => (t._1, t._2, t._3))))
-    merged.zip(batch).foreach { case (m, b) =>
-      assert(math.abs(m._4 - b._4) <= 0.011, s"bucket ${m._1}: ${m._4} vs ${b._4}")
-    }
+    // DECIMAL merge chain: the end state is EXACTLY the one-pass result
+    assert(merged.sameElements(batch))
     // the stream actually advanced the snapshot past the seeded v0
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val versions = new java.io.File(s"/tmp/graft_stream_merge/$key/snap").list()
