@@ -234,7 +234,6 @@ object EventStreams {
     * input makes the match set deterministic, so a plain SQL self-join
     * with the same bounds is the oracle. */
   def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
-    val name = s"graft_join_${java.util.UUID.randomUUID().toString.take(8)}"
     val base = readEvents(spark, sfDir)
     val clicks = base.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
@@ -248,17 +247,32 @@ object EventStreams {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    // PARQUET sink, not memory: a memory sink collects every joined row
+    // onto the driver, and the join's output volume grows with the SQUARE
+    // of per-user event density (a 20x-replicated probe OOM'd the JVM
+    // exactly there). The file sink keeps rows executor-side; same
+    // exactly-once fixed-dir pattern as the window sink.
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outDir = s"/tmp/graft_stream_join/$key/out"
+    val ckDir = s"/tmp/graft_stream_join/$key/ck"
     val q = joined
       .select(col("c_user").as("user_id"), col("c_id"), col("p_id"),
         round(col("value"), 2).as("purchase_value"))
       .writeStream
       .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name).orderBy(col("user_id"), col("c_id"), col("p_id"))
+    spark.read.schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("c_id", LongType),
+        StructField("p_id", LongType),
+        StructField("purchase_value", DoubleType))))
+      .parquet(outDir)
+      .orderBy(col("user_id"), col("c_id"), col("p_id"))
   }
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
