@@ -59,8 +59,14 @@ object Bench {
       val ok = runs.collect { case Right(t) => t }
       name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
     }
-    val (fullLine, compactLine) = lines(results, sfDir)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // A SPARK_GRAFT_ONLY probe is a PARTIAL run: mark both JSON lines
+    // filtered:true and write the detail to a probe-specific file, so a
+    // filtered total can never be misread as a full-suite number and a
+    // probe never overwrites the full-suite BENCH_DETAIL.json.
+    val (fullLine, compactLine) = lines(results, sfDir, filtered = only.isDefined)
+    val detailPath =
+      if (only.isDefined) "BENCH_DETAIL_PROBE.json" else "BENCH_DETAIL.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(emitBlock(compactLine))
     spark.stop()
@@ -95,7 +101,8 @@ object Bench {
     * queries that fit — keeping the whole line comfortably under 1.3 KB
     * regardless of suite size (BenchLineSpec pins this). */
   private[graft] def lines(
-      results: Map[String, Either[String, Double]], sfDir: String): (String, String) = {
+      results: Map[String, Either[String, Double]], sfDir: String,
+      filtered: Boolean = false): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -108,8 +115,9 @@ object Bench {
     val errs = results.collect { case (k, Left(_)) => k }
     val total = results.values.collect { case Right(v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
+    val filteredField = if (filtered) ""","filtered":true""" else ""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
     // 500-byte queries map keeps the whole line ≤ ~750 B, so emitBlock's
@@ -122,8 +130,9 @@ object Bench {
       val entry = s"\"" + k + "\":" + fmt(v)
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
+    val detail = if (filtered) "BENCH_DETAIL_PROBE.json" else "BENCH_DETAIL.json"
     val compactLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField$filteredField,"sf":"$sfDir","detail":"$detail"}"""
     (fullLine, compactLine)
   }
 }

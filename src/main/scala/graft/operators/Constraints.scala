@@ -68,6 +68,16 @@ object Constraints {
       binWidth: Double, nBins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(binWidth > 0 && nBins > 1, s"bad binning: width=$binWidth n=$nBins")
+    // A side with no non-NULL values makes t_ref or t_cur 0, and the
+    // chi-square expectations divide by them — the result would be
+    // NaN/Infinity rows, not a drift verdict. Drift against an empty side
+    // is undefined; fail loudly like the module's other guards. The
+    // isEmpty probes are limit-1 scans, negligible next to the two
+    // full histogram passes.
+    require(!ref.where(col(valueCol).isNotNull).isEmpty,
+      s"histogramDrift: reference side has no non-NULL '$valueCol' values")
+    require(!cur.where(col(valueCol).isNotNull).isEmpty,
+      s"histogramDrift: current side has no non-NULL '$valueCol' values")
     // clamp BOTH ends so signed features keep the [0, nBins) contract,
     // and drop NULLs (a histogram over present values, like any profiler)
     def hist(df: DataFrame, n: String) =

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Data-layout operators: multi-dimensional clustering (Z-order) for
   * file skipping, and Bloom-filter runtime join pruning.
@@ -101,6 +102,19 @@ object Layout {
       buildKey: String,
       expectedKeys: Long,
       fpp: Double = 0.01): DataFrame = {
+    // The prefilter probes with mightContainLong, so a non-integral key
+    // would cast to NULL and silently drop every probe row. Fail loudly
+    // instead: the operator's contract is byte-identical to the plain
+    // join, and that only holds for integral keys.
+    def integral(df: DataFrame, k: String): Boolean =
+      df.schema(k).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    require(integral(probe, probeKey) && integral(build, buildKey),
+      s"bloomPrefilteredJoin requires integral join keys; got " +
+        s"$probeKey: ${probe.schema(probeKey).dataType.simpleString}, " +
+        s"$buildKey: ${build.schema(buildKey).dataType.simpleString}")
     // An EMPTY build side yields an uninitialized BloomFilterImpl (its bit
     // array is null and serialization NPEs) — and the join result is empty
     // regardless, so skip the prefilter. isEmpty is a limit(1) probe on

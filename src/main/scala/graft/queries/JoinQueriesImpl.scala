@@ -85,16 +85,21 @@ object JoinQueriesImpl {
        AND e.as_of_ts < u.o_orderdate + INTERVAL 7 DAY
       GROUP BY e.event_id ORDER BY e.event_id"""))
 
-  /** Anti join: customers with NO orders, profiled per market segment.
-    * Spark plans left_anti as a broadcast/shuffled hash anti join — one
-    * pass, no materialized NOT-IN list. The curation twin of
+  /** Anti join: customers with NO urgent order, profiled per market
+    * segment. Spark plans left_anti as a broadcast/shuffled hash anti
+    * join — one pass, no materialized NOT-IN list. The curation twin of
     * decontamination's semi join (rows that do NOT hit the reference
-    * set). */
+    * set). The urgent-priority filter makes the anti set non-trivial at
+    * every verified scale (18 / 203 / 1986 customers at sf0.001/0.01/0.1)
+    * — an unfiltered orders side matches every customer, which would
+    * verify nothing about anti semantics. */
   val antiJoin = Q(
     "q_anti_join",
     (s, dir) => {
       val cust = Tables.customer(s, dir)
-      val ord = Tables.orders(s, dir).select(col("o_custkey"))
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
       cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
@@ -105,7 +110,8 @@ object JoinQueriesImpl {
     Some("""SELECT c_mktsegment, count(*) AS n,
         min(c_custkey) AS min_key, max(c_custkey) AS max_key
       FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   def all: Seq[Q] = Seq(asofJoin, rangeJoin, antiJoin)

@@ -53,6 +53,16 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Batch read of the same events table. Sets the nanosAsLong conf
+    * itself: any events read that runs first in a fresh session (e.g. a
+    * SPARK_GRAFT_ONLY run of a single query) must not depend on another
+    * query having set it. */
+  private def readEventsBatch(spark: SparkSession, sfDir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+  }
+
   /** 5-minute tumbling-window counts/sums by event_type, run as a real
     * streaming query (file source → watermark → window agg → memory sink)
     * drained to completion, returned as a batch DataFrame. */
@@ -164,8 +174,7 @@ object EventStreams {
             .cast("decimal(38,6)").as("sum_value"))
 
     // batch-seeded base snapshot: click events only
-    val batchEvents = spark.read.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val batchEvents = readEventsBatch(spark, sfDir)
     profile(batchEvents.where(col("event_type") === "click"))
       .write.mode("overwrite").parquet(s"$snapDir/v0")
 

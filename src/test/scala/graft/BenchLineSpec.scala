@@ -32,6 +32,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(compact.contains("q_some_rather_long_query_name_199"))
   }
 
+  test("filtered probe runs are marked in both lines and use a probe detail file") {
+    val (full, compact) = Bench.lines(results(3), "/x", filtered = true)
+    assert(full.contains("\"filtered\":true"))
+    assert(compact.contains("\"filtered\":true"))
+    assert(compact.contains("\"detail\":\"BENCH_DETAIL_PROBE.json\""))
+    val (fullAll, compactAll) = Bench.lines(results(3), "/x")
+    assert(!fullAll.contains("filtered") && !compactAll.contains("filtered"))
+    assert(compactAll.contains("\"detail\":\"BENCH_DETAIL.json\""))
+  }
+
   test("emitBlock spaces full copies so any 2 KB tail window holds one") {
     val (_, compact) = Bench.lines(results(76), "/root/testdata/sf0.1")
     val block = Bench.emitBlock(compact)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -53,6 +54,22 @@ class ConstraintsSpec extends AnyFunSuite {
       .collect()
     assert(out.length === 10)
     out.foreach(r => assert(r.getAs[Double]("chi2") === 0.0))
+  }
+
+  test("histogramDrift: empty or all-NULL side fails loudly, not NaN rows") {
+    val data = (1 to 100).map(i => (i % 10) * 10.0 + 1).toDF("v")
+    val empty = data.where(lit(false))
+    val allNull = (1 to 5).map(_ => Option.empty[Double]).toDF("v")
+    for (bad <- Seq(empty, allNull)) {
+      val e1 = intercept[IllegalArgumentException] {
+        Constraints.histogramDrift(bad, data, "v", binWidth = 10.0, nBins = 10)
+      }
+      assert(e1.getMessage.contains("non-NULL"))
+      val e2 = intercept[IllegalArgumentException] {
+        Constraints.histogramDrift(data, bad, "v", binWidth = 10.0, nBins = 10)
+      }
+      assert(e2.getMessage.contains("non-NULL"))
+    }
   }
 
   test("histogramDrift: a shifted bin dominates the chi-square") {

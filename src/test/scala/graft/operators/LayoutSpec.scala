@@ -74,4 +74,20 @@ class LayoutSpec extends AnyFunSuite {
     val got = Layout.bloomPrefilteredJoin(probe, build, "pk", "bk", expectedKeys = 10)
     assert(got.count() === 2)
   }
+
+  test("bloomPrefilteredJoin rejects non-integral join keys loudly") {
+    // a string key would cast to NULL in the long-probe and silently drop
+    // every row — the operator must fail instead of returning wrong results
+    val probe = Seq(("a", 1L), ("b", 2L)).toDF("pk", "payload")
+    val build = Seq("a").toDF("bk")
+    val e = intercept[IllegalArgumentException] {
+      Layout.bloomPrefilteredJoin(probe, build, "pk", "bk", expectedKeys = 10)
+    }
+    assert(e.getMessage.contains("integral"))
+    // integral-but-mixed widths stay allowed (int probe, long build)
+    val probeInt = Seq((3, 1L), (5, 2L)).toDF("pk", "payload")
+    val buildLong = Seq(3L).toDF("bk")
+    assert(Layout.bloomPrefilteredJoin(probeInt, buildLong, "pk", "bk",
+      expectedKeys = 10).count() === 1)
+  }
 }

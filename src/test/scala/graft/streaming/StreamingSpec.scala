@@ -42,6 +42,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("foreachBatch merge sink: final snapshot equals the one-pass batch profile") {
     import org.apache.spark.sql.functions._
+    // simulate a FRESH session (e.g. SPARK_GRAFT_ONLY=q_stream_merge_sink):
+    // the merge sink's batch seed read must set nanosAsLong itself, not
+    // inherit it from whichever query ran earlier in the session
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     val merged = EventStreams.mergeToSnapshot(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
