@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.SkewQueriesImpl.all ++
     graft.queries.AnalyticsQueriesImpl.all ++
     graft.queries.SourceQueriesImpl.all ++
-    graft.queries.LayoutQueriesImpl.all
+    graft.queries.LayoutQueriesImpl.all ++
+    graft.queries.RetrievalQueriesImpl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Sparse-retrieval operators over a document corpus: BM25 relevance
+  * scoring for a fixed query-term set, inverted-index posting statistics,
+  * term co-occurrence association, and reciprocal-rank fusion of two
+  * rankings. The retrieval face of the training-data pipeline: corpus
+  * search for eval-set mining, term statistics for tokenizer/vocab
+  * decisions, association mining for contamination leads.
+  *
+  * Scale notes (100 TB): BM25 never explodes — the per-doc term
+  * frequencies come from codegen'd array HOFs in ONE scan, corpus totals
+  * are a 1-row aggregate broadcast back, and the global top-k is
+  * TakeOrderedAndProject (per-partition heads merged on the driver),
+  * never a full sort. The inverted index aggregates (term, doc) partials
+  * map-side before the per-term reduce, so the shuffle carries one row
+  * per distinct (term, doc), not one per token occurrence. Co-occurrence
+  * joins a |docs| x |vocab| presence table with itself on doc_id — the
+  * vocabulary is the bounded query set, not the corpus vocabulary.
+  *
+  * The BM25 idf uses the RATIONAL core (N - df + 0.5)/(df + 0.5) WITHOUT
+  * the usual log: ranking order is preserved (log is monotone), and every
+  * score stays +,-,*,/ over exact counts — one IEEE rounding per op, the
+  * same result in any engine — where ln would hang cross-engine equality
+  * on math-library ulp differences (same policy as Curation.tfidfTerms).
+  */
+object Retrieval {
+
+  /** k1/b are the classic BM25 defaults. Exposed as exact decimal
+    * literals so the oracle SQL can repeat them verbatim. */
+  val K1 = 1.2
+  val B = 0.75
+
+  private def tfCol(t: String) = s"tf_$t"
+  private def dfCol(t: String) = s"df_$t"
+
+  /** Per-document BM25 score against `terms`, one row per input row:
+    * (doc_id, score). Plan: scan → codegen'd tf/dl projection → 1-row
+    * totals aggregate → broadcast-crossJoin → scalar score arithmetic.
+    * The per-term scores are added in the ORDER GIVEN (left fold), so an
+    * oracle writing `s1 + s2 + s3` left-to-right reproduces the exact
+    * double. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size == terms.distinct.size,
+      s"bm25 needs a non-empty, duplicate-free term set; got $terms")
+    val toks = TextFunctions.tokens(col(textCol))
+    val perDoc = docs.select(
+      col(idCol) +:
+        size(toks).cast("long").as("dl") +:
+        terms.map(t =>
+          size(filter(toks, tok => tok === lit(t))).cast("long").as(tfCol(t))): _*)
+    val totalCols =
+      count(lit(1)).as("n") +: sum(col("dl")).as("sum_dl") +:
+        terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(dfCol(t)))
+    val totals = perDoc.agg(totalCols.head, totalCols.tail: _*)
+    val j = perDoc.crossJoin(broadcast(totals))
+    // avgdl and the per-term scores mirror the oracle's SQL text token for
+    // token: CAST(sum_dl AS DOUBLE)/n, idf = (n - df + 0.5)/(df + 0.5),
+    // tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*(dl/avgdl)))
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    def termScore(t: String): Column = {
+      val tf = col(tfCol(t))
+      val df = col(dfCol(t))
+      val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      idf * ((tf * lit(K1 + 1)) /
+        (tf + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / avgdl))))
+    }
+    j.select(col(idCol),
+      round(terms.map(termScore).reduceLeft(_ + _), 4).as("score"))
+  }
+
+  /** Top-k by BM25 with a dense rank column. The cut is orderBy+limit —
+    * Spark plans TakeOrderedAndProject (distributed per-partition top-k,
+    * driver merge of k x partitions rows) — and only the k survivors see
+    * the single-partition row_number window. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val scored = bm25(docs, idCol, textCol, terms)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("score"))
+  }
+
+  /** The oracle-side SQL for [[bm25]]'s scored set (doc_id, score), kept
+    * NEXT to the Scala so the two stay in sync term by term. DuckDB
+    * dialect; `docsRel` must expose (doc_id, text). */
+  def bm25OracleSql(docsRel: String, idCol: String, textCol: String,
+      terms: Seq[String]): String = {
+    val tfDefs = terms.map(t =>
+      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '\\s+'),
+         |      t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}""".stripMargin).mkString(",\n    ")
+    val dfDefs = terms.map(t =>
+      s"CAST(sum(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${dfCol(t)}")
+      .mkString(",\n    ")
+    val scoreTerms = terms.map { t =>
+      s"""((CAST(n AS DOUBLE) - ${dfCol(t)} + 0.5) / (${dfCol(t)} + 0.5))
+         | * ((${tfCol(t)} * ${K1 + 1}) / (${tfCol(t)} + $K1 * (${1 - B} + $B * (dl / (CAST(sum_dl AS DOUBLE) / n)))))""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH d AS (
+       |  SELECT $idCol,
+       |    CAST(len(regexp_split_to_array(trim($textCol), '\\s+')) AS BIGINT) AS dl,
+       |    $tfDefs
+       |  FROM $docsRel),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfDefs
+       |  FROM d),
+       |sc AS (
+       |  SELECT $idCol, round(
+       |    $scoreTerms, 4) AS score
+       |  FROM d, tot)""".stripMargin
+  }
+
+  /** Inverted-index posting statistics: one row per distinct token with
+    * document frequency, total term frequency, posting-range bounds and a
+    * posting checksum (sum of distinct doc ids — pins WHICH docs hold the
+    * token, not just how many). Two-stage aggregation: (token, doc)
+    * partials first — map-side combinable, and the per-term reduce then
+    * sees one row per posting instead of one per occurrence. */
+  def invertedIndexStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val posting = docs
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"), col("doc"))
+      .agg(count(lit(1)).as("tf_d"))
+    posting.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf_d")).as("tf"),
+        min(col("doc")).as("first_doc"),
+        max(col("doc")).as("last_doc"),
+        sum(col("doc")).as("posting_sum"))
+      .orderBy(col("tok"))
+  }
+
+  /** Pairwise term association over a bounded vocabulary: for each pair
+    * (a < b) the number of documents containing both, and the lift
+    * n_both * N / (n_a * n_b) — >1 means the terms attract, <1 they
+    * repel. The contamination/topicality screen: a query-set term pair
+    * with anomalous lift in the training corpus is a lead. */
+  def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.size >= 2 && vocab.size == vocab.distinct.size,
+      s"cooccurrenceLift needs >= 2 distinct vocabulary terms; got $vocab")
+    val toks = TextFunctions.tokens(col(textCol))
+    val presence = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(filter(toks, t => t.isin(vocab: _*)))).as("tok"))
+    val counts = presence.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    val pairs = presence.as("a")
+      .join(presence.as("b"),
+        col("a.doc") === col("b.doc") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(counts.withColumnRenamed("n_tok", "n_a")
+        .withColumnRenamed("tok", "tok_a")), "tok_a")
+      .join(broadcast(counts.withColumnRenamed("n_tok", "n_b")
+        .withColumnRenamed("tok", "tok_b")), "tok_b")
+      .crossJoin(broadcast(total))
+      .select(col("tok_a"), col("tok_b"), col("n_both"), col("n_a"), col("n_b"),
+        round((col("n_both").cast("double") * col("total")) /
+          (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings of the same id set:
+    * fused = 1/(c + rank_a) + 1/(c + rank_b), the standard
+    * train-data-mining combiner for heterogeneous retrieval signals
+    * (exact rational arithmetic — no score normalization needed, which is
+    * what makes RRF robust AND cross-engine exact). Inputs must carry
+    * (id, rank) with rank 1-based. */
+  def reciprocalRankFusion(a: DataFrame, b: DataFrame, idCol: String,
+      c: Int, k: Int): DataFrame = {
+    val fused = a.select(col(idCol), col("rank").as("rank_a"))
+      .join(b.select(col(idCol), col("rank").as("rank_b")), Seq(idCol), "outer")
+      // an id missed by one ranking contributes only the other's term —
+      // the standard RRF treatment of unranked items
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        round(coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6).as("fused"))
+    fused.orderBy(col("fused").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("fused").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("rank_a"), col("rank_b"), col("fused"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Retrieval, Sessions}
+
+/** Sparse-retrieval and sessionization queries: BM25 corpus search,
+  * inverted-index statistics, term association, rank fusion, and batch
+  * sessionization. All five are hash-checked against DuckDB oracles —
+  * the BM25 family stays exactly replayable because the scores are
+  * rational arithmetic over exact counts (see operators/Retrieval.scala's
+  * no-log policy).
+  */
+object RetrievalQueriesImpl {
+
+  /** The fixed query-term set: three common terms plus the rare 'dup'
+    * (df 25 of 500 docs at sf0.01) so idf actually separates ranks. */
+  private val qterms = Seq("spark", "join", "window", "dup")
+
+  /** BM25 top-10 over documents. TakeOrderedAndProject for the cut — the
+    * corpus is scanned once, never globally sorted. */
+  val bm25TopK = Q(
+    "q_bm25_topk",
+    (s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text", qterms, 10),
+    Some(Retrieval.bm25OracleSql("documents", "doc_id", "text", qterms) +
+      s""",
+        |r AS (SELECT doc_id, score,
+        |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT rank, doc_id, score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
+  /** Posting-list statistics for every distinct token: df, tf, posting
+    * bounds and a sum-of-doc-ids checksum that pins WHICH documents carry
+    * each token. */
+  val invertedIndex = Q(
+    "q_inverted_index",
+    (s, dir) =>
+      Retrieval.invertedIndexStats(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id,
+        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        count(*) AS tf,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        CAST(sum(DISTINCT doc_id) AS BIGINT) AS posting_sum
+      FROM t GROUP BY tok ORDER BY tok"""))
+
+  private val vocab = Seq("spark", "join", "window", "dup", "vector", "stream")
+  private val vocabSql = vocab.map(t => s"'$t'").mkString(", ")
+
+  /** Document-level term co-occurrence with lift over a fixed vocabulary. */
+  val cooccurLift = Q(
+    "q_cooccur_lift",
+    (s, dir) =>
+      Retrieval.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text", vocab),
+    Some(s"""WITH p AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents)
+        WHERE tok IN ($vocabSql)),
+      c AS (SELECT tok, count(*) AS n FROM p GROUP BY tok),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+      pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_both
+        FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok)
+      SELECT tok_a, tok_b, n_both, ca.n AS n_a, cb.n AS n_b,
+        round((CAST(n_both AS DOUBLE) * total) / (CAST(ca.n AS DOUBLE) * cb.n), 4) AS lift
+      FROM pairs JOIN c ca ON ca.tok = pairs.tok_a
+                 JOIN c cb ON cb.tok = pairs.tok_b
+      CROSS JOIN n ORDER BY tok_a, tok_b"""))
+
+  /** RRF fusion of two corpus rankings: BM25 (quality-weighted term
+    * relevance) and raw query-term frequency (pure count). Rational
+    * arithmetic end to end. */
+  val rankFusion = Q(
+    "q_rank_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val byBm25 = Retrieval.bm25(docs, "doc_id", "text", qterms)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val byTf = docs.select(col("doc_id"),
+        qterms.map(t => size(filter(toks, tok => tok === lit(t))).cast("long"))
+          .reduceLeft(_ + _).as("tf_sum"))
+        .orderBy(col("tf_sum").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("tf_sum").desc, col("doc_id"))))
+      Retrieval.reciprocalRankFusion(byBm25, byTf, "doc_id", c = 60, k = 10)
+    },
+    Some(Retrieval.bm25OracleSql("documents", "doc_id", "text", qterms) +
+      s""",
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+        |       FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+        |tfs AS (SELECT doc_id, ${qterms.map(t => s"tf_$t").mkString(" + ")} AS tf_sum FROM d),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY tf_sum DESC, doc_id) AS rank_b
+        |       FROM tfs ORDER BY tf_sum DESC, doc_id LIMIT 20),
+        |fused AS (
+        |  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+        |    round(COALESCE(1.0 / (60 + rank_a), 0.0)
+        |        + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS fused
+        |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+        |top AS (SELECT *, row_number() OVER (ORDER BY fused DESC, doc_id) AS rank
+        |        FROM fused)
+        |SELECT rank, doc_id, rank_a, rank_b, fused FROM top
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
+  /** Batch gap-sessionization of the event stream (30-minute gap), rolled
+    * up per user. Timestamps are integral epoch-microseconds throughout,
+    * so gaps and durations are exact in both engines. */
+  val sessionizeBatch = Q(
+    "q_sessionize_batch",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      Sessions.sessionize(ev, "user_id", "us", "event_id", gapMicros = 1800000000L)
+        .withColumn("dur_sec", expr("(end_us - start_us) div 1000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          max(col("dur_sec")).as("max_dur_sec"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, us, event_id,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM e),
+      g AS (SELECT user_id, session_id, count(*) AS n_events,
+              (max(us) - min(us)) // 1000000 AS dur_sec
+            FROM s GROUP BY user_id, session_id)
+      SELECT user_id, count(*) AS n_sessions,
+        CAST(sum(n_events) AS BIGINT) AS n_events,
+        max(n_events) AS max_session_events,
+        CAST(max(dur_sec) AS BIGINT) AS max_dur_sec
+      FROM g GROUP BY user_id ORDER BY user_id"""))
+
+  def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion, sessionizeBatch)
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark join spark window"),
+    (2L, "join window group sort"),
+    (3L, "dup dup dup spark"),
+    (4L, "sort group order filter"),
+    (5L, "window window window window window window window window")
+  ).toDF("doc_id", "text")
+
+  test("bm25: rare-term documents outrank common-term documents") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark", "dup"), 5)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+    // doc 3 holds 'dup' (df=1 → huge idf) plus 'spark' — must be rank 1
+    assert(out.head === (1, 3L))
+    // docs 4 and 5 match nothing → score 0, tie broken by doc_id at the tail
+    assert(out.takeRight(2).map(_._2) === Array(4L, 5L))
+  }
+
+  test("bm25: zero-match documents score exactly 0 and length-norm penalizes long docs") {
+    val scored = Retrieval.bm25(docs, "doc_id", "text", Seq("window"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    assert(scored(4L) === 0.0)
+    // doc 5 is all 'window' (tf 8) but saturation + length norm keep its
+    // advantage over doc 1 (tf 1, short) bounded well under 8x
+    assert(scored(5L) > scored(1L))
+    assert(scored(5L) < 4 * scored(1L))
+  }
+
+  test("invertedIndexStats: df/tf/posting checksum are exact") {
+    val out = Retrieval.invertedIndexStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("tf"), r.getAs[Long]("posting_sum")))).toMap
+    assert(out("spark") === ((2L, 3L, 4L)))  // docs 1 (tf 2) and 3 (tf 1)
+    assert(out("dup") === ((1L, 3L, 3L)))
+    assert(out("window") === ((3L, 10L, 8L))) // docs 1, 2, 5
+  }
+
+  test("cooccurrenceLift: pair counts and lift match hand computation") {
+    val out = Retrieval.cooccurrenceLift(docs, "doc_id", "text",
+      Seq("spark", "join", "window"))
+      .collect().map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Double]("lift")))).toMap
+    // spark in {1,3}, join in {1,2}, window in {1,2,5}; N=5
+    assert(out(("join", "spark")) === ((1L, 5.0 / 4)))   // 1*5/(2*2)
+    assert(out(("join", "window"))._1 === 2L)
+    assert(math.abs(out(("join", "window"))._2 - 1.6667) < 1e-9) // round(2*5/6, 4)
+    assert(out(("spark", "window"))._1 === 1L)
+  }
+
+  test("reciprocalRankFusion: agreement wins, one-sided ids still fuse") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((11L, 1), (10L, 2), (13L, 3)).toDF("id", "rank")
+    val out = Retrieval.reciprocalRankFusion(a, b, "id", c = 60, k = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+        r.getAs[Double]("fused")))
+    // 10: 1/61+1/62, 11: 1/62+1/61 → tie broken by id; 12/13 one-sided
+    assert(out(0)._2 === 10L && out(1)._2 === 11L)
+    assert(out(0)._3 === out(1)._3)
+    assert(out.map(_._2).toSet === Set(10L, 11L, 12L, 13L))
+    assert(out(2)._3 > out(3)._3 || out(2)._2 < out(3)._2)
+  }
+
+  test("sessionize: gaps split sessions, ties break by sequence column") {
+    val m = 60L * 1000000 // one minute in micros
+    val ev = Seq(
+      (1L, 101L, 0 * m), (1L, 102L, 10 * m), (1L, 103L, 50 * m), // gap 40m splits
+      (1L, 104L, 55 * m),
+      (2L, 201L, 0 * m) // single-event session
+    ).toDF("user_id", "event_id", "us")
+    val out = Sessions.sessionize(ev, "user_id", "us", "event_id", gapMicros = 30 * m)
+      .orderBy($"user_id", $"session_id")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("end_us") - r.getAs[Long]("start_us")))
+    assert(out === Array((1L, 1L, 2L, 10 * m), (1L, 2L, 2L, 5 * m), (2L, 1L, 1L, 0L)))
+  }
+}
