@@ -142,6 +142,32 @@ object Kernels {
     out
   }
 
+  /** One-pass term-frequency counter for a FIXED small term set:
+    * returns [n_tokens, count(terms(0)), count(terms(1)), ...]. Replaces
+    * K interpreted `size(filter(split(...)))` HOF chains (each its own
+    * split + traversal + array allocation) with one tokenize + one
+    * traversal per row. Tokenization matches `split(trim(text), "\\s+")`
+    * EXACTLY, including the empty-text edge (trimmed-empty → one empty
+    * token, so n_tokens is 1, same as Spark's split and DuckDB's
+    * regexp_split_to_array). */
+  def termCounts(text: UTF8String, terms: Array[String]): ArrayData = {
+    val t = text.toString.trim
+    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+")
+    val out = new Array[Long](terms.length + 1)
+    out(0) = tk.length.toLong
+    var i = 0
+    while (i < tk.length) {
+      val tok = tk(i)
+      var j = 0
+      while (j < terms.length) {
+        if (terms(j) == tok) out(j + 1) += 1L
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct sorted 64-bit FNV hashes of word n-grams. Gram identity is
     * the SPACE-JOINED token string (same as `concat_ws(" ", slice(...))`
     * in the composed wordNgrams column), so Jaccard over these hashes
@@ -350,6 +376,19 @@ object KernelExpressions {
       copy(child = c)
   }
 
+  case class TermCounts(child: Expression, terms: Array[String]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.termCounts(v.asInstanceOf[UTF8String], terms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("terms", terms, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.termCounts($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): TermCounts =
+      copy(child = c)
+  }
+
   case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(v: Any): Any =
@@ -444,6 +483,12 @@ object KernelExpressions {
 
   def word_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
+
+  /** [n_tokens, tf(terms(0)), tf(terms(1)), ...] in one tokenize pass. */
+  def term_counts(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "term_counts needs at least one term")
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(text), terms.toArray))
+  }
 
   def unit_vector(a: Column): Column =
     ColumnBridge.column(UnitVector(ColumnBridge.expression(a)))

@@ -304,7 +304,7 @@ object Multimodal {
   /** Bump when [[syntheticMediaTable]]'s generation rule changes — the
     * version is part of the cache path, so stale renders are never
     * served after a logic change. */
-  val MediaGenVersion = 2
+  val MediaGenVersion = 3
 
   def mediaTableCached(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, sfDir: String): DataFrame = {
@@ -313,7 +313,16 @@ object Multimodal {
     val done = new java.io.File(s"$path/_SUCCESS")
     if (!done.isFile) synchronized {
       if (!done.isFile)
-        syntheticMediaTable(docs).write.mode("overwrite").parquet(path)
+        // Write PRE-PARTITIONED to core count: media bytes compress far
+        // below maxPartitionBytes (13 MB at sf0.1 → ONE scan partition),
+        // so an unsplit cache would serialize the CPU-heavy decode/resize
+        // mapPartitions onto a single core. Paying the split once at
+        // write time gives every downstream decode full parallelism with
+        // no per-query shuffle — the same reason a 100 TB media lake is
+        // laid out in decode-sized files rather than scan-sized ones.
+        syntheticMediaTable(docs)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
   }

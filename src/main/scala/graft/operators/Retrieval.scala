@@ -38,6 +38,24 @@ object Retrieval {
   private def tfCol(t: String) = s"tf_$t"
   private def dfCol(t: String) = s"df_$t"
 
+  /** (id, dl, tf_<term>...) in ONE tokenize pass per row: the codegen'd
+    * TermCounts kernel counts every term in a single traversal, where the
+    * composed `size(filter(split(...)))` form costs K interpreted
+    * split+filter chains per row (measured 10.2 s → 1.7 s for
+    * q_bm25_topk at the 20× probe). Tokenization semantics are pinned to
+    * `split(trim(text), '\\s+')`, which is what the oracles replay. */
+  private[graft] def termCountsPerDoc(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String]): DataFrame = {
+    val tc = graft.functions.KernelExpressions.term_counts(col(textCol), terms)
+    docs.select(col(idCol), tc.as("tc"))
+      .select(
+        col(idCol) +:
+          element_at(col("tc"), 1).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            element_at(col("tc"), i + 2).as(tfCol(t))
+          }: _*)
+  }
+
   /** Per-document BM25 score against `terms`, one row per input row:
     * (doc_id, score). Plan: scan → codegen'd tf/dl projection → 1-row
     * totals aggregate → broadcast-crossJoin → scalar score arithmetic.
@@ -48,12 +66,7 @@ object Retrieval {
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.size == terms.distinct.size,
       s"bm25 needs a non-empty, duplicate-free term set; got $terms")
-    val toks = TextFunctions.tokens(col(textCol))
-    val perDoc = docs.select(
-      col(idCol) +:
-        size(toks).cast("long").as("dl") +:
-        terms.map(t =>
-          size(filter(toks, tok => tok === lit(t))).cast("long").as(tfCol(t))): _*)
+    val perDoc = termCountsPerDoc(docs, idCol, textCol, terms)
     val totalCols =
       count(lit(1)).as("n") +: sum(col("dl")).as("sum_dl") +:
         terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(dfCol(t)))

@@ -81,10 +81,9 @@ object RetrievalQueriesImpl {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
-      val toks = graft.functions.TextFunctions.tokens(col("text"))
-      val byTf = docs.select(col("doc_id"),
-        qterms.map(t => size(filter(toks, tok => tok === lit(t))).cast("long"))
-          .reduceLeft(_ + _).as("tf_sum"))
+      val byTf = Retrieval.termCountsPerDoc(docs, "doc_id", "text", qterms)
+        .select(col("doc_id"),
+          qterms.map(t => col(s"tf_$t")).reduceLeft(_ + _).as("tf_sum"))
         .orderBy(col("tf_sum").desc, col("doc_id")).limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("tf_sum").desc, col("doc_id"))))
@@ -113,8 +112,17 @@ object RetrievalQueriesImpl {
   val sessionizeBatch = Q(
     "q_sessionize_batch",
     (s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      val ev0 = Tables.events(s, dir)
+      // events.ts is epoch-NANOS long on the driver fixtures (parquet
+      // TIMESTAMP(NANOS) + nanosAsLong) but a plain µs TIMESTAMP on
+      // rebuilt probe fixtures — normalize either to epoch micros
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        // µs fixtures surface as TIMESTAMP or TIMESTAMP_NTZ depending on
+        // the writer; the cast unifies both before unix_micros
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = ev0.select(col("user_id"), col("event_id"), us.as("us"))
       Sessions.sessionize(ev, "user_id", "us", "event_id", gapMicros = 1800000000L)
         .withColumn("dur_sec", expr("(end_us - start_us) div 1000000"))
         .groupBy(col("user_id"))

@@ -32,6 +32,24 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("term_counts kernel == composed size(filter(split)) form, incl. edge texts") {
+    val texts = docs.select(col("text")).as[String].collect().toSeq ++
+      Seq("", "   ", "spark", "spark spark  join", "nomatch at all", "spark\t\njoin")
+    val terms = Seq("spark", "join", "dup")
+    val df = texts.toDF("text")
+    val composedToks = split(trim(col("text")), "\\s+")
+    val composed = df.select(
+      size(composedToks).cast("long") +:
+        terms.map(t => size(filter(composedToks, tok => tok === lit(t))).cast("long")): _*)
+      .collect().map(_.toSeq)
+    val kernel = df.select(KernelExpressions.term_counts(col("text"), terms).as("tc"))
+      .select((1 to terms.size + 1).map(i => element_at(col("tc"), i)): _*)
+      .collect().map(_.toSeq)
+    composed.zip(kernel).zipWithIndex.foreach { case ((c, k), i) =>
+      assert(c === k, s"text ${texts(i).take(40)}")
+    }
+  }
+
   test("sorted_gram_hashes jaccard == string-gram jaccard on real documents") {
     val d = docs.select(col("doc_id"),
       Dedup.wordNgrams(col("text"), 3).as("grams"),
