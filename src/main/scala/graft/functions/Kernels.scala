@@ -237,6 +237,32 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams in order WITH repeats — the occurrence view (what
+    * BPE-style pair counting needs), where [[wordNgrams]] is the distinct
+    * membership view (what Jaccard/decontamination need). Same
+    * tokenization and clamping. */
+  def wordNgramsAll(text: UTF8String, n: Int): ArrayData = {
+    val tk = toks(text)
+    val nTok = tk.length
+    val nGr = math.max(nTok - (n - 1), 1)
+    val out = new Array[Any](nGr)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nGr) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, nTok)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tk(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard similarity of two SORTED long arrays (distinct elements) via
     * linear merge — zero allocation per pair, the exact-verifier inner
     * loop for LSH candidate sets. */
@@ -400,6 +426,17 @@ object KernelExpressions {
       copy(child = c)
   }
 
+  case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.wordNgramsAll(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.wordNgramsAll($c, $n);")
+    override protected def withNewChildInternal(c: Expression): WordNgramsAll =
+      copy(child = c)
+  }
+
   case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -483,6 +520,10 @@ object KernelExpressions {
 
   def word_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
+
+  /** ALL n-grams with repeats (occurrence view, for pair counting). */
+  def word_ngrams_all(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsAll(ColumnBridge.expression(text), n))
 
   /** [n_tokens, tf(terms(0)), tf(terms(1)), ...] in one tokenize pass. */
   def term_counts(text: Column, terms: Seq[String]): Column = {

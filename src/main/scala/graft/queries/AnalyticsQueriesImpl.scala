@@ -304,6 +304,50 @@ object AnalyticsQueriesImpl {
         round(corr(value, user_id % 100), 4) AS corr_uid
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** ANALYZE-style column statistics (the inputs a cost-based optimizer
+    * keeps per column): row count, present count, exact NDV, min/max for
+    * the lineitem measure columns — one scan, one aggregate row, unpivoted
+    * to a row per column via inline(). Exact countDistinct here is the
+    * verification tier (it plans one Expand x 4 + a single shuffle); the
+    * 100 TB tier is the mergeable HLL sketch (q_approx_sketch) — same
+    * stats, sketch-sized shuffle. */
+  val tableStats = Q(
+    "q_table_stats",
+    (s, dir) => {
+      val statCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = statCols.flatMap(c => Seq(
+        count(col(c)).as(s"present_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+      val row = Tables.lineitem(s, dir)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      row.select(inline(array(statCols.map(c => struct(
+          lit(c).as("col_name"),
+          col("n_rows").as("n"),
+          col(s"present_$c").as("n_present"),
+          col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"))): _*)))
+        .orderBy(col("col_name"))
+    },
+    Some("""SELECT 'l_quantity' AS col_name, count(*) AS n, count(l_quantity) AS n_present,
+        CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+        min(l_quantity) AS min_v, max(l_quantity) AS max_v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+        CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+        min(l_extendedprice), max(l_extendedprice) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*), count(l_discount),
+        CAST(count(DISTINCT l_discount) AS BIGINT),
+        min(l_discount), max(l_discount) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', count(*), count(l_tax),
+        CAST(count(DISTINCT l_tax) AS BIGINT),
+        min(l_tax), max(l_tax) FROM lineitem
+      ORDER BY col_name"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
-    windowRolling, cube, groupQuantiles)
+    windowRolling, cube, groupQuantiles, tableStats)
 }

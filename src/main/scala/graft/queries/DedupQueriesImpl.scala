@@ -287,6 +287,45 @@ object DedupQueriesImpl {
       FROM comp GROUP BY cluster_rep HAVING count(*) > 1
       ORDER BY cluster_rep"""))
 
+  /** Cross-document duplicate-gram coverage: per document, the fraction
+    * of its DISTINCT 3-grams that occur in at least one OTHER document —
+    * the substring-level dedup diagnostic (the C4/RefinedWeb-style signal
+    * for boilerplate and template text that survives document-level
+    * dedup). Plan: ONE gram explode, then df via a count window over the
+    * gram partitioning — one shuffle gives every posting row its gram's
+    * document frequency directly (the agg+join-back form explodes and
+    * shuffles the posting table twice: measured 14.4 s vs 2.8 s at the
+    * 20× probe). Documents themselves never move. */
+  val dupGramCoverage = Q(
+    "q_dup_gram_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.operators.Dedup.wordNgrams(col("text"), 3)).as("gram"))
+      grams
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_grams"), 4).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
+            for i in range(1, greatest(len(t) - 1, 2))]) AS grams
+        FROM toks),
+      dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      df AS (SELECT gram, count(*) AS df FROM dg GROUP BY gram),
+      cov AS (SELECT dg.doc_id, count(*) AS n_grams,
+          CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM dg JOIN df USING (gram) GROUP BY dg.doc_id)
+      SELECT doc_id, n_grams, n_dup,
+        round(CAST(n_dup AS DOUBLE) / n_grams, 4) AS dup_ratio
+      FROM cov ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
-    ngramJaccard, embedding, embeddingLsh, curation, clusters)
+    ngramJaccard, embedding, embeddingLsh, curation, clusters, dupGramCoverage)
 }

@@ -274,6 +274,34 @@ object TextQueriesImpl {
       FROM events GROUP BY event_type, k_bucket
       ORDER BY event_type, k_bucket"""))
 
+  /** BPE-merge-step analogue over words: the top-20 adjacent token pairs
+    * by OCCURRENCE count (the pair a byte-pair-encoding trainer would
+    * merge next, lifted to word level). Uses the occurrence-view
+    * `word_ngrams_all` kernel — the distinct-view wordNgrams would
+    * undercount repeated pairs within a document. Explode → partial-agg →
+    * TakeOrderedAndProject top-k: the full pair table shuffles only
+    * map-side partials. */
+  val bigramMining = Q(
+    "q_bigram_mining",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables.documents(s, dir).select(
+        explode(graft.functions.KernelExpressions.word_ngrams_all(col("text"), 2))
+          .as("bigram"))
+      pairs.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("bigram"))))
+        .select(col("rank"), col("bigram"), col("n"))
+    },
+    Some("""WITH toks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      b AS (SELECT [list_aggregate(t[i:i+1], 'string_agg', ' ')
+          for i in range(1, greatest(len(t), 2))] AS grams FROM toks),
+      u AS (SELECT unnest(grams) AS bigram FROM b),
+      c AS (SELECT bigram, count(*) AS n FROM u GROUP BY bigram),
+      r AS (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank FROM c)
+      SELECT rank, bigram, n FROM r WHERE rank <= 20 ORDER BY rank"""))
+
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
-    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap)
+    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, bigramMining)
 }

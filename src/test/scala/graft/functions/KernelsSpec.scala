@@ -32,6 +32,21 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams_all keeps repeats and order; distinct of it == word_ngrams") {
+    val texts = Seq("a b a b", "x", "", "  ", "p q r")
+    val df = texts.toDF("text")
+    val all = df.select(KernelExpressions.word_ngrams_all(col("text"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(all(0) === Seq("a b", "b a", "a b")) // repeat preserved
+    assert(all(1) === Seq("x") && all(2) === Seq("") && all(3) === Seq(""))
+    assert(all(4) === Seq("p q", "q r"))
+    val viaDistinct = df.select(array_distinct(
+      KernelExpressions.word_ngrams_all(col("text"), 2)).as("g")).collect().map(_.getSeq[String](0))
+    val distinctKernel = df.select(KernelExpressions.word_ngrams(col("text"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(viaDistinct.toSeq === distinctKernel.toSeq)
+  }
+
   test("term_counts kernel == composed size(filter(split)) form, incl. edge texts") {
     val texts = docs.select(col("text")).as[String].collect().toSeq ++
       Seq("", "   ", "spark", "spark spark  join", "nomatch at all", "spark\t\njoin")
