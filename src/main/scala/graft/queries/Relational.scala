@@ -244,8 +244,37 @@ object Relational {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** The shared Q3 text: ONE SQL string runs verbatim through BOTH
+    * engines (Spark temp views and DuckDB views carry the same table
+    * names), so the oracle check covers the SQL parser/analyzer
+    * entrypoint itself, not just plan semantics. Money math in DECIMAL:
+    * a double sum's order-dependence would diverge across engines. */
+  private val q3Sql = """SELECT l_orderkey,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+      o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** TPC-H Q3 through the spark.sql() entrypoint — the one API face the
+    * rest of the suite (DataFrame-built plans) does not exercise. Catalyst
+    * gets the classic shape for free: both filters push below the joins,
+    * customer broadcasts, and the top-10 is TakeOrderedAndProject. */
+  val sqlQ3 = Q(
+    "q_sql_q3",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(q3Sql)
+    },
+    Some(q3Sql))
+
   def all: Seq[Q] = Seq(
     q1Agg, s1Project, s4Cast, s5CountDistinct, s6Repartition,
     s7MapPartitions, s9Collect, s10ScalarUdf, s11Struct, s13Filter, s16CreateDf,
-    bucketedJoin)
+    bucketedJoin, sqlQ3)
 }
