@@ -182,6 +182,10 @@ object SourceQueriesImpl {
     (s, dir) => {
       s.read.format("graft-synth")
         .option("rows", 60000).option("partitions", 8).load()
+        // the id-range predicate PUSHES into the source (the clamped
+        // generation range shows in the scan's explain description);
+        // SynthSourceSpec pins that pushed rows are never generated
+        .where(col("id") >= 10000 && col("id") < 50000)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           // sum the exact integer numerators (val = k/1e6), divide once:
@@ -194,7 +198,7 @@ object SourceQueriesImpl {
       round(sum((id * 2654435761) % 1000000) / 1e6, 4) AS sum_val,
       min('tok' || CAST(id % 101 AS VARCHAR) || ' tok' || CAST(id % 97 AS VARCHAR)
           || ' tok' || CAST(id % 89 AS VARCHAR)) AS first_text
-      FROM range(60000) t(id) GROUP BY 1 ORDER BY bucket"""))
+      FROM range(10000, 50000) t(id) GROUP BY 1 ORDER BY bucket"""))
 
   /** LIBSVM sink+source — the reference's external-storage interchange
     * format (C5) through Spark's built-in `format("libsvm")`. Sparse

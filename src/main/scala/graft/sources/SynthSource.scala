@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -20,9 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Demonstrates the full connector read path: `TableProvider` →
   * `ScanBuilder` (with COLUMN PRUNING via SupportsPushDownRequiredColumns
-  * — unrequested columns are never generated) → `Batch` splitting the row
-  * range into `partitions` independent `InputPartition`s → per-partition
-  * `PartitionReader`s that stream rows without materializing anything.
+  * — unrequested columns are never generated — and FILTER PUSHDOWN via
+  * SupportsPushDownFilters — id-range predicates clamp the generated
+  * range, non-range filters come back as residuals) → `Batch` splitting
+  * the row range into `partitions` independent `InputPartition`s →
+  * per-partition `PartitionReader`s that stream rows without
+  * materializing anything.
   * The generation rule is pure integer arithmetic on the row id, so a
   * DuckDB oracle can replay it exactly from `range(n)` — the correctness
   * gate covers the source like any operator.
@@ -63,23 +67,54 @@ final class SynthTable(rows: Long, partitions: Int) extends Table with SupportsR
 }
 
 final class SynthScanBuilder(rows: Long, partitions: Int)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = SynthSource.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // generated id range is [lo, hi)
+  private var pushed: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // generation order is fixed; keep only the requested fields
     required = StructType(SynthSource.schema.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new SynthScan(rows, partitions, required)
+
+  /** FILTER PUSHDOWN: range predicates on `id` clamp the generation
+    * range itself — pushed rows are never generated at all (the
+    * connector analogue of parquet row-group pruning). Anything not a
+    * simple id-range comparison is returned as a residual for Spark to
+    * evaluate post-scan, so semantics never depend on what got pushed. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val residual = filters.filter {
+      case sources.GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); false
+      case sources.GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); false
+      case sources.LessThan("id", v: Long) => hi = math.min(hi, v); false
+      case sources.LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); false
+      case sources.EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); false
+      case _ => true
+    }
+    pushed = filters.diff(residual)
+    residual
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan =
+    new SynthScan(lo, math.max(lo, hi), partitions, required)
 }
 
-final class SynthScan(rows: Long, partitions: Int, required: StructType)
+final class SynthScan(lo: Long, hi: Long, partitions: Int, required: StructType)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // surfaces the clamped range in explain() output, so pushdown is
+  // visible (and assertable) on the physical plan
+  override def description(): String = s"graft-synth range=[$lo,$hi)"
   override def planInputPartitions(): Array[InputPartition] = {
     val p = math.max(1, partitions)
+    val n = hi - lo
     (0 until p).map { i =>
-      SynthRange(rows * i / p, rows * (i + 1) / p): InputPartition
+      SynthRange(lo + n * i / p, lo + n * (i + 1) / p): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

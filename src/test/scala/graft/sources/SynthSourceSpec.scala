@@ -41,6 +41,25 @@ class SynthSourceSpec extends AnyFunSuite {
       leaves.map(_.output.map(_.name)).toString)
   }
 
+  test("id-range filters push into the source: rows outside are never generated") {
+    val df = read(1000, 4).where($"id" >= 200L && $"id" < 700L)
+    // the clamped generation range is visible in the scan description...
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[200,700)"), plan)
+    // ...and the partition split covers exactly the clamped range
+    assert(df.count() === 500)
+    assert(df.agg(min($"id"), max($"id")).as[(Long, Long)].head() == (200L, 699L))
+    // a non-range filter stays a residual; result is still exact
+    val mixed = read(1000, 4).where($"id" >= 900L && $"bucket" === 5)
+    assert(plan != null && mixed.collect().forall { r =>
+      r.getAs[Long]("id") >= 900L && r.getAs[Int]("bucket") == 5
+    })
+    assert(mixed.count() ===
+      (900L until 1000L).count(id => id % 16 == 5).toLong)
+    // contradictory range clamps to empty, not negative
+    assert(read(1000, 2).where($"id" > 800L && $"id" < 100L).count() === 0)
+  }
+
   test("empty source (rows=0) yields an empty, correctly-typed frame") {
     val df = read(0, 4)
     assert(df.count() == 0)
