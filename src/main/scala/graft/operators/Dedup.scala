@@ -183,6 +183,54 @@ object Dedup {
       .dropDuplicates("a", "b")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (ppjoin-style):
+    * every pair with word-n-gram Jaccard >= `threshold`, with a
+    * completeness GUARANTEE — the deterministic alternative to the
+    * probabilistic MinHash path, for when recall must be 1.0.
+    *
+    * Why it scales: each document contributes only its PREFIX grams to
+    * the candidate join — the first `|x| - ceil(t*|x|) + 1` grams in the
+    * global (df, gram) order. Correctness: J(x,y) >= t implies
+    * |x∩y| >= t*|x∪y| >= ceil(t*|x|), and two sets overlapping that much
+    * must share an element inside those prefixes (pigeonhole on the
+    * shared total order), so every qualifying pair surfaces as a
+    * candidate; the exact Jaccard verification then removes false
+    * candidates. Rare-first ordering makes prefixes hit the LOW-df grams,
+    * so the candidate join is self-limiting — no hot-bucket blowup by
+    * construction (the popular grams never enter prefixes).
+    *
+    * Plan: one gram-df window (gram shuffle), one per-doc rank window
+    * (doc shuffle), the prefix-gram self-join, and a kernel-verified
+    * Jaccard on the candidate pairs. Documents move only as sorted gram
+    * hashes. */
+  def prefixFilteredJaccardJoin(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val d = docs.select(col(idCol).as("doc"),
+      sortedGramHashes(col(textCol), n).as("grams"))
+    val posting = d.select(col("doc"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val prefix = posting
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("gram"))))
+      .where(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("doc"), col("gram"))
+    val cands = prefix.alias("x")
+      .join(prefix.alias("y"),
+        col("x.gram") === col("y.gram") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .dropDuplicates("a", "b")
+    cands
+      .join(d.select(col("doc").as("a"), col("grams").as("ga")), "a")
+      .join(d.select(col("doc").as("b"), col("grams").as("gb")), "b")
+      .select(col("a"), col("b"),
+        round(graft.functions.KernelExpressions.jaccard_sorted(
+          col("ga"), col("gb")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // ---- embedding cosine --------------------------------------------------
 
   /** Cosine similarity between two numeric-array columns — one fused

@@ -93,6 +93,28 @@ object DedupQueriesImpl {
           len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.8
       ORDER BY a, b"""))
 
+  /** Exact prefix-filtered similarity self-join over the FULL corpus
+    * ([[Dedup.prefixFilteredJaccardJoin]]): recall-1.0 near-dup pairs at
+    * trigram Jaccard >= 0.8 — the deterministic scale path next to the
+    * probabilistic MinHash one; the oracle brute-forces all pairs. */
+  val prefixJoin = Q(
+    "q_dedup_prefix_join",
+    (s, dir) =>
+      Dedup.prefixFilteredJaccardJoin(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+        .orderBy(col("a"), col("b")),
+    Some("""WITH d AS (
+        SELECT doc_id, list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+          for i in range(1, greatest(len(toks) - 1, 2))]) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents))
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+          len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+          len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.8
+      ORDER BY a, b"""))
+
   /** Embedding-cosine near-dup: top-20 most similar pairs (broadcast
     * cross product — the small side fits in memory at every sf; at true
     * scale this switches to the LSH/IVF candidate paths). Oracle-checked. */
@@ -327,5 +349,5 @@ object DedupQueriesImpl {
       FROM cov ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
-    ngramJaccard, embedding, embeddingLsh, curation, clusters, dupGramCoverage)
+    ngramJaccard, prefixJoin, embedding, embeddingLsh, curation, clusters, dupGramCoverage)
 }

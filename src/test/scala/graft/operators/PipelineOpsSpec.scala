@@ -39,6 +39,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $keys")
   }
 
+  test("prefix-filtered jaccard join == brute force on real documents (completeness)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.prefixFilteredJaccardJoin(real, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val d = real.select(col("doc_id"),
+        Dedup.sortedGramHashes(col("text"), 3).as("g"))
+      val brute = d.alias("a").join(d.alias("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          round(graft.functions.KernelExpressions.jaccard_sorted(
+            col("a.g"), col("b.g")), 4).as("j"))
+        .where(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got === brute, s"t=$t: prefix join must equal brute force")
+      assert(brute.nonEmpty, s"t=$t fixture has no qualifying pairs — test is vacuous")
+    }
+  }
+
+  test("prefix-filtered jaccard join on synthetic dups: exact pair scores 1.0") {
+    val got = Dedup.prefixFilteredJaccardJoin(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 1L)) === 1.0)
+    assert(got.contains((0L, 2L)) && got.contains((1L, 2L)))
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical docs get identical fingerprints; near dups are close") {
     val t = Dedup.simhashTable(docs, "doc_id", "text")
       .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
