@@ -199,36 +199,72 @@ object Dedup {
     * so the candidate join is self-limiting — no hot-bucket blowup by
     * construction (the popular grams never enter prefixes).
     *
-    * Plan: one gram-df window (gram shuffle), one per-doc rank window
-    * (doc shuffle), the prefix-gram self-join, and a kernel-verified
-    * Jaccard on the candidate pairs. Documents move only as sorted gram
-    * hashes. */
+    * Plan — built for corpora where duplication is the POINT (CC-style
+    * crawls duplicate heavily): (1) EXACT-COLLAPSE first — group docs by
+    * their full gram-set, keep one representative per distinct set (the
+    * 20× probe corpus collapses 100k docs → 4,992 sets); (2) run the
+    * prefix-filter candidate join over REPRESENTATIVES only, so the
+    * quadratic candidate cost scales with distinct content, never with
+    * raw row count; (3) expand set-level results back to doc pairs:
+    * within-set pairs are J = 1.0 by construction (identical gram-sets),
+    * cross-set pairs inherit their representatives' kernel-verified
+    * score. Stage (2) computes gram df by hash aggregation (map-side
+    * partials) and per-rep prefix selection as collect_list → array_sort
+    * → slice — no global sort anywhere. Docs with empty gram-sets score
+    * 0.0 against everything (kernel semantics) and are dropped up front,
+    * which a positive threshold makes exact. */
   def prefixFilteredJaccardJoin(docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
     val d = docs.select(col(idCol).as("doc"),
       sortedGramHashes(col(textCol), n).as("grams"))
-    val posting = d.select(col("doc"), size(col("grams")).as("sz"),
+      .where(size(col("grams")) > 0)
+    // 1. exact collapse: one representative doc per distinct gram-set.
+    //    Reused by the candidate join AND both expansion joins.
+    val sets = d.groupBy(col("grams"))
+      .agg(min(col("doc")).as("rep"),
+        sort_array(collect_list(col("doc"))).as("docs"))
+      .persist()
+    val r = sets.select(col("rep").as("doc"), col("grams"))
+    // 2. prefix-filtered candidate join over representatives
+    val posting = r.select(col("doc"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
-    val prefix = posting
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc")).orderBy(col("df"), col("gram"))))
-      .where(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
-      .select(col("doc"), col("gram"))
+    val dfTab = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
+    val prefix = posting.join(dfTab, "gram")
+      .groupBy(col("doc"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("gram"))).as("pg"))
+      .select(col("doc"),
+        explode(slice(array_sort(col("pg")), lit(1), prefixLen)).as("p"))
+      .select(col("doc"), col("p.gram").as("gram"))
     val cands = prefix.alias("x")
       .join(prefix.alias("y"),
         col("x.gram") === col("y.gram") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .dropDuplicates("a", "b")
-    cands
-      .join(d.select(col("doc").as("a"), col("grams").as("ga")), "a")
-      .join(d.select(col("doc").as("b"), col("grams").as("gb")), "b")
+    val setPairs = cands
+      .join(r.select(col("doc").as("a"), col("grams").as("ga")), "a")
+      .join(r.select(col("doc").as("b"), col("grams").as("gb")), "b")
       .select(col("a"), col("b"),
         round(graft.functions.KernelExpressions.jaccard_sorted(
           col("ga"), col("gb")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // 3. expand: identical-set pairs at exactly 1.0, cross-set pairs at
+    //    their representatives' score (same gram-sets ⇒ same jaccard)
+    val within = sets.where(size(col("docs")) > 1)
+      .select(col("docs"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    val cross = setPairs
+      .join(sets.select(col("rep").as("a"), col("docs").as("da")), "a")
+      .join(sets.select(col("rep").as("b"), col("docs").as("db")), "b")
+      .select(explode(col("da")).as("x"), col("db"), col("jaccard"))
+      .select(col("x"), explode(col("db")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("jaccard"))
+    within.unionByName(cross)
   }
 
   // ---- embedding cosine --------------------------------------------------
