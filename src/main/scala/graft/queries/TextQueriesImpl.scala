@@ -302,6 +302,38 @@ object TextQueriesImpl {
       r AS (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank FROM c)
       SELECT rank, bigram, n FROM r WHERE rank <= 20 ORDER BY rank"""))
 
+  /** Bigram-LM corpus predictability ([[graft.operators.NgramLm]]): the
+    * perplexity-proxy quality scorer, per document. Integer transition
+    * sums + one final division — DuckDB replays it exactly. */
+  val bigramLm = Q(
+    "q_text_bigram_lm",
+    (s, dir) =>
+      graft.operators.NgramLm.bigramCorpusScore(
+        Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      g AS (SELECT doc_id, unnest([list_aggregate(t[i:i+1], 'string_agg', ' ')
+          for i in range(1, greatest(len(t), 2))]) AS bigram FROM toks),
+      o AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS ctx FROM g),
+      c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM o GROUP BY bigram),
+      c1 AS (SELECT ctx, CAST(count(*) AS BIGINT) AS c1 FROM o GROUP BY ctx),
+      p AS (SELECT o.doc_id,
+          CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(c2.c2) AS BIGINT) AS support_sum,
+          CAST(sum(c1.c1) AS BIGINT) AS context_sum,
+          CAST(sum(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        FROM o JOIN c2 USING (bigram) JOIN c1 USING (ctx)
+        GROUP BY o.doc_id)
+      SELECT d.doc_id,
+        coalesce(n_bigrams, 0) AS n_bigrams,
+        coalesce(support_sum, 0) AS support_sum,
+        coalesce(context_sum, 0) AS context_sum,
+        coalesce(hapax, 0) AS hapax,
+        round(CAST(support_sum AS DOUBLE) / context_sum, 6) AS predictability,
+        round(CAST(hapax AS DOUBLE) / n_bigrams, 6) AS novelty
+      FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
-    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, bigramMining)
+    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, bigramMining, bigramLm)
 }

@@ -65,6 +65,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bigram LM corpus score: hand-computed transition sums") {
+    // corpus: d0 "a b a b" → grams (a b, b a, a b); d1 "a b c" → (a b, b c);
+    // d2 "x" → degenerate single-token gram (x).
+    // c2: (a b)=3, (b a)=1, (b c)=1, (x)=1; c1 by left token: a=3, b=2, x=1.
+    val lm = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val got = NgramLm.bigramCorpusScore(lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got(0L) === ((3L, 7L, 8L, 1L, 0.875, 0.333333)))  // (3+1+3)/(3+2+3)
+    assert(got(1L) === ((2L, 4L, 5L, 1L, 0.8, 0.5)))         // (3+1)/(3+2)
+    assert(got(2L) === ((1L, 1L, 1L, 1L, 1.0, 1.0)))
+  }
+
   test("simhash: identical docs get identical fingerprints; near dups are close") {
     val t = Dedup.simhashTable(docs, "doc_id", "text")
       .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
