@@ -220,4 +220,35 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vid"), col("cos"))
   }
+
+  /** Symmetric per-vector int8 quantization — the 4× memory cut that
+    * makes a 100 TB ANN corpus fit executor RAM (IVF/LSH candidates are
+    * re-ranked on codes; only survivors touch float vectors). scale =
+    * 127/max|x| per vector, code_i = round(x_i · scale) ∈ [-127, 127]
+    * (round of a value ≤ 127 in magnitude — never clamps). Output keeps
+    * the diagnostics a quantization rollout needs: code checksums and the
+    * reconstruction cosine against the original vector.
+    *
+    * Per-row, shuffle-free, streams at any scale. All arithmetic is
+    * double-exact and replayable: one multiply per element, round-half-up
+    * (Spark ROUND ≡ DuckDB round, both away from zero), dequantized
+    * values are codes/scale. All-zero vectors quantize to all-zero codes
+    * with a NULL reconstruction cosine (0/0). */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / col("maxabs")
+    val codes = when(col("maxabs") > 0,
+      transform(col("v"), x => round(x * scale, 0).cast("int")))
+      .otherwise(transform(col("v"), _ => lit(0)))
+    val dq = transform(col("codes"), c => c / scale)
+    df.select(col(idCol), v.as("v"), maxabs.as("maxabs"))
+      .withColumn("codes", codes)
+      .select(col(idCol), round(col("maxabs"), 6).as("maxabs"),
+        col("codes"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + abs(c)).as("code_abs_sum"),
+        when(col("maxabs") > 0,
+          round(Dedup.cosine(col("v"), dq), 6)).as("recon_cos"))
+  }
 }

@@ -82,5 +82,29 @@ object SimilarityQueriesImpl {
       FROM embeddings ORDER BY vec_id"""
     })
 
-  def all: Seq[Q] = Seq(bruteForce, lsh, ivf, embedProject)
+  /** Per-vector int8 quantization ([[Similarity.int8Quantize]]) with the
+    * full code vector in the output — the oracle pins every code byte,
+    * not just aggregates. */
+  val embedQuantize = Q(
+    "q_embed_quantize",
+    (s, dir) =>
+      Similarity.int8Quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id")),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      c AS (SELECT vec_id, v, maxabs,
+          CASE WHEN maxabs > 0
+            THEN list_transform(v, x -> CAST(round(x * (127.0 / maxabs)) AS INTEGER))
+            ELSE list_transform(v, x -> 0) END AS codes
+        FROM q)
+      SELECT vec_id, round(maxabs, 6) AS maxabs, codes,
+        CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_abs_sum,
+        CASE WHEN maxabs > 0 THEN
+          round(list_cosine_similarity(v,
+            list_transform(codes, c -> c / (127.0 / maxabs))), 6)
+        END AS recon_cos
+      FROM c ORDER BY vec_id"""))
+
+  def all: Seq[Q] = Seq(bruteForce, lsh, ivf, embedProject, embedQuantize)
 }
