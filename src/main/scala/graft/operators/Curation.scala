@@ -224,4 +224,33 @@ object Curation {
       .withColumn("weight", lit(1.0) / col("n_copies"))
       .drop("__digest")
   }
+
+  /** Frequency-built vocabulary + per-document out-of-vocabulary rate —
+    * the tokenizer-sizing diagnostic: pick `vocabSize`, see what fraction
+    * of each document's token OCCURRENCES falls outside the vocabulary.
+    * The vocabulary is the top-`vocabSize` tokens by (count desc, token)
+    * — a deterministic tie-break, so the boundary is reproducible.
+    *
+    * Scale notes: token counts aggregate with map-side partials; the
+    * vocabulary cut is TakeOrderedAndProject (per-partition heads, driver
+    * merge of vocabSize·partitions rows — never a full sort); the
+    * vocabulary is then BOUNDED BY PARAMETER, so broadcasting it to the
+    * occurrence scan is justified at any corpus size. One occurrence
+    * shuffle total (the count), and the per-doc reduce ships narrow
+    * integer rows. */
+  def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val occ = docs.select(col(idCol).as("doc"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    occ.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
+      .select(col("doc"), col("n_tokens"), col("oov"),
+        round(col("oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
 }

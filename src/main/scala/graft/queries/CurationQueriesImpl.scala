@@ -242,6 +242,31 @@ object CurationQueriesImpl {
       LEFT JOIN hit h USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Vocabulary sizing + OOV ([[Curation.vocabOovRate]]): top-20 tokens
+    * by frequency (the synthetic corpus has 31 distinct tokens, so 11
+    * types fall OOV — the boundary is exercised, not vacuous), then each
+    * document's out-of-vocabulary occurrence rate. */
+  val vocabOov = Q(
+    "q_vocab_oov",
+    (s, dir) =>
+      graft.operators.Curation.vocabOovRate(
+        Tables.documents(s, dir), "doc_id", "text", 20)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""WITH o AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+      v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM o GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 20)),
+      p AS (SELECT o.doc_id,
+          CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+        FROM o LEFT JOIN v ON o.tok = v.tok
+        GROUP BY o.doc_id)
+      SELECT doc_id, n_tokens, oov,
+        round(CAST(oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+      FROM p ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
-    tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ, softDedup)
+    tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ,
+    softDedup, vocabOov)
 }
