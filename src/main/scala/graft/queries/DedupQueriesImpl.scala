@@ -244,46 +244,62 @@ object DedupQueriesImpl {
     * clusters = min-label connected components. Every stage is exactly
     * replayable in SQL, so this one IS oracle-checked (recursive-CTE
     * reachability), unlike the seeded-LSH candidate paths. */
+  /** Shared near-dup component construction (rare-gram candidates →
+    * exact-Jaccard edges → min-label connected components), returning
+    * (node, component) — the input to BOTH the cluster-stats query and
+    * the canonical-selection query. */
+  private def nearDupComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.plans.JaccardLengthPruning.install(s) // size bounds before the merge kernel
+    val docs = Tables.documents(s, dir)
+    val eg = docs.select(col("doc_id"),
+      explode(Dedup.wordNgrams(col("text"), 3)).as("gram"))
+    val rare = eg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 20).select("gram")
+    val re = eg.join(rare, "gram")
+    // materialized once: cand feeds BOTH candIds and the edge join, and
+    // recomputing it re-runs the whole gram-explode self-join. The
+    // candidate set is tiny (pairs sharing a rare gram). Lazy
+    // localCheckpoint, not persist: RDD-level cache blocks are released
+    // by the ContextCleaner once the query result is GC'd, so repeated
+    // runs in one session don't accumulate CacheManager entries.
+    val cand = re.as("x").join(re.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gram-hash arrays only for docs that appear in a candidate pair
+    // (semi-join prefilter — same shape as q_dedup_minhash_verified)
+    val candIds = cand.select(col("u").as("doc_id"))
+      .union(cand.select(col("v").as("doc_id"))).distinct()
+    val h = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), Dedup.sortedGramHashes(col("text"), 3).as("h"))
+    val edges = cand
+      .join(h.select(col("doc_id").as("u"), col("h").as("ha")), "u")
+      .join(h.select(col("doc_id").as("v"), col("h").as("hb")), "v")
+      .where(graft.functions.KernelExpressions.jaccard_sorted(
+        col("ha"), col("hb")) >= 0.35)
+      .select(col("u"), col("v"))
+    graft.operators.Components.connectedComponents(edges, "u", "v")
+  }
+
   val clusters = Q(
     "q_dedup_clusters",
-    (s, dir) => {
-      graft.plans.JaccardLengthPruning.install(s) // size bounds before the merge kernel
-      val docs = Tables.documents(s, dir)
-      val eg = docs.select(col("doc_id"),
-        explode(Dedup.wordNgrams(col("text"), 3)).as("gram"))
-      val rare = eg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .where(col("df") <= 20).select("gram")
-      val re = eg.join(rare, "gram")
-      // materialized once: cand feeds BOTH candIds and the edge join, and
-      // recomputing it re-runs the whole gram-explode self-join. The
-      // candidate set is tiny (pairs sharing a rare gram). Lazy
-      // localCheckpoint, not persist: RDD-level cache blocks are released
-      // by the ContextCleaner once the query result is GC'd, so repeated
-      // runs in one session don't accumulate CacheManager entries.
-      val cand = re.as("x").join(re.as("y"),
-          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // gram-hash arrays only for docs that appear in a candidate pair
-      // (semi-join prefilter — same shape as q_dedup_minhash_verified)
-      val candIds = cand.select(col("u").as("doc_id"))
-        .union(cand.select(col("v").as("doc_id"))).distinct()
-      val h = docs.join(candIds, "doc_id")
-        .select(col("doc_id"), Dedup.sortedGramHashes(col("text"), 3).as("h"))
-      val edges = cand
-        .join(h.select(col("doc_id").as("u"), col("h").as("ha")), "u")
-        .join(h.select(col("doc_id").as("v"), col("h").as("hb")), "v")
-        .where(graft.functions.KernelExpressions.jaccard_sorted(
-          col("ha"), col("hb")) >= 0.35)
-        .select(col("u"), col("v"))
-      graft.operators.Components.connectedComponents(edges, "u", "v")
+    (s, dir) =>
+      nearDupComponents(s, dir)
         .groupBy(col("component").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"), sum(col("node")).as("members_sum"))
         .where(col("n_members") > 1)
-        .orderBy(col("cluster_rep"))
-    },
-    Some("""WITH RECURSIVE
+        .orderBy(col("cluster_rep")),
+    Some(componentsCteSql + """
+      SELECT cluster_rep, count(*) AS n_members, CAST(sum(node) AS BIGINT) AS members_sum
+      FROM comp GROUP BY cluster_rep HAVING count(*) > 1
+      ORDER BY cluster_rep"""))
+
+  /** Oracle-side replay of [[nearDupComponents]]: recursive-CTE
+    * reachability ending in `comp(node, cluster_rep)` — shared by the
+    * cluster-stats and canonical-selection oracles. */
+  private def componentsCteSql: String = """WITH RECURSIVE
       toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
       g AS (SELECT doc_id,
           list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
@@ -304,10 +320,47 @@ object DedupQueriesImpl {
         SELECT DISTINCT u, u FROM sym
         UNION
         SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
-      comp AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
-      SELECT cluster_rep, count(*) AS n_members, CAST(sum(node) AS BIGINT) AS members_sum
-      FROM comp GROUP BY cluster_rep HAVING count(*) > 1
-      ORDER BY cluster_rep"""))
+      comp AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)"""
+
+  /** Canonical-document selection: within each near-dup cluster keep the
+    * doc with the most tokens (tie → smallest id) and account for the
+    * dropped members — the decision table a dedup pass actually applies.
+    * One extra narrow join (node → token count) and ONE grouped pass: the
+    * keep choice rides the same shuffle as the member stats via a
+    * max(struct) argmax, no per-cluster window. */
+  val canonical = Q(
+    "q_dedup_canonical",
+    (s, dir) => {
+      val sz = Tables.documents(s, dir).select(col("doc_id").as("node"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tok"))
+      nearDupComponents(s, dir)
+        .join(sz, "node")
+        .groupBy(col("component").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_tok"), (-col("node")).as("neg"))).as("best"),
+          sum(col("node")).as("members_sum"))
+        .where(col("n_members") > 1)
+        .select(col("cluster_rep"), col("n_members"),
+          (-col("best.neg")).as("keep_doc"),
+          col("best.n_tok").as("keep_tokens"),
+          (col("members_sum") + col("best.neg")).as("dropped_sum"))
+        .orderBy(col("cluster_rep"))
+    },
+    Some(componentsCteSql + """,
+      sz AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      m AS (SELECT c.cluster_rep, c.node, s.n_tok
+        FROM comp c JOIN sz s ON s.doc_id = c.node),
+      k AS (SELECT cluster_rep, node, n_tok,
+          row_number() OVER (PARTITION BY cluster_rep ORDER BY n_tok DESC, node) AS rn
+        FROM m),
+      st AS (SELECT cluster_rep, count(*) AS n_members, CAST(sum(node) AS BIGINT) AS members_sum
+        FROM m GROUP BY cluster_rep HAVING count(*) > 1)
+      SELECT st.cluster_rep, st.n_members, k.node AS keep_doc,
+        k.n_tok AS keep_tokens,
+        st.members_sum - k.node AS dropped_sum
+      FROM st JOIN k ON k.cluster_rep = st.cluster_rep AND k.rn = 1
+      ORDER BY st.cluster_rep"""))
 
   /** Cross-document duplicate-gram coverage: per document, the fraction
     * of its DISTINCT 3-grams that occur in at least one OTHER document —
@@ -349,5 +402,6 @@ object DedupQueriesImpl {
       FROM cov ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
-    ngramJaccard, prefixJoin, embedding, embeddingLsh, curation, clusters, dupGramCoverage)
+    ngramJaccard, prefixJoin, embedding, embeddingLsh, curation, clusters,
+    canonical, dupGramCoverage)
 }

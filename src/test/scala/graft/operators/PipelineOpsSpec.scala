@@ -79,6 +79,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 1L, 1L, 1L, 1.0, 1.0)))
   }
 
+  test("int8 quantization: hand-computed codes, zero-vector totality, recon quality") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8Quantize(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    // scale = 127: 1.0→127, -63.5→-64 (half away from zero), 31.75→32
+    assert(got(0L)._1 === Seq(127, -64, 32))
+    assert(got(0L)._2 === 95L && got(0L)._3 === 223L)
+    assert(got(0L)._4.get > 0.999)   // 3-dim recon stays tight
+    assert(got(1L)._1 === Seq(0, 0, 0) && got(1L)._4.isEmpty)
+
+    // real embeddings: codes bounded, recon cosine high for every vector
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.int8Quantize(real, "vec_id", "embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(r.getAs[Double]("recon_cos") > 0.995, s"poor recon for ${r.getLong(0)}")
+    }
+  }
+
+  test("vocab OOV rate: hand-computed boundary with deterministic tie-break") {
+    // counts: a=4, b=3, c=2, d=1, e=1 → V=3 vocab {a,b,c}; d,e are OOV
+    val corpus = Seq((0L, "a a b c d"), (1L, "a b c e"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Curation.vocabOovRate(corpus, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) === ((5L, 1L, 0.2)))
+    assert(got(1L) === ((4L, 1L, 0.25)))
+    assert(got(2L) === ((2L, 0L, 0.0)))
+
+    // tie-break at the boundary: with V=4, ties d/e at count 1 resolve by
+    // token order → d enters, e stays OOV
+    val got4 = Curation.vocabOovRate(corpus, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got4(0L) === 0L && got4(1L) === 1L)
+  }
+
+  test("canonical selection is consistent with cluster stats on real documents") {
+    val dir = "/root/testdata/sf0.001"
+    val clusters = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val canon = graft.SparkEntry.queries("q_dedup_canonical")(spark, dir).collect()
+    assert(canon.nonEmpty, "no clusters at sf0.001 — consistency test is vacuous")
+    canon.foreach { r =>
+      val (rep, n, keep, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      val (cn, csum) = clusters(rep)
+      assert(n === cn, s"member count diverges for cluster $rep")
+      assert(keep + dropped === csum, s"keep+dropped != members_sum for $rep")
+      assert(keep >= rep, s"keep_doc below the min-label rep for $rep")
+    }
+    assert(canon.map(_.getLong(0)).toSet === clusters.keySet,
+      "canonical and cluster-stats disagree on the cluster set")
+  }
+
   test("simhash: identical docs get identical fingerprints; near dups are close") {
     val t = Dedup.simhashTable(docs, "doc_id", "text")
       .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
