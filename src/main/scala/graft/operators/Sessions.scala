@@ -38,4 +38,73 @@ object Sessions {
         min(col(tsMicrosCol)).as("start_us"),
         max(col(tsMicrosCol)).as("end_us"))
   }
+
+  /** Ordered-step funnel over an event log: how many users perform
+    * `steps(0)`, then `steps(1)` STRICTLY after it, then `steps(2)`
+    * strictly after that, and so on — the product-analytics conversion
+    * query. Returns one row per stage: (stage, step, users,
+    * conv_from_first).
+    *
+    * Plan: ONE groupBy(user) collects each step's event times into a
+    * per-user array (map-side partial collect; per-user arrays are
+    * bounded by that user's activity, the same per-user-state bound
+    * sessionize lives with), then the step-chaining fold is a per-row
+    * array expression — min of each step's times strictly after the
+    * previous stage's time. The final stage counts aggregate a 1-row
+    * frame. No joins, no window, one shuffle total. */
+  def funnel(events: DataFrame, userCol: String, tsMicrosCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2 && steps.size == steps.distinct.size,
+      s"funnel needs >= 2 distinct ordered steps; got $steps")
+    val arrays = events.groupBy(col(userCol))
+      .agg(steps.zipWithIndex.map { case (st, i) =>
+        collect_list(when(col(typeCol) === st, col(tsMicrosCol))).as(s"a$i")
+      }.head, steps.zipWithIndex.tail.map { case (st, i) =>
+        collect_list(when(col(typeCol) === st, col(tsMicrosCol))).as(s"a$i")
+      }: _*)
+    val staged = steps.indices.foldLeft(arrays) { (df, i) =>
+      if (i == 0) df.withColumn("t0", array_min(col("a0")))
+      else df.withColumn(s"t$i",
+        array_min(filter(col(s"a$i"), x => x > col(s"t${i - 1}"))))
+    }
+    val totals = staged.agg(
+      count(col("t0")).as("u0"),
+      steps.indices.tail.map(i => count(col(s"t$i")).as(s"u$i")): _*)
+    totals.select(inline(array(steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("stage"), lit(st).as("step"),
+        col(s"u$i").as("users"),
+        when(col("u0") > 0, round(col(s"u$i").cast("double") / col("u0"), 6))
+          .as("conv_from_first"))
+    }: _*)))
+  }
+
+  /** Cohort retention over an event log: users cohorted by their first
+    * active period (integral `us div periodMicros` buckets — exact in any
+    * engine), then per (cohort, offset) the count of cohort members still
+    * active that many periods later, as a fraction of the cohort.
+    *
+    * Plan: distinct (user, period) — partial-aggregable, this is the only
+    * pass over raw events; first-period and cohort-size aggregations run
+    * over the already-tiny distinct table; everything downstream keys on
+    * narrow integers. The retention ratio is the single double division
+    * at the end. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsMicrosCol: String, periodMicros: Long): DataFrame = {
+    require(periodMicros > 0, s"periodMicros must be positive, got $periodMicros")
+    // integer division (`div`), NOT `/`: Spark `/` on longs is double
+    // division, and a cast-back floor could disagree with the oracle's
+    // exact `//` on a period boundary
+    val uw = events.select(col(userCol).as("user"),
+      expr(s"`$tsMicrosCol` div ${periodMicros}L").as("w")).distinct()
+    val fw = uw.groupBy(col("user")).agg(min(col("w")).as("f"))
+    val cohorts = fw.groupBy(col("f")).agg(count(lit(1)).as("cohort_size"))
+    uw.join(fw, "user")
+      .groupBy(col("f"), (col("w") - col("f")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(cohorts, "f")
+      .select(col("f").as("cohort_week"), col("week_offset"),
+        col("active_users"), col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
 }

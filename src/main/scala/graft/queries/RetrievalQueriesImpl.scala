@@ -152,5 +152,73 @@ object RetrievalQueriesImpl {
         CAST(max(dur_sec) AS BIGINT) AS max_dur_sec
       FROM g GROUP BY user_id ORDER BY user_id"""))
 
-  def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion, sessionizeBatch)
+  /** Ordered-step conversion funnel ([[Sessions.funnel]]) over the event
+    * log: view → click (strictly after) → purchase (strictly after).
+    * Timestamps normalize to integral epoch-micros (both fixture
+    * flavors), so the strict-order compares are exact in both engines. */
+  val eventFunnel = Q(
+    "q_event_funnel",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = ev0.select(col("user_id"), col("event_type"), us.as("us"))
+      Sessions.funnel(ev, "user_id", "us", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t1
+             FROM e GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id),
+      u AS (SELECT (SELECT count(t1) FROM s1) AS u0,
+                   (SELECT count(*) FROM s2) AS u1,
+                   (SELECT count(*) FROM s3) AS u2)
+      SELECT * FROM (
+        SELECT 1 AS stage, 'view' AS step, CAST(u0 AS BIGINT) AS users,
+          CASE WHEN u0 > 0 THEN round(CAST(u0 AS DOUBLE) / u0, 6) END AS conv_from_first
+        FROM u
+        UNION ALL
+        SELECT 2, 'click', CAST(u1 AS BIGINT),
+          CASE WHEN u0 > 0 THEN round(CAST(u1 AS DOUBLE) / u0, 6) END FROM u
+        UNION ALL
+        SELECT 3, 'purchase', CAST(u2 AS BIGINT),
+          CASE WHEN u0 > 0 THEN round(CAST(u2 AS DOUBLE) / u0, 6) END FROM u)
+      ORDER BY stage"""))
+
+  /** Weekly retention cohorts ([[Sessions.retentionCohorts]]): users
+    * cohorted by first-active week (integral epoch-week buckets), the
+    * classic growth-analytics matrix. Everything is integer until the
+    * final ratio. */
+  val retention = Q(
+    "q_event_retention",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = ev0.select(col("user_id"), us.as("us"))
+      Sessions.retentionCohorts(ev, "user_id", "us", 604800000000L)
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+      uw AS (SELECT DISTINCT user_id, w FROM e),
+      fw AS (SELECT user_id, min(w) AS f FROM uw GROUP BY user_id),
+      ch AS (SELECT f, count(*) AS cohort_size FROM fw GROUP BY f),
+      act AS (SELECT f, w - f AS week_offset, count(*) AS active_users
+              FROM uw JOIN fw USING (user_id) GROUP BY f, w - f)
+      SELECT f AS cohort_week, week_offset,
+        CAST(active_users AS BIGINT) AS active_users,
+        CAST(cohort_size AS BIGINT) AS cohort_size,
+        round(CAST(active_users AS DOUBLE) / cohort_size, 6) AS retention
+      FROM act JOIN ch USING (f) ORDER BY cohort_week, week_offset"""))
+
+  def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion,
+    sessionizeBatch, eventFunnel, retention)
 }

@@ -82,4 +82,43 @@ class RetrievalSpec extends AnyFunSuite {
         r.getAs[Long]("n_events"), r.getAs[Long]("end_us") - r.getAs[Long]("start_us")))
     assert(out === Array((1L, 1L, 2L, 10 * m), (1L, 2L, 2L, 5 * m), (2L, 1L, 1L, 0L)))
   }
+
+  test("funnel: strict ordering, out-of-order steps don't count, ties excluded") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // full funnel
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 3L), // click BEFORE view → stage 1 only (purchase needs a post-view click)
+      (3L, "view", 1L), (3L, "click", 5L),                       // stages 1-2
+      (4L, "purchase", 1L),                                      // never enters
+      (5L, "view", 7L), (5L, "click", 7L)                        // tie: click not strictly after
+    ).toDF("user_id", "event_type", "us")
+    val out = Sessions.funnel(ev, "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy($"stage")
+      .collect().map(r => (r.getAs[Int]("stage"), r.getAs[String]("step"),
+        r.getAs[Long]("users"), r.getAs[Double]("conv_from_first")))
+    assert(out === Array(
+      (1, "view", 4L, 1.0),
+      (2, "click", 2L, 0.5),
+      (3, "purchase", 1L, 0.25)))
+  }
+
+  test("retention cohorts: hand-computed matrix, boundary lands in next period") {
+    val p = 100L // period micros, for readable fixtures
+    val ev = Seq(
+      (1L, 10L), (1L, 110L), (1L, 250L), // cohort 0, active 0/1/2
+      (2L, 50L), (2L, 60L),              // cohort 0, active 0 only (same period twice)
+      (3L, 100L),                        // exactly on the boundary → cohort 1
+      (4L, 120L), (4L, 210L)             // cohort 1, active 1/2 → offsets 0,1
+    ).toDF("user_id", "us")
+    val out = Sessions.retentionCohorts(ev, "user_id", "us", p)
+      .orderBy($"cohort_week", $"week_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out === Array(
+      (0L, 0L, 2L, 2L, 1.0),   // users 1,2 in week 0
+      (0L, 1L, 1L, 2L, 0.5),   // only user 1 returns
+      (0L, 2L, 1L, 2L, 0.5),
+      (1L, 0L, 2L, 2L, 1.0),   // users 3,4
+      (1L, 1L, 1L, 2L, 0.5)))  // only user 4
+  }
 }
