@@ -267,6 +267,42 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** Incremental dedup: screen a NEW batch against an existing corpus —
+    * the shape every production ingest runs (the corpus is already clean;
+    * only arrivals need checking). For each batch doc: the smallest
+    * corpus doc with identical text (`exact_dup_of`), the smallest corpus
+    * doc at word-n-gram Jaccard ≥ threshold (`near_dup_of`), and the
+    * combined `is_dup` verdict. Id sets must be disjoint across the two
+    * inputs (they are row identities, not join keys).
+    *
+    * Exact tier: 16-byte digest join — text never shuffles. Near tier:
+    * the exact-collapsed prefix-filter join over corpus ∪ batch, kept to
+    * cross-side pairs; the collapse means re-screening shared content
+    * costs set-level work, and a batch that is mostly dups of the corpus
+    * (the common case) collapses INTO the corpus's existing gram-sets. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val corpusMin = corpus
+      .select(md5(col(textCol)).as("digest"), col(idCol).as("cid"))
+      .groupBy(col("digest")).agg(min(col("cid")).as("exact_dup_of"))
+    val exact = batch.select(col(idCol).as("doc"), md5(col(textCol)).as("digest"))
+      .join(corpusMin, Seq("digest"), "left")
+      .select(col("doc"), col("exact_dup_of"))
+    val u = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val pairs = prefixFilteredJaccardJoin(u, idCol, textCol, n, threshold)
+    val bids = batch.select(col(idCol).as("doc"))
+    val cids = corpus.select(col(idCol).as("partner"))
+    val near = pairs.select(col("b").as("doc"), col("a").as("partner"))
+      .unionByName(pairs.select(col("a").as("doc"), col("b").as("partner")))
+      .join(bids, "doc").join(cids, "partner")
+      .groupBy(col("doc")).agg(min(col("partner")).as("near_dup_of"))
+    exact.join(near, Seq("doc"), "left")
+      .select(col("doc"), col("exact_dup_of"), col("near_dup_of"),
+        (col("exact_dup_of").isNotNull || col("near_dup_of").isNotNull)
+          .as("is_dup"))
+  }
+
   // ---- embedding cosine --------------------------------------------------
 
   /** Cosine similarity between two numeric-array columns — one fused

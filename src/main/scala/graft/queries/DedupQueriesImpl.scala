@@ -115,6 +115,41 @@ object DedupQueriesImpl {
           len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.8
       ORDER BY a, b"""))
 
+  /** Incremental ingest screen ([[Dedup.incrementalDedup]]): docs with
+    * id % 10 = 0 arrive as the new batch, the rest are the clean corpus.
+    * The near tier is live at this split (6 cross near-dup pairs at
+    * sf0.01); the corpus has no exact duplicates by construction, so the
+    * exact tier's non-vacuous pinning lives in the spec's planted dups. */
+  val incremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.incrementalDedup(
+          d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", 3, 0.8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, text,
+          list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+            for i in range(1, greatest(len(toks) - 1, 2))]) AS grams
+        FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)),
+      b AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+      c AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+      ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_dup_of
+        FROM b JOIN c ON c.text = b.text GROUP BY b.doc_id),
+      nr AS (SELECT b.doc_id, min(c.doc_id) AS near_dup_of
+        FROM b JOIN c ON
+          round(len(list_intersect(b.grams, c.grams)) * 1.0 /
+            len(list_distinct(list_concat(b.grams, c.grams))), 4) >= 0.8
+        GROUP BY b.doc_id)
+      SELECT b.doc_id, ex.exact_dup_of, nr.near_dup_of,
+        (ex.exact_dup_of IS NOT NULL OR nr.near_dup_of IS NOT NULL) AS is_dup
+      FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+      ORDER BY b.doc_id"""))
+
   /** Embedding-cosine near-dup: top-20 most similar pairs (broadcast
     * cross product — the small side fits in memory at every sf; at true
     * scale this switches to the LSH/IVF candidate paths). Oracle-checked. */
@@ -402,6 +437,6 @@ object DedupQueriesImpl {
       FROM cov ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
-    ngramJaccard, prefixJoin, embedding, embeddingLsh, curation, clusters,
-    canonical, dupGramCoverage)
+    ngramJaccard, prefixJoin, incremental, embedding, embeddingLsh, curation,
+    clusters, canonical, dupGramCoverage)
 }

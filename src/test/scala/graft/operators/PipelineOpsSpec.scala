@@ -139,6 +139,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       "canonical and cluster-stats disagree on the cluster set")
   }
 
+  test("incremental dedup: exact, near, and clean verdicts against a corpus") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "totally unrelated text about gradient boosted tree training"),
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 10 (min of 10,12)
+      (1L, "the quick brown fox jumps over the lazy dog near the river pier"), // near dup only
+      (2L, "completely novel content that matches nothing in the corpus here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text", 3, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(got(0L) === ((Some(10L), Some(10L), true)))
+    assert(got(1L)._1.isEmpty && got(1L)._2 === Some(10L) && got(1L)._3)
+    assert(got(2L) === ((None, None, false)))
+  }
+
   test("simhash: identical docs get identical fingerprints; near dups are close") {
     val t = Dedup.simhashTable(docs, "doc_id", "text")
       .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
