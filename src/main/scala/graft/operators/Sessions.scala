@@ -107,4 +107,27 @@ object Sessions {
         round(col("active_users").cast("double") / col("cohort_size"), 6)
           .as("retention"))
   }
+
+  /** Daily-active / new / cumulative-new user curves — the growth
+    * dashboard's base table. One distinct (user, day) pass over raw
+    * events (partial-aggregable); first-day and per-day counts reduce
+    * that tiny table; the cumulative sum windows over DAYS (thousands of
+    * rows after years of data — a deliberate single-partition window over
+    * an already-reduced frame, not over events). All counts integral. */
+  def dailyActiveUsers(events: DataFrame, userCol: String,
+      tsMicrosCol: String): DataFrame = {
+    val dayMicros = 86400000000L
+    val ud = events.select(col(userCol).as("user"),
+      expr(s"`$tsMicrosCol` div ${dayMicros}L").as("d")).distinct()
+    val firstDay = ud.groupBy(col("user")).agg(min(col("d")).as("fd"))
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("active_users"))
+    val newU = firstDay.groupBy(col("fd").as("d"))
+      .agg(count(lit(1)).as("new_users"))
+    dau.join(newU, Seq("d"), "left")
+      .select(col("d").as("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_new_users", sum(col("new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -219,6 +219,30 @@ object RetrievalQueriesImpl {
         round(CAST(active_users AS DOUBLE) / cohort_size, 6) AS retention
       FROM act JOIN ch USING (f) ORDER BY cohort_week, week_offset"""))
 
+  /** DAU / new-user / cumulative growth curves
+    * ([[Sessions.dailyActiveUsers]]), integral day buckets. */
+  val dau = Q(
+    "q_event_dau",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      Sessions.dailyActiveUsers(
+          ev0.select(col("user_id"), us.as("us")), "user_id", "us")
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      fd AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id),
+      dau AS (SELECT d, count(*) AS active_users FROM ud GROUP BY d),
+      nu AS (SELECT fd AS d, count(*) AS new_users FROM fd GROUP BY fd)
+      SELECT dau.d AS day, CAST(active_users AS BIGINT) AS active_users,
+        CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+        CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY dau.d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new_users
+      FROM dau LEFT JOIN nu ON nu.d = dau.d ORDER BY day"""))
+
   def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion,
-    sessionizeBatch, eventFunnel, retention)
+    sessionizeBatch, eventFunnel, retention, dau)
 }

@@ -121,4 +121,20 @@ class RetrievalSpec extends AnyFunSuite {
       (1L, 0L, 2L, 2L, 1.0),   // users 3,4
       (1L, 1L, 1L, 2L, 0.5)))  // only user 4
   }
+
+  test("daily active users: hand-computed DAU, new, cumulative-new curves") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (2L, 10L),           // day 0: users 1,2 (both new); user 1 twice
+      (1L, day + 5L), (3L, day + 6L),          // day 1: users 1,3 (3 new)
+      (2L, 3 * day)                            // day 3: user 2 (day 2 empty — absent row)
+    ).toDF("user_id", "us")
+    val out = Sessions.dailyActiveUsers(ev, "user_id", "us")
+      .orderBy($"day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (0L, 2L, 2L, 2L),
+      (1L, 2L, 1L, 3L),
+      (3L, 1L, 0L, 3L)))
+  }
 }
