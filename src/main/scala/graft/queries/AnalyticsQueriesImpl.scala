@@ -348,6 +348,43 @@ object AnalyticsQueriesImpl {
         min(l_tax), max(l_tax) FROM lineitem
       ORDER BY col_name"""))
 
+  /** Equi-depth decile binning of a measure column — the feature
+    * discretization a GBT/quantile-sketch pipeline runs before training.
+    * Edge computation is ONE aggregate row (the exact `percentile`
+    * verification tier, same interpolation as DuckDB quantile_cont —
+    * q_group_quantiles pins the equivalence; the 100 TB tier is the GK
+    * sketch); edges round to 4 dp on BOTH sides so the bin-assignment
+    * compares run on identical doubles; assignment is a broadcast of the
+    * 1-row edge array + a per-row filter count — no shuffle of the fact
+    * table until the 10-group bin aggregate. */
+  val featureBinning = Q(
+    "q_feature_binning",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val edges = li
+        .agg(expr("percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("e"))
+        .select(transform(col("e"), x => round(x, 4)).as("edges"))
+      li.select(col("l_extendedprice")).crossJoin(broadcast(edges))
+        .select(expr("size(filter(edges, e -> l_extendedprice > e))").as("bin"),
+          col("l_extendedprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH e AS (SELECT [round(x, 4) for x in
+          quantile_cont(l_extendedprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] AS edges
+        FROM lineitem),
+      b AS (SELECT len(list_filter(e.edges, ed -> l.l_extendedprice > ed)) AS bin,
+          l_extendedprice
+        FROM lineitem l, e)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        round(min(l_extendedprice), 2) AS lo,
+        round(max(l_extendedprice), 2) AS hi
+      FROM b GROUP BY bin ORDER BY bin"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
-    windowRolling, cube, groupQuantiles, tableStats)
+    windowRolling, cube, groupQuantiles, tableStats, featureBinning)
 }
