@@ -131,4 +131,34 @@ class PlanSpec extends AnyFunSuite {
         bucketLines.mkString("\n"))
     assert(!planStr.contains("ScalaUDF"), "no Scala UDF in the LSH path")
   }
+
+  test("q_vocab_oov: the parameter-bounded vocabulary broadcasts; the cut is " +
+      "TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab cut must be TakeOrderedAndProject:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "vocabulary must broadcast to the occurrence side:\n" + p.take(1200))
+  }
+
+  test("q_event_funnel: no joins, no window — one grouped pass over events") {
+    val p = plan("q_event_funnel")
+    assert(!p.contains("Join"), "funnel must not plan any join:\n" + p.take(1200))
+    assert(!p.contains("Window"), "funnel must not plan a window:\n" + p.take(1200))
+  }
+
+  test("q_feature_binning: the 1-row edge table broadcasts; the fact scan " +
+      "shuffles only for the 10-group bin aggregate") {
+    val p = plan("q_feature_binning")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "edges must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join of the fact table:\n" + p.take(1200))
+  }
+
+  test("q_embed_quantize: shuffle-free per-row scan (no exchange except the sort)") {
+    val p = plan("q_embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "quantization must not hash-shuffle:\n" + p.take(1200))
+  }
 }
