@@ -273,8 +273,33 @@ object Relational {
     },
     Some(q3Sql))
 
+  /** The shared Q5 text (same one-string-both-engines contract as Q3):
+    * the 6-table join exercises Catalyst's join planning — region/nation
+    * broadcast, the date filter pushes below the join tower. Money in
+    * DECIMAL; n_name tie-break keeps the order unique. */
+  private val q5Sql = """SELECT n_name,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  val sqlQ5 = Q(
+    "q_sql_q5",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(q5Sql)
+    },
+    Some(q5Sql))
+
   def all: Seq[Q] = Seq(
     q1Agg, s1Project, s4Cast, s5CountDistinct, s6Repartition,
     s7MapPartitions, s9Collect, s10ScalarUdf, s11Struct, s13Filter, s16CreateDf,
-    bucketedJoin, sqlQ3)
+    bucketedJoin, sqlQ3, sqlQ5)
 }
