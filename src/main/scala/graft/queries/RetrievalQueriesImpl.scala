@@ -243,6 +243,61 @@ object RetrievalQueriesImpl {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new_users
       FROM dau LEFT JOIN nu ON nu.d = dau.d ORDER BY day"""))
 
+  /** Hourly anomaly screen: per (event_type, hour) counts z-scored
+    * against the trailing 24 OBSERVED hours — the monitoring query a
+    * pipeline runs on its own telemetry. Cross-engine exactness: the
+    * window moments (Σn, Σn², count) are INTEGERS, and the mean/var/z
+    * doubles are written token-for-token identically in both engines
+    * (sqrt is IEEE-correctly-rounded, so identical inputs give identical
+    * outputs). Frames need ≥12 observed baseline hours and positive
+    * variance. Plan: one partial-agg count shuffle, then ONE window
+    * shuffle on event_type, then TakeOrderedAndProject for the top-20. */
+  val anomaly = Q(
+    "q_event_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val hc = ev0.select(col("event_type"), us.as("us"))
+        .groupBy(col("event_type"), expr("us div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val fr = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      hc.withColumn("sw", sum(col("n")).over(fr))
+        .withColumn("sq", sum(col("n") * col("n")).over(fr))
+        .withColumn("cw", count(lit(1)).over(fr))
+        .where(col("cw") >= 12)
+        .withColumn("mean", col("sw").cast("double") / col("cw"))
+        .withColumn("varr",
+          (col("sq").cast("double") - col("sw").cast("double") * col("sw") / col("cw"))
+            / (col("cw") - 1))
+        .where(col("varr") > 0)
+        .withColumn("z", round((col("n") - col("mean")) / sqrt(col("varr")), 4))
+        .orderBy(abs(col("z")).desc, col("event_type"), col("h"))
+        .limit(20)
+        .select(col("event_type"), col("h").as("hour"), col("n"),
+          round(col("mean"), 4).as("mean"), col("z"))
+    },
+    Some("""WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, h),
+      w AS (SELECT event_type, h, n,
+          sum(n) OVER fr AS sw, sum(n*n) OVER fr AS sq, count(*) OVER fr AS cw
+        FROM hc WINDOW fr AS (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      zt AS (SELECT event_type, h, n,
+          CAST(sw AS DOUBLE) / cw AS mean,
+          (CAST(sq AS DOUBLE) - CAST(sw AS DOUBLE) * sw / cw) / (cw - 1) AS varr
+        FROM w WHERE cw >= 12)
+      SELECT event_type, h AS hour, n, round(mean, 4) AS mean,
+        round((n - mean) / sqrt(varr), 4) AS z
+      FROM zt WHERE varr > 0
+      ORDER BY abs(round((n - mean) / sqrt(varr), 4)) DESC, event_type, h
+      LIMIT 20"""))
+
   def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion,
-    sessionizeBatch, eventFunnel, retention, dau)
+    sessionizeBatch, eventFunnel, retention, dau, anomaly)
 }
