@@ -351,7 +351,38 @@ object SourceQueriesImpl {
              / ((n_ref + n_cur) * t_cur / (t_ref + t_cur)), 4) AS chi2
       FROM j, t ORDER BY bin"""))
 
+  /** Custom DSv2 WRITE connector round-trip
+    * ([[graft.sources.GraftSink]]): supplier flows through the two-phase
+    * commit sink (per-task temp files → driver rename-on-commit +
+    * manifest), reads back via the JSON source with an explicit schema,
+    * and must aggregate identically to the original parquet. */
+  val sinkCustomWrite = Q(
+    "q_sink_custom_write",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_name"),
+          col("s_acctbal"))
+      val out = s"$sinkRoot/graft_sink_supplier"
+      // the connector is append-only by design; overwrite = clear first
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(new java.io.File(out))
+      new java.io.File(out).mkdirs()
+      sup.write.format("graft-sink").option("path", out).mode("append").save()
+      s.read.schema(sup.schema).json(s"$out/part-*.jsonl")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("sum_bal"),
+          min(col("s_name")).as("first_name"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, count(*) AS n,
+        round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     partitionedPrune, upsertMerge, customSource, libsvmRoundtrip, schemaMerge,
-    scd2History, qualityConstraints, driftDetect)
+    scd2History, qualityConstraints, driftDetect, sinkCustomWrite)
 }
