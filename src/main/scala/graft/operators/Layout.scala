@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
@@ -133,5 +134,26 @@ object Layout {
     probe
       .where(mightContain(col(probeKey).cast("long")))
       .join(build, col(probeKey) === col(buildKey))
+  }
+
+  /** Small-files compaction planning — the OPTIMIZE step every 100 TB
+    * lake runs: given one row per input shard/file with its row count,
+    * assign shards to merge groups of ~`targetRows` each. The policy is
+    * SIZE-ORDERED CONTIGUOUS packing: sort shards by (rows desc, id),
+    * take the running total, and cut a group boundary each time it
+    * crosses a multiple of the target — deterministic, one window over
+    * the SHARD table (whose size is the file count, not the row count;
+    * the single-partition window is over metadata, by construction tiny),
+    * and exactly replayable in SQL, unlike first-fit-decreasing's
+    * sequential bin state. Returns the input plus `grp`. */
+  def compactionPlan(shards: DataFrame, idCol: String, rowsCol: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val w = Window.orderBy(col(rowsCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shards
+      .withColumn("cum_before", coalesce(sum(col(rowsCol)).over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div ${targetRows}L"))
+      .drop("cum_before")
   }
 }

@@ -73,5 +73,37 @@ object LayoutQueriesImpl {
       WHERE s_nationkey = 7
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def all: Seq[Q] = Seq(zorderLayout, bloomPruneJoin)
+  /** Compaction planning ([[Layout.compactionPlan]]): lineitem sharded 64
+    * ways by order-key hash-mod stands in for a small-files directory; the
+    * planner packs shards into ~4-shard merge groups and the output pins
+    * every group's membership count, row total, and key checksum. The
+    * oracle replays the identical running-sum cut. */
+  val compaction = Q(
+    "q_compaction_plan",
+    (s, dir) => {
+      val shards = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 64).as("shard"), col("l_orderkey"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("rows"), sum(col("l_orderkey")).as("key_sum"))
+      Layout.compactionPlan(shards, "shard", "rows", targetRows = 4000L)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_shards"), sum(col("rows")).as("rows"),
+          sum(col("key_sum")).as("key_checksum"))
+        .orderBy(col("grp"))
+    },
+    Some("""WITH sh AS (SELECT l_orderkey % 64 AS shard,
+          CAST(count(*) AS BIGINT) AS rows,
+          CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        FROM lineitem GROUP BY shard),
+      pl AS (SELECT shard, rows, key_sum,
+          CAST(coalesce(sum(rows) OVER (ORDER BY rows DESC, shard
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            // 4000 AS grp
+        FROM sh)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_shards,
+        CAST(sum(rows) AS BIGINT) AS rows,
+        CAST(sum(key_sum) AS BIGINT) AS key_checksum
+      FROM pl GROUP BY grp ORDER BY grp"""))
+
+  def all: Seq[Q] = Seq(zorderLayout, bloomPruneJoin, compaction)
 }

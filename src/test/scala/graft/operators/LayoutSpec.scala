@@ -90,4 +90,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.bloomPrefilteredJoin(probeInt, buildLong, "pk", "bk",
       expectedKeys = 10).count() === 1)
   }
+
+  test("compaction plan: size-ordered contiguous packing, hand-computed groups") {
+    val shards = Seq(("a", 10L), ("b", 7L), ("c", 5L), ("d", 3L), ("e", 1L))
+      .toDF("shard", "rows")
+    val got = Layout.compactionPlan(shards, "shard", "rows", targetRows = 12L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // cum-before in (rows desc, shard) order: a=0, b=10, c=17, d=22, e=25
+    assert(got === Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "d" -> 1L, "e" -> 2L))
+    // every group except possibly the last stays below target + largest member
+    val grpRows = Layout.compactionPlan(shards, "shard", "rows", 12L)
+      .groupBy("grp").sum("rows").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grpRows(0L) === 17L && grpRows(1L) === 8L && grpRows(2L) === 1L)
+  }
 }
