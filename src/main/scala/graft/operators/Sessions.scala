@@ -22,18 +22,29 @@ object Sessions {
     * `tsMicrosCol` must be epoch MICROseconds (a long) — integral, so the
     * gap compare and duration are exact in any engine. Ties on the
     * timestamp are broken by `seqCol` to keep session ids deterministic. */
-  def sessionize(events: DataFrame, userCol: String, tsMicrosCol: String,
+  /** Row-level session assignment: the input columns plus `session_id`
+    * (1-based per user). Both windows (lag flag + running sum) share ONE
+    * user-key shuffle. The building block under [[sessionize]] and
+    * [[sessionFunnel]]. */
+  def assignSessions(events: DataFrame, userCol: String, tsMicrosCol: String,
       seqCol: String, gapMicros: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsMicrosCol), col(seqCol))
-    val withFlag = events.select(col(userCol), col(tsMicrosCol), col(seqCol))
+    events
       .withColumn("new_s",
         when(lag(col(tsMicrosCol), 1).over(w).isNull ||
           col(tsMicrosCol) - lag(col(tsMicrosCol), 1).over(w) > gapMicros, 1L)
           .otherwise(0L))
-    val withSession = withFlag.withColumn("session_id",
-      sum(col("new_s")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    withSession.groupBy(col(userCol), col("session_id"))
+      .withColumn("session_id",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("new_s")
+  }
+
+  def sessionize(events: DataFrame, userCol: String, tsMicrosCol: String,
+      seqCol: String, gapMicros: Long): DataFrame = {
+    assignSessions(events.select(col(userCol), col(tsMicrosCol), col(seqCol)),
+        userCol, tsMicrosCol, seqCol, gapMicros)
+      .groupBy(col(userCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col(tsMicrosCol)).as("start_us"),
         max(col(tsMicrosCol)).as("end_us"))
@@ -73,6 +84,41 @@ object Sessions {
     totals.select(inline(array(steps.zipWithIndex.map { case (st, i) =>
       struct(lit(i + 1).as("stage"), lit(st).as("step"),
         col(s"u$i").as("users"),
+        when(col("u0") > 0, round(col(s"u$i").cast("double") / col("u0"), 6))
+          .as("conv_from_first"))
+    }: _*)))
+  }
+
+  /** Session-scoped funnel: like [[funnel]], but conversion must happen
+    * WITHIN one session — the strict product-analytics reading, where a
+    * view yesterday doesn't credit a purchase today. Counts SESSIONS per
+    * stage. Same plan shape as the user funnel with the session
+    * assignment's user-key shuffle in front: the grouped collect keys on
+    * (user, session), so per-group state is one session's events — even
+    * tighter than the per-user bound. */
+  def sessionFunnel(events: DataFrame, userCol: String, tsMicrosCol: String,
+      seqCol: String, typeCol: String, gapMicros: Long,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2 && steps.size == steps.distinct.size,
+      s"sessionFunnel needs >= 2 distinct ordered steps; got $steps")
+    val sess = assignSessions(events, userCol, tsMicrosCol, seqCol, gapMicros)
+    val arrays = sess.groupBy(col(userCol), col("session_id"))
+      .agg(steps.zipWithIndex.map { case (st, i) =>
+        collect_list(when(col(typeCol) === st, col(tsMicrosCol))).as(s"a$i")
+      }.head, steps.zipWithIndex.tail.map { case (st, i) =>
+        collect_list(when(col(typeCol) === st, col(tsMicrosCol))).as(s"a$i")
+      }: _*)
+    val staged = steps.indices.foldLeft(arrays) { (df, i) =>
+      if (i == 0) df.withColumn("t0", array_min(col("a0")))
+      else df.withColumn(s"t$i",
+        array_min(filter(col(s"a$i"), x => x > col(s"t${i - 1}"))))
+    }
+    val totals = staged.agg(
+      count(col("t0")).as("u0"),
+      steps.indices.tail.map(i => count(col(s"t$i")).as(s"u$i")): _*)
+    totals.select(inline(array(steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("stage"), lit(st).as("step"),
+        col(s"u$i").as("sessions"),
         when(col("u0") > 0, round(col(s"u$i").cast("double") / col("u0"), 6))
           .as("conv_from_first"))
     }: _*)))

@@ -298,6 +298,57 @@ object RetrievalQueriesImpl {
       ORDER BY abs(round((n - mean) / sqrt(varr), 4)) DESC, event_type, h
       LIMIT 20"""))
 
+  /** Session-scoped funnel ([[Sessions.sessionFunnel]], 30-minute gap):
+    * conversion counted only when the steps happen inside ONE session —
+    * the strict attribution reading next to q_event_funnel's lifetime
+    * one. */
+  val sessionFunnelQ = Q(
+    "q_session_funnel",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = ev0.select(col("user_id"), col("event_id"), col("event_type"),
+        us.as("us"))
+      Sessions.sessionFunnel(ev, "user_id", "us", "event_id", "event_type",
+          gapMicros = 1800000000L, Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (SELECT user_id, event_type, us,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM e),
+      f1 AS (SELECT user_id, sid, min(CASE WHEN event_type = 'view' THEN us END) AS t1
+             FROM s GROUP BY user_id, sid),
+      f2 AS (SELECT s.user_id, s.sid, min(us) AS t2
+             FROM s JOIN f1 ON f1.user_id = s.user_id AND f1.sid = s.sid
+             WHERE event_type = 'click' AND us > t1 GROUP BY s.user_id, s.sid),
+      f3 AS (SELECT s.user_id, s.sid, min(us) AS t3
+             FROM s JOIN f2 ON f2.user_id = s.user_id AND f2.sid = s.sid
+             WHERE event_type = 'purchase' AND us > t2 GROUP BY s.user_id, s.sid),
+      u AS (SELECT (SELECT count(t1) FROM f1) AS u0,
+                   (SELECT count(*) FROM f2) AS u1,
+                   (SELECT count(*) FROM f3) AS u2)
+      SELECT * FROM (
+        SELECT 1 AS stage, 'view' AS step, CAST(u0 AS BIGINT) AS sessions,
+          CASE WHEN u0 > 0 THEN round(CAST(u0 AS DOUBLE) / u0, 6) END AS conv_from_first
+        FROM u
+        UNION ALL
+        SELECT 2, 'click', CAST(u1 AS BIGINT),
+          CASE WHEN u0 > 0 THEN round(CAST(u1 AS DOUBLE) / u0, 6) END FROM u
+        UNION ALL
+        SELECT 3, 'purchase', CAST(u2 AS BIGINT),
+          CASE WHEN u0 > 0 THEN round(CAST(u2 AS DOUBLE) / u0, 6) END FROM u)
+      ORDER BY stage"""))
+
   def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion,
-    sessionizeBatch, eventFunnel, retention, dau, anomaly)
+    sessionizeBatch, eventFunnel, retention, dau, anomaly, sessionFunnelQ)
 }

@@ -122,6 +122,25 @@ class RetrievalSpec extends AnyFunSuite {
       (1L, 1L, 1L, 2L, 0.5)))  // only user 4
   }
 
+  test("session funnel: conversion only counts within one session") {
+    val m = 60L * 1000000
+    val ev = Seq(
+      // user 1, session 1: full in-session funnel
+      (1L, 1L, "view", 0 * m), (1L, 2L, "click", 1 * m), (1L, 3L, "purchase", 2 * m),
+      // user 2: view in session 1, click+purchase in session 2 (40m gap)
+      // → session 1 reaches stage 1 only; session 2 never saw a view
+      (2L, 4L, "view", 0 * m), (2L, 5L, "click", 45 * m), (2L, 6L, "purchase", 46 * m),
+      // user 3, one session: click before view → stage 1 only
+      (3L, 7L, "click", 0 * m), (3L, 8L, "view", 1 * m)
+    ).toDF("user_id", "event_id", "event_type", "us")
+    val out = Sessions.sessionFunnel(ev, "user_id", "us", "event_id",
+        "event_type", gapMicros = 30 * m, Seq("view", "click", "purchase"))
+      .orderBy($"stage")
+      .collect().map(r => (r.getAs[Int]("stage"), r.getAs[Long]("sessions")))
+    // sessions with a view: u1s1, u2s1, u3s1 = 3; in-session conversions: u1s1 only
+    assert(out === Array((1, 3L), (2, 1L), (3, 1L)))
+  }
+
   test("daily active users: hand-computed DAU, new, cumulative-new curves") {
     val day = 86400000000L
     val ev = Seq(
