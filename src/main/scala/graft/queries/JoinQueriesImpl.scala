@@ -114,5 +114,35 @@ object JoinQueriesImpl {
         WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  def all: Seq[Q] = Seq(asofJoin, rangeJoin, antiJoin)
+  /** Fuzzy string self-join: part-name pairs within edit distance 2 —
+    * the entity-resolution screen (typo'd product titles) as an EXACT
+    * operator: q-gram prefix-filter candidates, `levenshtein` verify
+    * (recall 1.0; see [[graft.operators.Fuzzy]] scale notes). Runs over
+    * DISTINCT names (exact-collapse: 2000 parts → 64 names at sf0.01),
+    * then attaches per-name part counts. Oracle is the brute-force
+    * all-pairs DuckDB `levenshtein` — tractable exactly because it runs
+    * on the collapsed name set. */
+  val fuzzyJoin = Q(
+    "q_fuzzy_join",
+    (s, dir) => {
+      val names = Tables.part(s, dir).groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_parts"))
+      val pairs = graft.operators.Fuzzy.editDistanceSelfJoin(
+        names.select(col("p_name")), "p_name", "p_name", maxDist = 2)
+      pairs
+        .join(names.select(col("p_name").as("a"), col("n_parts").as("n_parts_a")), "a")
+        .join(names.select(col("p_name").as("b"), col("n_parts").as("n_parts_b")), "b")
+        .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"),
+          col("n_parts_a"), col("n_parts_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some("""WITH n AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+        levenshtein(a.p_name, b.p_name) AS dist,
+        a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+      FROM n a JOIN n b ON a.p_name < b.p_name
+        AND levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY name_a, name_b"""))
+
+  def all: Seq[Q] = Seq(asofJoin, rangeJoin, antiJoin, fuzzyJoin)
 }
