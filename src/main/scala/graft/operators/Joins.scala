@@ -124,4 +124,58 @@ object Joins {
       .groupBy(col(pointId))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Interval-OVERLAP self-join: per equi-key, every pair of rows whose
+    * fixed-length half-open windows `[start, start + lengthDays)` overlap
+    * — the temporal-conflict detector (double bookings, concurrently
+    * open orders, overlapping maintenance windows).
+    *
+    * A bare two-sided inequality (`sa < sb + L && sb < sa + L`) would
+    * plan as a per-key nested loop; here both sides quantize starts into
+    * buckets exactly one interval-length wide, so each interval touches
+    * <= 2 buckets and overlapping pairs MUST meet in one of them:
+    * the later start lies inside the earlier interval, hence inside one
+    * of its buckets. The join is then a plain shuffle hash join on
+    * (key, bucket) — per-bucket fan-out bounded by interval density,
+    * never by table size.
+    *
+    * Each qualifying pair is emitted EXACTLY once without a distinct:
+    * only the bucket containing the later start (`floor(max(sa,sb)/L)`,
+    * touched by both sides per the argument above) emits it — the
+    * ownership trick that replaces `dropDuplicates`' extra shuffle with
+    * a free predicate.
+    *
+    * Output: (`key`, `a`, `b`, `overlap_secs`) with `a < b` in `idCol`
+    * order; `overlap_secs = L - (max(s) - min(s))` is exact integer
+    * arithmetic on epoch seconds (cross-engine reproducible).
+    */
+  def intervalOverlapSelfJoin(rows: DataFrame, keyCol: String, idCol: String,
+      startCol: String, lengthDays: Int): DataFrame = {
+    require(lengthDays >= 1, s"lengthDays must be >= 1, got $lengthDays")
+    val secs = lengthDays * 86400L
+    val t = rows.select(col(keyCol).as("__k"), col(idCol).as("__id"),
+        col(startCol).as("__s"),
+        (unix_timestamp(col(startCol)) / secs).cast("long").as("__bs"),
+        // +secs (not +secs-1) for the same sub-second-truncation reason
+        // as rangeJoinAgg: a phantom extra bucket only adds candidates,
+        // a missed bucket loses pairs.
+        ((unix_timestamp(col(startCol)) + secs) / secs).cast("long").as("__be"))
+      .withColumn("__b", explode(array_distinct(array(col("__bs"), col("__be")))))
+      .drop("__bs", "__be")
+    val x = t.select(col("__k"), col("__id").as("a"),
+      col("__s").as("__sa"), col("__b"))
+    val y = t.select(col("__k").as("__k2"), col("__id").as("b"),
+      col("__s").as("__sb"), col("__b").as("__b2"))
+    val len = expr(s"INTERVAL $lengthDays DAYS")
+    x.join(y,
+        col("__k") === col("__k2") && col("__b") === col("__b2") &&
+          col("a") < col("b") &&
+          col("__sa") < col("__sb") + len &&
+          col("__sb") < col("__sa") + len &&
+          col("__b") === (unix_timestamp(greatest(col("__sa"), col("__sb"))) / secs)
+            .cast("long"))
+      .select(col("__k").as("key"), col("a"), col("b"),
+        (lit(secs) - (unix_timestamp(greatest(col("__sa"), col("__sb"))) -
+          unix_timestamp(least(col("__sa"), col("__sb"))))).as("overlap_secs"))
+  }
 }

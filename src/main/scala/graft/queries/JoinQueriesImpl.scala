@@ -144,5 +144,39 @@ object JoinQueriesImpl {
         AND levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY name_a, name_b"""))
 
-  def all: Seq[Q] = Seq(asofJoin, rangeJoin, antiJoin, fuzzyJoin)
+  /** Interval-overlap self-join: per customer, pairs of orders whose
+    * 7-day open windows overlap (concurrently open orders), rolled up
+    * into a histogram over per-customer overlap counts. Bucketed
+    * equi-join with exactly-once ownership emission — no nested loop, no
+    * distinct (see [[graft.operators.Joins.intervalOverlapSelfJoin]]).
+    * All output arithmetic is integer (epoch seconds), so the oracle's
+    * direct inequality join reproduces it bit-for-bit. */
+  val intervalOverlap = Q(
+    "q_interval_overlap",
+    (s, dir) => {
+      val pairs = Joins.intervalOverlapSelfJoin(
+        Tables.orders(s, dir), "o_custkey", "o_orderkey", "o_orderdate", 7)
+      pairs.groupBy(col("key"))
+        .agg(count(lit(1)).as("n_overlaps"), sum(col("overlap_secs")).as("s_ov"))
+        .groupBy(col("n_overlaps"))
+        .agg(count(lit(1)).as("n_customers"), min(col("key")).as("min_custkey"),
+          sum(col("s_ov")).as("total_overlap_secs"))
+        .orderBy(col("n_overlaps"))
+    },
+    Some("""WITH p AS (
+        SELECT o1.o_custkey AS ck,
+          604800 - date_diff('second',
+            least(o1.o_orderdate, o2.o_orderdate),
+            greatest(o1.o_orderdate, o2.o_orderdate)) AS ov
+        FROM orders o1 JOIN orders o2
+          ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+         AND o1.o_orderdate < o2.o_orderdate + INTERVAL 7 DAY
+         AND o2.o_orderdate < o1.o_orderdate + INTERVAL 7 DAY),
+      c AS (SELECT ck, count(*) AS n_overlaps, CAST(sum(ov) AS BIGINT) AS s_ov
+        FROM p GROUP BY ck)
+      SELECT n_overlaps, count(*) AS n_customers, min(ck) AS min_custkey,
+        CAST(sum(s_ov) AS BIGINT) AS total_overlap_secs
+      FROM c GROUP BY n_overlaps ORDER BY n_overlaps"""))
+
+  def all: Seq[Q] = Seq(asofJoin, rangeJoin, antiJoin, fuzzyJoin, intervalOverlap)
 }

@@ -119,4 +119,56 @@ class JoinsSpec extends AnyFunSuite {
       case c: CartesianProductExec => c
     }.isEmpty, plan.toString)
   }
+
+  // ---- intervalOverlapSelfJoin -------------------------------------------
+
+  // 7-day windows. Fixture plants: an overlapping pair straddling a bucket
+  // boundary, an exact-touch pair (end == start, half-open -> NO overlap),
+  // identical starts, a cross-key near-miss, and a bucket-aligned start.
+  private lazy val windows = Seq(
+    (1L, 10L, ts("2020-01-01 00:00:00")),
+    (1L, 11L, ts("2020-01-05 00:00:00")), // overlaps 10 by 3 days
+    (1L, 12L, ts("2020-01-08 00:00:00")), // touches 10's end exactly: no; overlaps 11
+    (1L, 13L, ts("2020-03-01 00:00:00")), // isolated
+    (2L, 20L, ts("2020-01-05 00:00:00")), // same time as 11, other key
+    (3L, 30L, ts("2020-02-01 00:00:00")),
+    (3L, 31L, ts("2020-02-01 00:00:00")), // identical starts: full overlap
+    (3L, 32L, ts("2020-02-07 23:59:59"))  // 1s before 30/31 end: 1s overlap
+  ).toDF("k", "id", "s")
+
+  private def bruteOverlaps(lenDays: Int): Set[(Long, Long, Long, Long)] = {
+    val rows = windows.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val L = lenDays * 86400L
+    (for {
+      (ka, a, sa) <- rows; (kb, b, sb) <- rows
+      if ka == kb && a < b
+      da = sa.getTime / 1000; db = sb.getTime / 1000
+      if da < db + L && db < da + L
+    } yield (ka, a, b, L - math.abs(da - db))).toSet
+  }
+
+  test("intervalOverlapSelfJoin equals brute force incl. boundary cases") {
+    val got = Joins.intervalOverlapSelfJoin(windows, "k", "id", "s", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == bruteOverlaps(7), s"got $got\nexp ${bruteOverlaps(7)}")
+    // half-open: the exact-touch pair (10, 12) must be absent
+    assert(!got.exists(t => t._2 == 10L && t._3 == 12L))
+    // identical starts overlap fully
+    assert(got.contains((3L, 30L, 31L, 7L * 86400)))
+  }
+
+  test("intervalOverlapSelfJoin emits each pair exactly once (no dropDuplicates)") {
+    val out = Joins.intervalOverlapSelfJoin(windows, "k", "id", "s", 7)
+      .groupBy($"a", $"b").count().where($"count" > 1)
+    assert(out.isEmpty)
+  }
+
+  test("intervalOverlapSelfJoin plans no nested-loop or cartesian join") {
+    val plan = Joins.intervalOverlapSelfJoin(windows, "k", "id", "s", 7)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case b: BroadcastNestedLoopJoinExec => b
+      case c: CartesianProductExec => c
+    }.isEmpty, plan.toString)
+  }
 }
