@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.AnalyticsQueriesImpl.all ++
     graft.queries.SourceQueriesImpl.all ++
     graft.queries.LayoutQueriesImpl.all ++
-    graft.queries.RetrievalQueriesImpl.all
+    graft.queries.RetrievalQueriesImpl.all ++
+    graft.queries.GraphQueriesImpl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

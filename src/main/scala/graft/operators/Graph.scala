@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph-motif counting: triangle listing / per-vertex
+  * triangle counts over an undirected edge list — the graph-shaped
+  * diagnostic (community density, link-farm detection, co-purchase
+  * triads) that complements [[Components]]' connectivity.
+  *
+  * The naive 3-way self-join explodes on high-degree vertices: a hub of
+  * degree d contributes C(d,2) wedges no matter how few triangles close.
+  * The classical fix (Chiba–Nishizeki / Suri–Vassilvitskii) is DEGREE
+  * ORIENTATION: point every undirected edge from its lower-(degree, id)
+  * endpoint to the higher one. The result is acyclic, every triangle
+  * survives as EXACTLY one directed path u→v, v→w plus closing edge
+  * u→w, and the out-degree of any vertex is O(sqrt(m)) — so the wedge
+  * join's fan-out is bounded by graph arboricity, not by hub degree.
+  * On a 1000-executor cluster the three joins are plain shuffle hash
+  * joins on vertex keys; nothing is ever nested-loop.
+  */
+object Graph {
+
+  /** Per-vertex triangle counts from an edge list with columns `(a, b)`.
+    * Input edges may be duplicated, reversed, or self-looped — they are
+    * canonicalized first (undirected simple graph). Output:
+    * `(node, n_triangles)`, one row per vertex in >= 1 triangle.
+    */
+  def triangleCorners(edges: DataFrame): DataFrame = {
+    val und = edges
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher — acyclic by
+    // totality of the order, out-degree bounded by O(sqrt m)
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+      .persist()
+    val wedges = oriented.select(col("src").as("x"), col("dst").as("y"))
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")), "y")
+    val triangles = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"))
+    triangles.select(col("x").as("node"))
+      .unionByName(triangles.select(col("y").as("node")))
+      .unionByName(triangles.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+}
