@@ -267,6 +267,70 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** Asymmetric CONTAINMENT self-join: every directed pair (a, b) with
+    * `|grams(a) ∩ grams(b)| / |grams(a)| >= threshold` — the doc-in-doc
+    * detector. Jaccard misses subset duplication by construction (a
+    * paragraph quoted inside a 10× longer article has tiny Jaccard but
+    * containment ~1.0); this is the screen that catches quotation,
+    * boilerplate wrapping, and partial scrapes.
+    *
+    * Same scale skeleton as [[prefixFilteredJaccardJoin]] — exact
+    * collapse, prefix-filtered candidates, kernel verification, expansion
+    * — with the asymmetric twist: only the CONTAINED side can be
+    * prefix-pruned (overlap >= ceil(t*|A|) bounds a prefix of
+    * `|A| - ceil(t*|A|) + 1` rare-first grams), while the container side
+    * must post ALL its grams (nothing bounds B's size from A's
+    * threshold). Candidate volume is still self-limiting: it is
+    * Σ_{g ∈ prefix(A)} df(g), and prefixes hit low-df grams first.
+    * Recall is 1.0 by the pigeonhole argument; exact verification makes
+    * precision exact. */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val d = docs.select(col(idCol).as("doc"),
+      sortedGramHashes(col(textCol), n).as("grams"))
+      .where(size(col("grams")) > 0)
+    val sets = d.groupBy(col("grams"))
+      .agg(min(col("doc")).as("rep"),
+        sort_array(collect_list(col("doc"))).as("docs"))
+      .persist()
+    val r = sets.select(col("rep").as("doc"), col("grams"))
+    val posting = r.select(col("doc"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val dfTab = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
+    val prefix = posting.join(dfTab, "gram")
+      .groupBy(col("doc"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("gram"))).as("pg"))
+      .select(col("doc"),
+        explode(slice(array_sort(col("pg")), lit(1), prefixLen)).as("p"))
+      .select(col("doc"), col("p.gram").as("gram"))
+    val cands = prefix.alias("x")
+      .join(posting.select(col("doc"), col("gram")).alias("y"),
+        col("x.gram") === col("y.gram") && col("x.doc") =!= col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .dropDuplicates("a", "b")
+    val repPairs = cands
+      .join(r.select(col("doc").as("a"), col("grams").as("ga")), "a")
+      .join(r.select(col("doc").as("b"), col("grams").as("gb")), "b")
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(col("ga")), 4).as("containment"))
+      .where(col("containment") >= threshold)
+    // identical gram-sets contain each other fully, in both directions
+    val within = sets.where(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), lit(1.0).as("containment"))
+    val cross = repPairs
+      .join(sets.select(col("rep").as("a"), col("docs").as("da")), "a")
+      .join(sets.select(col("rep").as("b"), col("docs").as("db")), "b")
+      .select(explode(col("da")).as("x"), col("db"), col("containment"))
+      .select(col("x").as("a"), explode(col("db")).as("b"), col("containment"))
+    within.unionByName(cross)
+  }
+
   /** Incremental dedup: screen a NEW batch against an existing corpus —
     * the shape every production ingest runs (the corpus is already clean;
     * only arrivals need checking). For each batch doc: the smallest

@@ -266,7 +266,51 @@ object CurationQueriesImpl {
         round(CAST(oov AS DOUBLE) / n_tokens, 6) AS oov_rate
       FROM p ORDER BY doc_id"""))
 
+  /** Group-mean imputation — the numeric-feature cleaning step: fill a
+    * customer's missing urgent-order spend (NULL from the left join, a
+    * REAL missingness mechanism, not planted) with their market segment's
+    * mean. Arithmetic discipline for cross-engine parity: per-customer
+    * spend sums in exact DECIMAL, the segment mean is ONE
+    * decimal-cast-to-double division, and the filled average recombines
+    * scalar doubles per segment — token-identical in both engines, no
+    * order-dependent double summation anywhere. */
+  val imputeMissing = Q(
+    "q_impute_segment_mean",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      Tables.customer(s, dir)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(when(col("spend").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(col("spend")).as("ps"),
+          count(col("spend")).as("pn"))
+        .select(col("c_mktsegment"), col("n_customers"), col("n_missing"),
+          round(col("ps").cast("double") / col("pn"), 4).as("seg_mean"),
+          round((col("ps").cast("double") +
+            col("n_missing") * (col("ps").cast("double") / col("pn"))) /
+            col("n_customers"), 4).as("filled_avg"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH spend AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+      j AS (SELECT c.c_mktsegment, s.spend
+        FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey)
+      SELECT c_mktsegment, count(*) AS n_customers,
+        CAST(sum(CASE WHEN spend IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        round(CAST(sum(spend) AS DOUBLE) / count(spend), 4) AS seg_mean,
+        round((CAST(sum(spend) AS DOUBLE) +
+          sum(CASE WHEN spend IS NULL THEN 1 ELSE 0 END) *
+            (CAST(sum(spend) AS DOUBLE) / count(spend))) / count(*), 4)
+          AS filled_avg
+      FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
     tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ,
-    softDedup, vocabOov)
+    softDedup, vocabOov, imputeMissing)
 }

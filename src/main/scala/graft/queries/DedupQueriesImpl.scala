@@ -115,6 +115,29 @@ object DedupQueriesImpl {
           len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.8
       ORDER BY a, b"""))
 
+  /** Asymmetric containment screen ([[Dedup.containmentJoin]]): directed
+    * doc-in-doc pairs at trigram containment >= 0.8 — catches quotation /
+    * boilerplate wrapping that symmetric Jaccard misses (a paragraph
+    * inside a 10x longer article). Oracle brute-forces all directed
+    * pairs with the same rational containment. */
+  val containment = Q(
+    "q_dedup_containment",
+    (s, dir) =>
+      Dedup.containmentJoin(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+        .orderBy(col("a"), col("b")),
+    Some("""WITH d AS (
+        SELECT doc_id, list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+          for i in range(1, greatest(len(toks) - 1, 2))]) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents))
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        round(len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams), 4)
+          AS containment
+      FROM d a JOIN d b ON a.doc_id <> b.doc_id
+      WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+          len(a.grams), 4) >= 0.8
+      ORDER BY a, b"""))
+
   /** Incremental ingest screen ([[Dedup.incrementalDedup]]): docs with
     * id % 10 = 0 arrive as the new batch, the rest are the clean corpus.
     * The near tier is live at this split (6 cross near-dup pairs at
@@ -437,6 +460,6 @@ object DedupQueriesImpl {
       FROM cov ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
-    ngramJaccard, prefixJoin, incremental, embedding, embeddingLsh, curation,
+    ngramJaccard, prefixJoin, containment, incremental, embedding, embeddingLsh, curation,
     clusters, canonical, dupGramCoverage)
 }

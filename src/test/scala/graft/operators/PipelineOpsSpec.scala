@@ -65,6 +65,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment join == brute force on real documents (directed, completeness)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.6, 0.8)) {
+      val got = Dedup.containmentJoin(real, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val d = real.select(col("doc_id"),
+        Dedup.sortedGramHashes(col("text"), 3).as("g"))
+      val brute = d.alias("a").join(d.alias("b"), col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          round(size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+            size(col("a.g")), 4).as("c"))
+        .where(col("c") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got === brute, s"t=$t: containment join must equal brute force")
+      assert(brute.nonEmpty, s"t=$t fixture has no qualifying pairs — test is vacuous")
+    }
+  }
+
+  test("containment is directional: a quoted doc is contained, not containing") {
+    val c = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog while the sun " +
+        "sets over distant hills beyond the river"),
+      (2L, "completely different words about glass and steel and rain")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(c, "doc_id", "text", 3, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((0L, 1L)), s"got $got")
+    assert(got((0L, 1L)) == 1.0)
+  }
+
+  test("identical docs contain each other in both directions at 1.0") {
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.95)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.contains((0L, 1L)) && got.contains((1L, 0L)))
+    assert(got((0L, 1L)) == 1.0 && got((1L, 0L)) == 1.0)
+  }
+
   test("bigram LM corpus score: hand-computed transition sums") {
     // corpus: d0 "a b a b" → grams (a b, b a, a b); d1 "a b c" → (a b, b c);
     // d2 "x" → degenerate single-token gram (x).
