@@ -55,4 +55,52 @@ object Graph {
       .unionByName(triangles.select(col("z").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-point PageRank over an undirected edge list `(a, b)`: the
+    * importance/centrality score a curation pipeline uses to weight
+    * documents by link authority or parts by co-purchase centrality.
+    *
+    * Ranks are held as BIGINT millionths (`scale` = 1e6) and every step
+    * is INTEGER arithmetic — `contrib = rank div deg`, `rank' =
+    * (100-d)%·scale + (d% · Σ contribs) div 100` — so the computation is
+    * bit-reproducible across engines, runs, and partitionings. A
+    * floating-point PageRank would make the per-vertex Σ depend on the
+    * order partial sums arrive in (non-associative double addition);
+    * exact integers make the shuffle order irrelevant. The cost is a
+    * truncation leak of < deg ulps per vertex per iteration — noise at
+    * scale 1e6, and identically reproduced by any engine computing the
+    * same recurrence.
+    *
+    * Plan shape per iteration: one hash join (ranks ⋈ adjacency on src —
+    * the rank side is |V| rows vs |E| adjacency rows, so AQE broadcasts
+    * it when small) and one shuffle aggregation on dst. The adjacency
+    * (+out-degree) table is computed once and persisted; iterations
+    * reuse it — the classic bulk-synchronous PageRank dataflow. On an
+    * undirected graph every vertex has an in-edge, so no dangling-mass
+    * term is needed.
+    */
+  def pagerankFixedPoint(edges: DataFrame, iters: Int,
+      dampingPct: Int = 85, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100, s"bad damping $dampingPct")
+    val und = edges
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adjDeg = adj.join(deg, "src").persist()
+    val base = (scale * (100 - dampingPct)) / 100
+    var ranks = deg.select(col("src").as("node"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = adjDeg.join(ranks, adjDeg("src") === ranks("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr(s"($dampingPct * s) div 100")).as("pr"))
+    }
+    ranks
+  }
 }

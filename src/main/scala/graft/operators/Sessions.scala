@@ -176,4 +176,30 @@ object Sessions {
         Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * `(prev_type, next_type, n, share)` where `share` is n normalized by
+    * prev_type's outgoing total — the behavioral-model base table (next-
+    * event prediction, bot detection via improbable transitions).
+    *
+    * Plan shape: ONE shuffle on the user key for the lag window (ties on
+    * the timestamp broken by `seqCol` so the pairing is deterministic),
+    * then a partial-aggregable groupBy on the pair — the per-prev totals
+    * come from a second tiny window over the ALREADY-REDUCED matrix
+    * (|event types|² rows), not over raw events. Counts are integral;
+    * the one double division happens on the final row. */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      tsMicrosCol: String, seqCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsMicrosCol), col(seqCol))
+    val pairs = events
+      .select(col(userCol), col(tsMicrosCol), col(seqCol),
+        col(typeCol).as("next_type"),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+    val matrix = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    matrix.withColumn("share",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+  }
 }

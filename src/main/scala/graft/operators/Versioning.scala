@@ -40,4 +40,40 @@ object Versioning {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__prev", "__prevV", versionCol)
   }
+
+  /** Snapshot diff (CDC between dataset releases): full-outer join two
+    * snapshots on the key and classify every key as `inserted` (new side
+    * only), `deleted` (old side only), `updated` (both sides, any compare
+    * column differs — NULL-safely, so NULL→value and value→NULL count as
+    * changes) or `unchanged`. Output: the key, the status, and both
+    * sides' compare columns as `old_<c>` / `new_<c>`.
+    *
+    * This is the release-audit primitive: "what changed between v12 and
+    * v13" as a dataset, feeding either a human diff report or a
+    * downstream incremental job that processes only `status != unchanged`
+    * keys. Plan shape: ONE shuffle on the key for the full-outer
+    * SortMergeJoin; the classification is a projection. Keys must be
+    * unique per snapshot (it is a keyed diff, not a multiset diff).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldSnap.select(col(keyCol).as("key") +:
+      compareCols.map(c => col(c).as(s"old_$c")): _*)
+    val n = newSnap.select(col(keyCol).as("key") +:
+      compareCols.map(c => col(c).as(s"new_$c")): _*)
+    // presence flags survive the outer join even when every payload
+    // column of a side is NULL (a NULL-valued row is still present)
+    val j = o.withColumn("__in_old", lit(true))
+      .join(n.withColumn("__in_new", lit(true)), Seq("key"), "full_outer")
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    j.withColumn("status",
+        when(col("__in_old").isNull, "inserted")
+          .when(col("__in_new").isNull, "deleted")
+          .when(differs, "updated")
+          .otherwise("unchanged"))
+      .drop("__in_old", "__in_new")
+  }
 }

@@ -385,6 +385,54 @@ object AnalyticsQueriesImpl {
         round(max(l_extendedprice), 2) AS hi
       FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** Calendar-spine gap-fill: generate the FULL day dimension between
+    * the first and last order date (`sequence` + explode — the generated
+    * dimension pattern; no date may be missing even if no order landed
+    * on it), left-join daily revenue onto it, zero-fill the holes, and
+    * run a 7-day rolling sum over the filled spine. Rows-based window ==
+    * days-based BECAUSE the spine is gap-free — the point of the fill.
+    *
+    * Scale shape: the heavy side (orders) reduces via one partial-
+    * aggregable groupBy on day before touching the spine; the spine
+    * itself is |days| rows (thousands after years), so its global-order
+    * window is a deliberate single-partition pass over an already-tiny
+    * frame. Revenue sums are exact DECIMAL end to end; doubles appear
+    * only in the final rounded output columns. */
+  val dateSpine = Q(
+    "q_date_spine",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val daily = o.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev"))
+      val spine = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val filled = spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0).cast("decimal(28,2)")).as("rev_d"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      filled.select(col("day"), col("n_orders"),
+          round(col("rev_d").cast("double"), 2).as("rev"),
+          round(sum(col("rev_d")).over(w).cast("double"), 2).as("rev_7d"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      d AS (SELECT day, count(*) AS n, sum(p) AS rev FROM o GROUP BY day),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+      s AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+              AS day FROM b),
+      f AS (SELECT s.day, coalesce(n, 0) AS n_orders,
+              coalesce(rev, 0) AS rev_d
+            FROM s LEFT JOIN d ON s.day = d.day)
+      SELECT day, CAST(n_orders AS BIGINT) AS n_orders,
+        round(CAST(rev_d AS DOUBLE), 2) AS rev,
+        round(CAST(sum(rev_d) OVER (ORDER BY day
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rev_7d
+      FROM f ORDER BY day"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
-    windowRolling, cube, groupQuantiles, tableStats, featureBinning)
+    windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine)
 }

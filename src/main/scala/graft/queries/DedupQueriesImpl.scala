@@ -138,6 +138,57 @@ object DedupQueriesImpl {
           len(a.grams), 4) >= 0.8
       ORDER BY a, b"""))
 
+  /** Corpus-level n-gram overlap between two corpus halves (doc_id
+    * parity split): |A|, |B|, |A∩B| over DISTINCT trigrams and the
+    * derived Jaccard / per-side containments — the contamination
+    * estimate run before mixing two crawls (or a train corpus against a
+    * benchmark). Set sizes, not documents, are what shuffle: each side
+    * reduces to its distinct gram set first (partial-aggregable), the
+    * membership flags union and reduce by gram, and the output is ONE
+    * row. The oracle replays it over string grams (the gram hash is
+    * injective at corpus scale, so distinct counts agree). */
+  val corpusOverlap = Q(
+    "q_corpus_overlap",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        explode(Dedup.sortedGramHashes(col("text"), 3)).as("g"))
+      val a = d.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("g")).distinct()
+        .select(col("g"), lit(1L).as("ia"), lit(0L).as("ib"))
+      val b = d.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("g")).distinct()
+        .select(col("g"), lit(0L).as("ia"), lit(1L).as("ib"))
+      a.unionByName(b)
+        .groupBy(col("g"))
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+        .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+          sum(col("ia") * col("ib")).as("n_both"))
+        .select(col("n_a"), col("n_b"), col("n_both"),
+          round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"),
+          round(col("n_both").cast("double") / col("n_a"), 6).as("cont_a"),
+          round(col("n_both").cast("double") / col("n_b"), 6).as("cont_b"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, unnest(list_distinct(
+          [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+           for i in range(1, greatest(len(toks) - 1, 2))])) AS g
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)),
+      a AS (SELECT DISTINCT g FROM d WHERE doc_id % 2 = 0),
+      b AS (SELECT DISTINCT g FROM d WHERE doc_id % 2 = 1),
+      u AS (SELECT g, 1 AS ia, 0 AS ib FROM a
+            UNION ALL SELECT g, 0, 1 FROM b),
+      m AS (SELECT g, max(ia) AS ia, max(ib) AS ib FROM u GROUP BY g),
+      t AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+              CAST(sum(ib) AS BIGINT) AS n_b,
+              CAST(sum(ia * ib) AS BIGINT) AS n_both FROM m)
+      SELECT n_a, n_b, n_both,
+        round(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both), 6) AS jaccard,
+        round(CAST(n_both AS DOUBLE) / n_a, 6) AS cont_a,
+        round(CAST(n_both AS DOUBLE) / n_b, 6) AS cont_b
+      FROM t"""))
+
   /** Incremental ingest screen ([[Dedup.incrementalDedup]]): docs with
     * id % 10 = 0 arrive as the new batch, the rest are the clean corpus.
     * The near tier is live at this split (6 cross near-dup pairs at
@@ -460,6 +511,6 @@ object DedupQueriesImpl {
       FROM cov ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
-    ngramJaccard, prefixJoin, containment, incremental, embedding, embeddingLsh, curation,
-    clusters, canonical, dupGramCoverage)
+    ngramJaccard, prefixJoin, containment, corpusOverlap, incremental,
+    embedding, embeddingLsh, curation, clusters, canonical, dupGramCoverage)
 }

@@ -41,5 +41,47 @@ object GraphQueriesImpl {
       SELECT part, count(*) AS n_triangles FROM n
       GROUP BY part ORDER BY n_triangles DESC, part LIMIT 20"""))
 
-  def all: Seq[Q] = Seq(graphTriangles)
+  /** Fixed-point PageRank ([[graft.operators.Graph.pagerankFixedPoint]])
+    * over the same co-purchase graph, 3 iterations at 85% damping: the
+    * centrality weighting a curation pipeline derives from link
+    * structure. All-integer ranks (BIGINT millionths) make the iterative
+    * computation exactly replayable — the oracle unrolls the recurrence
+    * as three CTE levels of identical integer arithmetic (DuckDB `//` ==
+    * Spark `div` on non-negative values; HUGEINT sums cast back to
+    * BIGINT). Top 20 parts by (rank, key). */
+  val graphPagerank = Q(
+    "q_graph_pagerank",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.alias("x")
+        .join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      Graph.pagerankFixedPoint(edges, iters = 3)
+        .select(col("node").as("part"), col("pr"))
+        .orderBy(col("pr").desc, col("part"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      r1 AS (SELECT a.dst AS node,
+             CAST(150000 + (85 * sum(r.pr // d.deg)) // 100 AS BIGINT) AS pr
+             FROM adj a JOIN r0 r ON r.node = a.src JOIN deg d ON d.src = a.src
+             GROUP BY a.dst),
+      r2 AS (SELECT a.dst AS node,
+             CAST(150000 + (85 * sum(r.pr // d.deg)) // 100 AS BIGINT) AS pr
+             FROM adj a JOIN r1 r ON r.node = a.src JOIN deg d ON d.src = a.src
+             GROUP BY a.dst),
+      r3 AS (SELECT a.dst AS node,
+             CAST(150000 + (85 * sum(r.pr // d.deg)) // 100 AS BIGINT) AS pr
+             FROM adj a JOIN r2 r ON r.node = a.src JOIN deg d ON d.src = a.src
+             GROUP BY a.dst)
+      SELECT node AS part, pr FROM r3 ORDER BY pr DESC, part LIMIT 20"""))
+
+  def all: Seq[Q] = Seq(graphTriangles, graphPagerank)
 }

@@ -349,6 +349,38 @@ object RetrievalQueriesImpl {
           CASE WHEN u0 > 0 THEN round(CAST(u2 AS DOUBLE) / u0, 6) END FROM u)
       ORDER BY stage"""))
 
+  /** First-order Markov transition matrix ([[Sessions.transitionMatrix]])
+    * over per-user event sequences: which event type follows which — the
+    * next-event-prediction base table. The lag pairing is deterministic
+    * (ties on ts broken by event_id in BOTH engines); counts integral,
+    * one rounded double division per output row. */
+  val eventTransitions = Q(
+    "q_event_transitions",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = ev0.select(col("user_id"), col("event_id"), col("event_type"),
+        us.as("us"))
+      Sessions.transitionMatrix(ev, "user_id", "us", "event_id", "event_type")
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      p AS (SELECT event_type AS next_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            AS prev_type
+        FROM e),
+      m AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+      SELECT prev_type, next_type, n,
+        round(CAST(n AS DOUBLE) /
+          sum(n) OVER (PARTITION BY prev_type), 6) AS share
+      FROM m ORDER BY prev_type, next_type"""))
+
   def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion,
-    sessionizeBatch, eventFunnel, retention, dau, anomaly, sessionFunnelQ)
+    sessionizeBatch, eventFunnel, retention, dau, anomaly, sessionFunnelQ,
+    eventTransitions)
 }

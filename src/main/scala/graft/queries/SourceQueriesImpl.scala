@@ -270,6 +270,66 @@ object SourceQueriesImpl {
       FROM h GROUP BY 1, 2, 3, 4
       ORDER BY prio, valid_from, valid_to NULLS FIRST"""))
 
+  /** Snapshot diff ([[graft.operators.Versioning.snapshotDiff]]) between
+    * two derived releases of orders: keys `% 97 = 0` deleted, `% 13 = 0`
+    * price-bumped (+5.00 DECIMAL — exact addition, no rounding anywhere),
+    * `% 17 = 0` re-prioritized, `% 89 = 0` re-keyed negative as inserts.
+    * The release-audit primitive: per-status counts, key bounds, and
+    * both sides' exact DECIMAL price totals (doubles only in the final
+    * rounded columns; `deleted`'s new-side sum is NULL on both engines).
+    * One full-outer SortMergeJoin on the key — the 100 TB diff costs one
+    * shuffle of each snapshot. */
+  val snapshotDiff = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderpriority").as("prio"))
+      val vNew = base.where(pmod(col("key"), lit(97)) =!= 0)
+        .select(col("key"),
+          when(pmod(col("key"), lit(13)) === 0,
+            col("price") + lit(5).cast("decimal(18,2)"))
+            .otherwise(col("price")).as("price"),
+          when(pmod(col("key"), lit(17)) === 0, lit("5-LOW"))
+            .otherwise(col("prio")).as("prio"))
+        .unionByName(base.where(pmod(col("key"), lit(89)) === 0)
+          .select((-col("key")).as("key"), col("price"), col("prio")))
+      graft.operators.Versioning.snapshotDiff(base, vNew, "key",
+          Seq("price", "prio"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          min(col("key")).as("min_key"), max(col("key")).as("max_key"),
+          round(sum(col("old_price")).cast("double"), 2).as("sum_old"),
+          round(sum(col("new_price")).cast("double"), 2).as("sum_new"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS key,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          o_orderpriority AS prio FROM orders),
+      nw AS (SELECT key,
+            CASE WHEN key % 13 = 0 THEN price + 5 ELSE price END AS price,
+            CASE WHEN key % 17 = 0 THEN '5-LOW' ELSE prio END AS prio
+          FROM o WHERE key % 97 <> 0
+          UNION ALL
+          SELECT -key, price, prio FROM o WHERE key % 89 = 0),
+      j AS (SELECT coalesce(o.key, nw.key) AS key,
+            o.price AS old_price, nw.price AS new_price,
+            o.prio AS old_prio, nw.prio AS new_prio,
+            o.key IS NOT NULL AS in_old, nw.key IS NOT NULL AS in_new
+          FROM o FULL OUTER JOIN nw ON o.key = nw.key),
+      c AS (SELECT key, old_price, new_price,
+            CASE WHEN NOT in_old THEN 'inserted'
+                 WHEN NOT in_new THEN 'deleted'
+                 WHEN old_price IS DISTINCT FROM new_price
+                   OR old_prio IS DISTINCT FROM new_prio THEN 'updated'
+                 ELSE 'unchanged' END AS status
+          FROM j)
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+        min(key) AS min_key, max(key) AS max_key,
+        round(CAST(sum(old_price) AS DOUBLE), 2) AS sum_old,
+        round(CAST(sum(new_price) AS DOUBLE), 2) AS sum_new
+      FROM c GROUP BY status ORDER BY status"""))
+
   /** Data-quality constraint checks ([[graft.operators.Constraints]]):
     * the Deequ-style validation pass before a dataset drop is trusted.
     * All conditional-count checks over orders compile into ONE scan; the
@@ -384,5 +444,5 @@ object SourceQueriesImpl {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     partitionedPrune, upsertMerge, customSource, libsvmRoundtrip, schemaMerge,
-    scd2History, qualityConstraints, driftDetect, sinkCustomWrite)
+    scd2History, snapshotDiff, qualityConstraints, driftDetect, sinkCustomWrite)
 }

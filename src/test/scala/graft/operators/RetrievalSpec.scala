@@ -156,4 +156,30 @@ class RetrievalSpec extends AnyFunSuite {
       (1L, 2L, 1L, 3L),
       (3L, 1L, 0L, 3L)))
   }
+
+  test("transition matrix: hand-computed pair counts and shares, ties by seq") {
+    val ev = Seq(
+      // user 1: view -> click -> view  (pairs: v->c, c->v)
+      (1L, 1L, "view", 0L), (1L, 2L, "click", 10L), (1L, 3L, "view", 20L),
+      // user 2: view -> view (tie on ts: event_id orders 4 before 5)
+      (2L, 4L, "view", 0L), (2L, 5L, "view", 0L),
+      // user 3: single event — no pair
+      (3L, 6L, "purchase", 0L)
+    ).toDF("user_id", "event_id", "event_type", "us")
+    val out = Sessions.transitionMatrix(ev, "user_id", "us", "event_id", "event_type")
+      .orderBy($"prev_type", $"next_type")
+      .collect().map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("share")))
+    assert(out === Array(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "view", 1L, 0.5)))
+  }
+
+  test("transition matrix: pairs never cross users") {
+    val ev = Seq((1L, 1L, "a", 0L), (2L, 2L, "b", 1L))
+      .toDF("user_id", "event_id", "event_type", "us")
+    assert(Sessions.transitionMatrix(ev, "user_id", "us", "event_id", "event_type")
+      .count() === 0L)
+  }
 }

@@ -53,4 +53,38 @@ class VersioningSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected 1 shuffle, got:\n$plan")
     assert("Window \\[".r.findAllIn(plan).length === 2, s"expected 2 windows:\n$plan")
   }
+
+  private def diff(old: Seq[(Long, String)], neu: Seq[(Long, String)]): Map[Long, String] =
+    Versioning.snapshotDiff(old.toDF("k", "v"), neu.toDF("k", "v"), "k", Seq("v"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("status")).toMap
+
+  test("snapshotDiff classifies inserted/deleted/updated/unchanged") {
+    val got = diff(
+      old = Seq(1L -> "a", 2L -> "b", 3L -> "c"),
+      neu = Seq(2L -> "b", 3L -> "x", 4L -> "d"))
+    assert(got === Map(1L -> "deleted", 2L -> "unchanged",
+      3L -> "updated", 4L -> "inserted"))
+  }
+
+  test("snapshotDiff compares NULL-safely: null->value and value->null are updates") {
+    val got = diff(
+      old = Seq[(Long, String)](1L -> null, 2L -> "b", 3L -> null),
+      neu = Seq[(Long, String)](1L -> "a", 2L -> null, 3L -> null))
+    assert(got === Map(1L -> "updated", 2L -> "updated", 3L -> "unchanged"))
+  }
+
+  test("snapshotDiff on multiple compare columns: any difference is an update") {
+    val old = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "w")
+    val neu = Seq((1L, "a", 11), (2L, "b", 20)).toDF("k", "v", "w")
+    val got = Versioning.snapshotDiff(old, neu, "k", Seq("v", "w"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "updated", 2L -> "unchanged"))
+  }
+
+  test("snapshotDiff carries both sides' payloads for the diff report") {
+    val r = Versioning.snapshotDiff(
+        Seq(1L -> "a").toDF("k", "v"), Seq(1L -> "z").toDF("k", "v"), "k", Seq("v"))
+      .collect().head
+    assert(r.getAs[String]("old_v") === "a" && r.getAs[String]("new_v") === "z")
+  }
 }
