@@ -90,7 +90,10 @@ object Graph {
       .distinct()
     val adj = und.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
-    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // deg is persisted too: the rank SEED reads it, and without the cache
+    // the whole edge-build pipeline (self-join + distinct) would appear a
+    // second time in the iteration lineage and execute again
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val adjDeg = adj.join(deg, "src").persist()
     val base = (scale * (100 - dampingPct)) / 100
     var ranks = deg.select(col("src").as("node"), lit(scale).as("pr"))
