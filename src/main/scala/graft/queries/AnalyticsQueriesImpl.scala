@@ -433,6 +433,72 @@ object AnalyticsQueriesImpl {
           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rev_7d
       FROM f ORDER BY day"""))
 
+  /** Incremental view maintenance for algebraic aggregates: the
+    * materialized per-priority order profile is maintained by MERGING a
+    * delta batch's partial aggregate into the base partial aggregate —
+    * count adds, DECIMAL sum adds, min/max combine — instead of
+    * rescanning history. The oracle computes the FULL aggregate from
+    * scratch; hash-equality IS the IVM correctness statement
+    * (merge(partial(base), partial(delta)) == full recompute), which
+    * holds exactly because every aggregate here is algebraic and the sum
+    * is DECIMAL (associative — a double sum would make the merged result
+    * depend on the batch split). At 100 TB this is the difference
+    * between touching one day's partition and rescanning seven years. */
+  val ivmAgg = Q(
+    "q_ivm_agg",
+    (s, dir) => {
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      val ord = Tables.orders(s, dir)
+      val base = partial(ord.where(year(col("o_orderdate")) < 1997))
+      val delta = partial(ord.where(year(col("o_orderdate")) >= 1997))
+      base.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"),
+          round(sum(col("total")).cast("double"), 2).as("total"),
+          min(col("min_key")).as("min_key"),
+          max(col("max_key")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+          AS total,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Ordered list aggregation: the 5 alphabetically-first customer names
+    * per market segment as one comma-joined string. The determinism
+    * discipline is the point — `collect_list` is partition-order-
+    * dependent, so the row set is cut FIRST by a rank window (unique
+    * (name, key) order) and the collected list is `sort_array`ed before
+    * joining; without both, the output would differ run to run. */
+  val listAgg = Q(
+    "q_list_agg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_name"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(sort_array(collect_list(col("c_name"))), ",")
+          .as("top_names"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH r AS (SELECT c_mktsegment, c_name,
+          row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_name, c_custkey) AS rn
+        FROM customer)
+      SELECT c_mktsegment,
+        string_agg(c_name, ',' ORDER BY c_name) AS top_names
+      FROM r WHERE rn <= 5
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
-    windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine)
+    windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine,
+    ivmAgg, listAgg)
 }

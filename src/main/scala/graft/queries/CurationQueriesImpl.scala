@@ -310,7 +310,71 @@ object CurationQueriesImpl {
           AS filled_avg
       FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Length-bucket planning for training batches: bucket documents by
+    * token count (width 8) and account the PADDING WASTE of batching
+    * each bucket to its longest member — `max·n − Σlen` tokens of wasted
+    * compute, the quantity length-bucketed batching exists to minimize.
+    * Everything is integer arithmetic off one scan + one small groupBy;
+    * the single rounded division per bucket row is the waste fraction. */
+  val lengthBuckets = Q(
+    "q_length_buckets",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      d.select(expr("(n_tok - 1) div 8").as("bucket"), col("n_tok"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("sum_tok"))
+        .select(col("bucket"), col("n_docs"), col("min_tok"), col("max_tok"),
+          (col("max_tok") * col("n_docs") - col("sum_tok")).as("pad_waste"),
+          round((col("max_tok") * col("n_docs") - col("sum_tok")).cast("double") /
+            (col("max_tok") * col("n_docs")), 6).as("waste_frac"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH d AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents),
+      b AS (SELECT (n_tok - 1) // 8 AS bucket, n_tok FROM d),
+      g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+          CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        FROM b GROUP BY bucket)
+      SELECT bucket, n_docs, min_tok, max_tok,
+        CAST(max_tok * n_docs - sum_tok AS BIGINT) AS pad_waste,
+        round(CAST(max_tok * n_docs - sum_tok AS DOUBLE) /
+          (max_tok * n_docs), 6) AS waste_frac
+      FROM g ORDER BY bucket"""))
+
+  /** Deterministic corpus shuffle: a multiplicative-hash permutation
+    * (`pos = (id·2654435761 + 12345) mod 2^20` — odd multiplier, so
+    * bijective on the ring) assigns every document a reproducible
+    * pseudo-random position, then positions are range-sharded into 32
+    * output shards. The reproducible global shuffle a training pipeline
+    * runs before epoch streaming: no `rand()`, identical order across
+    * engines/runs/partitionings, and a pure projection at any scale.
+    * The per-shard doc_id checksum pins WHICH docs landed where; the
+    * near-uniform n per shard is the point of the multiplier. */
+  val corpusShuffle = Q(
+    "q_corpus_shuffle",
+    (s, dir) => {
+      val pos = pmod(col("doc_id") * lit(2654435761L) + lit(12345L),
+        lit(1048576L))
+      Tables.documents(s, dir).select(col("doc_id"), pos.as("pos"))
+        .select(expr("pos div 32768").as("shard"), col("pos"), col("doc_id"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+          sum(col("doc_id")).as("doc_checksum"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          (doc_id * 2654435761 + 12345) % 1048576 AS pos FROM documents)
+      SELECT pos // 32768 AS shard, CAST(count(*) AS BIGINT) AS n,
+        min(pos) AS min_pos, max(pos) AS max_pos,
+        CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+      FROM p GROUP BY shard ORDER BY shard"""))
+
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
     tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ,
-    softDedup, vocabOov, imputeMissing)
+    softDedup, vocabOov, imputeMissing, lengthBuckets, corpusShuffle)
 }

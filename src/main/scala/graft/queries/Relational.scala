@@ -298,8 +298,36 @@ object Relational {
     },
     Some(q5Sql))
 
+  /** The shared Q18 text: large-volume-customer detection. Exercises the
+    * IN-subquery-with-HAVING shape — Catalyst rewrites the IN to a
+    * left-semi join against the grouped lineitem aggregate, so the big
+    * table is scanned twice but never materialized as a NOT-IN list.
+    * Quantity sums in DECIMAL (a double sum's value would depend on
+    * partial-sum order); o_totalprice passes through unarithmetic'd, so
+    * stored bits compare exactly. */
+  private val q18Sql = """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      o_totalprice,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+  val sqlQ18 = Q(
+    "q_sql_q18",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(q18Sql)
+    },
+    Some(q18Sql))
+
   def all: Seq[Q] = Seq(
     q1Agg, s1Project, s4Cast, s5CountDistinct, s6Repartition,
     s7MapPartitions, s9Collect, s10ScalarUdf, s11Struct, s13Filter, s16CreateDf,
-    bucketedJoin, sqlQ3, sqlQ5)
+    bucketedJoin, sqlQ3, sqlQ5, sqlQ18)
 }
