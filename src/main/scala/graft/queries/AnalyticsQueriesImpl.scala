@@ -498,7 +498,48 @@ object AnalyticsQueriesImpl {
       FROM r WHERE rn <= 5
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Revenue cohort matrix (LTV curves): customers cohorted by first-
+    * order month (integral month index `year·12 + month − 1`), revenue
+    * accumulated per cohort-age — retention's money-weighted sibling.
+    * One shuffle derives cohorts, one computes the (cohort, age) cells,
+    * and the cumulative window runs over the tiny cell table partitioned
+    * by cohort. Revenue is DECIMAL through the cumulative sum; doubles
+    * only in the final rounded columns. */
+  val cohortLtv = Q(
+    "q_cohort_ltv",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+      val cells = o.join(cohort, "o_custkey")
+        .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+        .agg(countDistinct(col("o_custkey")).as("active_customers"),
+          sum(col("p")).as("rev"))
+      val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.select(col("cm").as("cohort_month"), col("age"),
+          col("active_customers"),
+          round(col("rev").cast("double"), 2).as("rev"),
+          round(sum(col("rev")).over(w).cast("double"), 2).as("cum_rev"))
+        .orderBy(col("cohort_month"), col("age"))
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+          year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      c AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY o_custkey),
+      cell AS (SELECT cm, m - cm AS age,
+          CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+          sum(p) AS rev
+        FROM o JOIN c ON o.o_custkey = c.o_custkey GROUP BY cm, m - cm)
+      SELECT cm AS cohort_month, age, active_customers,
+        round(CAST(rev AS DOUBLE), 2) AS rev,
+        round(CAST(sum(rev) OVER (PARTITION BY cm ORDER BY age
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+          AS cum_rev
+      FROM cell ORDER BY cohort_month, age"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
     windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine,
-    ivmAgg, listAgg)
+    ivmAgg, listAgg, cohortLtv)
 }

@@ -178,5 +178,43 @@ object JoinQueriesImpl {
         CAST(sum(s_ov) AS BIGINT) AS total_overlap_secs
       FROM c GROUP BY n_overlaps ORDER BY n_overlaps"""))
 
-  def all: Seq[Q] = Seq(asofJoin, rangeJoin, antiJoin, fuzzyJoin, intervalOverlap)
+  /** Join fan-out profile: the distribution of orders-per-customer (a
+    * count-of-counts histogram, INCLUDING the zero-order customers via
+    * the left join) with a cumulative share column — the pre-join audit
+    * that predicts a join's output size and flags skewed keys before
+    * they melt a shuffle at 100 TB. Two partial-aggregable groupBys; the
+    * cumulative window runs over the tiny histogram (|distinct fanout|
+    * rows). */
+  val fanoutProfile = Q(
+    "q_fanout_profile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("fanout"))
+      val g = f.groupBy(col("fanout")).agg(count(lit(1)).as("n_customers"))
+      val cum = Window.orderBy(col("fanout"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("fanout"), col("n_customers"),
+          round(sum(col("n_customers")).over(cum).cast("double") /
+            sum(col("n_customers")).over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)), 6).as("cum_share"))
+        .orderBy(col("fanout"))
+    },
+    Some("""WITH f AS (SELECT c_custkey, count(o_orderkey) AS fanout
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey),
+      g AS (SELECT fanout, CAST(count(*) AS BIGINT) AS n_customers
+          FROM f GROUP BY fanout)
+      SELECT fanout, n_customers,
+        round(CAST(sum(n_customers) OVER (ORDER BY fanout
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+          sum(n_customers) OVER (), 6) AS cum_share
+      FROM g ORDER BY fanout"""))
+
+  def all: Seq[Q] = Seq(asofJoin, rangeJoin, antiJoin, fuzzyJoin,
+    intervalOverlap, fanoutProfile)
 }
