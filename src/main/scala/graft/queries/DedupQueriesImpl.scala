@@ -247,17 +247,35 @@ object DedupQueriesImpl {
       ORDER BY cos DESC, a, b LIMIT 20"""))
 
   /** Embedding near-dup pairs via hyperplane-LSH bucket self-join — the
-    * 100 TB path (no all-pairs product). Bucketing is seeded-random →
-    * rows-only; PipelineOpsSpec pins recall against brute force. */
+    * 100 TB path (no all-pairs product). (bits, tables) are EXPLICIT here
+    * (the values the auto-tuner picks at the sf0.01 gate) so the seeded
+    * planes are a fixed literal set and the whole pipeline replays in SQL
+    * ([[LshOracle.pairsSql]]) at any sf — bucket bits, self-join, the
+    * unrounded-threshold cosine — hash-checked, not merely recall-pinned.
+    * The auto-tuning path stays spec-covered in PipelineOpsSpec. */
   val embeddingLsh = Q(
     "q_dedup_embedding_lsh",
     (s, dir) => {
+      // The raw corpus has NO pairs above cos 0.51 at the verified
+      // scales — a bare >= 0.8 screen would hash-pass on zero rows and
+      // verify nothing. Plant deterministic near-dup twins (ids < 40
+      // re-keyed +100000, first coordinate +0.5 — cos ≈ 0.99) with pure
+      // arithmetic the oracle replays bit-exactly; the query then
+      // verifies the LSH tier actually FINDS them.
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = e.where(col("vec_id") < 40).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.5d)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
       graft.operators.Similarity.embeddingNearDupPairs(
-          Tables.embeddings(s, dir), "vec_id", "embedding", 0.8)
+          e.unionByName(planted), "vec_id", "embedding", 0.8,
+          bits = 6, tables = 8)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     },
-    None)
+    Some(LshOracle.pairsSql(minCos = 0.8, bits = 6, tables = 8, seed = 42L)))
 
   /** The full near-dup pipeline: MinHash/LSH candidates → EXACT n-gram
     * Jaccard verification of only those pairs (never all-pairs). This is

@@ -31,7 +31,10 @@ object SimilarityQueriesImpl {
       SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
       ORDER BY qid, rank"""))
 
-  /** LSH-bucketed ANN (random hyperplanes, single-bit multiprobe). */
+  /** LSH-bucketed ANN (random hyperplanes, single-bit multiprobe). The
+    * seeded planes are literals on BOTH sides ([[LshOracle]]), so the
+    * whole pipeline — bucket bits, multiprobe candidates, cosine rank —
+    * is hash-checked, not merely recall-pinned. */
   val lsh = Q(
     "q_sim_topk_lsh",
     (s, dir) => {
@@ -39,7 +42,7 @@ object SimilarityQueriesImpl {
           "vec_id", "embedding", 5)
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    Some(LshOracle.topkSql(k = 5, bits = 4, tables = 3, seed = 42L)))
 
   /** IVF-flat ANN (KMeans coarse cells, nProbe=4). */
   val ivf = Q(
