@@ -247,12 +247,15 @@ object DedupQueriesImpl {
       ORDER BY cos DESC, a, b LIMIT 20"""))
 
   /** Embedding near-dup pairs via hyperplane-LSH bucket self-join — the
-    * 100 TB path (no all-pairs product). (bits, tables) are EXPLICIT here
-    * (the values the auto-tuner picks at the sf0.01 gate) so the seeded
-    * planes are a fixed literal set and the whole pipeline replays in SQL
-    * ([[LshOracle.pairsSql]]) at any sf — bucket bits, self-join, the
-    * unrounded-threshold cosine — hash-checked, not merely recall-pinned.
-    * The auto-tuning path stays spec-covered in PipelineOpsSpec. */
+    * 100 TB path (no all-pairs product). The query keeps the AUTO-TUNED
+    * (bits, tables) — fixing them would melt the bucket join at larger
+    * corpora, which is exactly what the tuner prevents — and the oracle
+    * ([[LshOracle.pairsSql]]) replays the values the tuner provably picks
+    * at the sf0.01 gate fixture (n=540 → bits=6, tables=8; the driver's
+    * t2 contract pins correctness runs to sf0.01). With the planes as
+    * shared literals the whole pipeline — bucket bits, self-join, the
+    * unrounded-threshold cosine — is hash-checked, not merely
+    * recall-pinned. */
   val embeddingLsh = Q(
     "q_dedup_embedding_lsh",
     (s, dir) => {
@@ -270,8 +273,7 @@ object DedupQueriesImpl {
           array(element_at(col("embedding"), 1) + lit(0.5d)),
           slice(col("embedding"), 2, 63)).as("embedding"))
       graft.operators.Similarity.embeddingNearDupPairs(
-          e.unionByName(planted), "vec_id", "embedding", 0.8,
-          bits = 6, tables = 8)
+          e.unionByName(planted), "vec_id", "embedding", 0.8)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     },
