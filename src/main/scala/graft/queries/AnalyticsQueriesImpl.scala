@@ -539,7 +539,94 @@ object AnalyticsQueriesImpl {
           AS cum_rev
       FROM cell ORDER BY cohort_month, age"""))
 
+  /** Winsorization (percentile clipping): per-priority p05/p95 bounds
+    * from the EXACT interpolating percentile (same (n−1)·p rule as
+    * DuckDB `quantile_cont` — the `q_group_quantiles` parity), rounded
+    * into DECIMAL(18,2) so the clamp and the clipped sum are exact
+    * decimal arithmetic — a double sum of clipped values would depend on
+    * partial-sum order. The outlier treatment a feature pipeline applies
+    * before scaling: two passes (bounds, then clip+aggregate), bounds
+    * broadcast back onto the scan. */
+  val winsorize = Q(
+    "q_winsorize",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val bounds = o.groupBy(col("prio")).agg(
+        round(expr("percentile(CAST(p AS DOUBLE), 0.05)"), 2)
+          .cast("decimal(18,2)").as("lo"),
+        round(expr("percentile(CAST(p AS DOUBLE), 0.95)"), 2)
+          .cast("decimal(18,2)").as("hi"))
+      o.join(broadcast(bounds), "prio")
+        .select(col("prio"), col("lo"), col("hi"), col("p"),
+          least(greatest(col("p"), col("lo")), col("hi")).as("w"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo").cast("double")).as("lo"),
+          max(col("hi").cast("double")).as("hi"),
+          sum(when(col("p") < col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("p") > col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+          round(sum(col("w")).cast("double"), 2).as("w_sum"),
+          round(sum(col("w")).cast("double") / count(lit(1)), 4).as("w_mean"))
+        .orderBy(col("prio"))
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      b AS (SELECT prio,
+          CAST(round(quantile_cont(CAST(p AS DOUBLE), 0.05), 2) AS DECIMAL(18,2)) AS lo,
+          CAST(round(quantile_cont(CAST(p AS DOUBLE), 0.95), 2) AS DECIMAL(18,2)) AS hi
+        FROM o GROUP BY prio),
+      w AS (SELECT o.prio, b.lo, b.hi, o.p,
+          least(greatest(o.p, b.lo), b.hi) AS w
+        FROM o JOIN b ON o.prio = b.prio)
+      SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        max(CAST(lo AS DOUBLE)) AS lo, max(CAST(hi AS DOUBLE)) AS hi,
+        CAST(sum(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+        CAST(sum(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+        round(CAST(sum(w) AS DOUBLE), 2) AS w_sum,
+        round(CAST(sum(w) AS DOUBLE) / count(*), 4) AS w_mean
+      FROM w GROUP BY prio ORDER BY prio"""))
+
+  /** Customer spend deciles via `ntile`: per-customer DECIMAL spend
+    * (zero-order customers INCLUDED through the left join — decile 1 is
+    * real, not survivor-biased), ntile(10) over the unique
+    * (spend, custkey) order, per-decile profile. The global ntile window
+    * is a deliberate single-partition pass over the ALREADY-REDUCED
+    * per-customer table (|customers| rows, not |orders|); when even that
+    * is too large, the scale path is `q_feature_binning`'s edge-based
+    * form (percentile edges broadcast to the scan — no global sort).
+    * This query pins the ntile API face. */
+  val ntileSpend = Q(
+    "q_ntile_spend",
+    (s, dir) => {
+      val spend = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+          lit(0).cast("decimal(28,2)")).as("spend"))
+      val w = Window.orderBy(col("spend"), col("c_custkey"))
+      spend.withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("spend")).cast("double"), 2).as("lo"),
+          round(max(col("spend")).cast("double"), 2).as("hi"),
+          round(sum(col("spend")).cast("double"), 2).as("total"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH s AS (SELECT c_custkey,
+          coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey),
+      d AS (SELECT spend,
+          ntile(10) OVER (ORDER BY spend, c_custkey) AS decile FROM s)
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        round(CAST(min(spend) AS DOUBLE), 2) AS lo,
+        round(CAST(max(spend) AS DOUBLE), 2) AS hi,
+        round(CAST(sum(spend) AS DOUBLE), 2) AS total
+      FROM d GROUP BY decile ORDER BY decile"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
     windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine,
-    ivmAgg, listAgg, cohortLtv)
+    ivmAgg, listAgg, cohortLtv, winsorize, ntileSpend)
 }

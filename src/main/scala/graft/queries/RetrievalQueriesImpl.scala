@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Retrieval, Sessions}
@@ -380,7 +381,83 @@ object RetrievalQueriesImpl {
           sum(n) OVER (PARTITION BY prev_type), 6) AS share
       FROM m ORDER BY prev_type, next_type"""))
 
+  /** 7-day rolling distinct users (WAU-style): each distinct (user, day)
+    * activity CONTRIBUTES to the 7 calendar days it falls inside — an
+    * explode of `sequence(day, day+6)` — so the rolling-distinct count is
+    * one partial-aggregable distinct per (window-day, user), NO range
+    * join and NO nested loop. The classic exact sliding-distinct done
+    * scalably: reduce to (user, day) first (the only shuffle that sees
+    * raw events), fan out 7×, aggregate. Output trimmed to observed
+    * days so the window is fully contained in the data span. */
+  val rollingActive = Q(
+    "q_rolling_active_users",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ud = ev0.select(col("user_id"), (us.cast("long")).as("us"))
+        .select(col("user_id"), expr("us div 86400000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau7"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau7"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          epoch_us(ts) // 86400000000 AS day FROM events),
+      dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud GROUP BY day),
+      f AS (SELECT user_id, unnest(generate_series(day, day + 6)) AS day
+        FROM ud),
+      wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+        FROM f GROUP BY day)
+      SELECT day, dau, wau7 FROM dau JOIN wau USING (day) ORDER BY day"""))
+
+  /** Inter-event gap distribution per user (the data that justifies a
+    * sessionization gap threshold): lag-window gaps in minutes, capped
+    * at 120, bucketed — counts integral, one rounded division for the
+    * cumulative share over the tiny histogram. */
+  val gapHistogram = Q(
+    "q_gap_histogram",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val gaps = ev0.select(col("user_id"), col("event_id"), us.as("us"))
+        .select((col("us") - lag(col("us"), 1).over(w)).as("gap"))
+        .where(col("gap").isNotNull)
+        .select(least(expr("gap div 60000000"), lit(120L)).as("gap_min"))
+      val g = gaps.groupBy(col("gap_min")).agg(count(lit(1)).as("n"))
+      val cum = Window.orderBy(col("gap_min"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("gap_min"), col("n"),
+          round(sum(col("n")).over(cum).cast("double") /
+            sum(col("n")).over(Window.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)), 6)
+            .as("cum_share"))
+        .orderBy(col("gap_min"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      d AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS gap FROM e),
+      b AS (SELECT least(gap // 60000000, 120) AS gap_min FROM d
+        WHERE gap IS NOT NULL),
+      g AS (SELECT gap_min, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY gap_min)
+      SELECT gap_min, n,
+        round(CAST(sum(n) OVER (ORDER BY gap_min
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+          sum(n) OVER (), 6) AS cum_share
+      FROM g ORDER BY gap_min"""))
+
   def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion,
     sessionizeBatch, eventFunnel, retention, dau, anomaly, sessionFunnelQ,
-    eventTransitions)
+    eventTransitions, rollingActive, gapHistogram)
 }
