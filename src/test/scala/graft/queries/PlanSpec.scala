@@ -161,4 +161,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "quantization must not hash-shuffle:\n" + p.take(1200))
   }
+
+  test("q_snapshot_diff: keyed full-outer join, never a nested loop") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be a full-outer join:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "keyed diff must not plan a nested loop:\n" + p.take(1200))
+  }
+
+  test("q_dedup_containment: candidate generation is equi-join only (no cartesian)") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "containment join must stay equi-join shaped:\n" + p.take(1200))
+  }
+
+  test("q_graph_pagerank: iterations read the persisted adjacency, not the edge build") {
+    val p = plan("q_graph_pagerank")
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).length
+    // 3 iterations × adjacency + the degree-seeded rank vector
+    assert(cacheScans >= 4, s"expected >= 4 cache scans, got $cacheScans:\n" + p.take(1200))
+  }
+
+  test("q_event_transitions: the lag window and the pair aggregation share " +
+      "the user-key shuffle (one exchange below the window)") {
+    val p = plan("q_event_transitions")
+    // the tree section lists operators top-down; the LAG window is the
+    // deepest Window, so anchor on the LAST Window line
+    val lines = p.linesIterator.takeWhile(!_.startsWith("(")).toSeq
+    val winIdx = lines.lastIndexWhere(_.contains("Window"))
+    assert(winIdx >= 0, p.take(800))
+    val below = lines.drop(winIdx)
+    assert(below.count(_.contains("Exchange")) == 1,
+      "exactly the user-key exchange may sit below the lag window:\n" + p.take(1500))
+  }
+
+  test("q_winsorize: the percentile bounds broadcast back onto the fact side") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), "bounds must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the tiny bounds table must not sort-merge:\n" + p.take(1200))
+  }
+
+  test("q_rolling_active_users: no nested-loop range join — the 7-day fan-out " +
+      "is an explode over the reduced (user, day) table") {
+    val p = plan("q_rolling_active_users")
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      "expected the sequence explode:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rolling distinct must not range-join:\n" + p.take(1200))
+  }
 }
