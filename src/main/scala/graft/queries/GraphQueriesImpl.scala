@@ -83,5 +83,48 @@ object GraphQueriesImpl {
              GROUP BY a.dst)
       SELECT node AS part, pr FROM r3 ORDER BY pr DESC, part LIMIT 20"""))
 
-  def all: Seq[Q] = Seq(graphTriangles, graphPagerank)
+  /** Market-basket association over the same co-purchase structure:
+    * pair support counts (distinct (order, part) first — duplicate line
+    * items must not inflate support) and LIFT = `pair_n · n_orders /
+    * (cnt_a · cnt_b)` as ONE double division of exact integers (rational
+    * discipline — no logs, identical in any engine). Floor support 2,
+    * top 20 by (support, lift, pair). Item counts join back by part key;
+    * the order-count scalar broadcasts. */
+  val partAffinity = Q(
+    "q_part_affinity",
+    (s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+      val item = b.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      val pairs = b.alias("x")
+        .join(b.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("pair_n"))
+        .where(col("pair_n") >= 2)
+      pairs
+        .join(item.select(col("pk").as("a"), col("cnt").as("cnt_a")), "a")
+        .join(item.select(col("pk").as("b"), col("cnt").as("cnt_b")), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("pair_n"), col("cnt_a"), col("cnt_b"),
+          round((col("pair_n") * col("n_orders")).cast("double") /
+            (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+        .orderBy(col("pair_n").desc, col("lift").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem),
+      t AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+      item AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY pk),
+      pairs AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS pair_n
+        FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY x.pk, y.pk HAVING count(*) >= 2)
+      SELECT a, b, pair_n, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+        round(CAST(pair_n * n_orders AS DOUBLE) / (ia.cnt * ib.cnt), 6) AS lift
+      FROM pairs JOIN item ia ON ia.pk = a JOIN item ib ON ib.pk = b, t
+      ORDER BY pair_n DESC, lift DESC, a, b LIMIT 20"""))
+
+  def all: Seq[Q] = Seq(graphTriangles, graphPagerank, partAffinity)
 }

@@ -457,7 +457,50 @@ object RetrievalQueriesImpl {
           sum(n) OVER (), 6) AS cum_share
       FROM g ORDER BY gap_min"""))
 
+  /** Recency-weighted engagement score WITHOUT transcendentals: the
+    * usual exponential decay hangs cross-engine parity on math-library
+    * `exp` ulps, so the decay is a PIECEWISE INTEGER weight (≤7 days →
+    * 4×, ≤30 days → 2×, older → 1×) anchored at the corpus max
+    * timestamp, and the value column goes through DECIMAL so the
+    * weighted sum is order-independent. Top 20 users by score. The
+    * 1-row anchor broadcasts; everything else is one partial-aggregable
+    * groupBy. */
+  val decayScore = Q(
+    "q_decay_score",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = ev0.select(col("user_id"), us.as("us"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val anchor = ev.agg(max(col("us")).as("max_us"))
+      ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"), col("v"),
+          expr("(max_us - us) div 86400000000").as("age_d"))
+        .select(col("user_id"),
+          (col("v") * when(col("age_d") <= 7, 4L)
+            .when(col("age_d") <= 30, 2L).otherwise(1L)).as("wv"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("wv")).cast("double"), 4).as("score"))
+        .orderBy(col("score").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+          CAST(value AS DECIMAL(18,6)) AS v FROM events),
+      a AS (SELECT max(us) AS max_us FROM e),
+      w AS (SELECT user_id,
+          v * (CASE WHEN (max_us - us) // 86400000000 <= 7 THEN 4
+                    WHEN (max_us - us) // 86400000000 <= 30 THEN 2
+                    ELSE 1 END) AS wv
+        FROM e, a)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        round(CAST(sum(wv) AS DOUBLE), 4) AS score
+      FROM w GROUP BY user_id ORDER BY score DESC, user_id LIMIT 20"""))
+
   def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion,
     sessionizeBatch, eventFunnel, retention, dau, anomaly, sessionFunnelQ,
-    eventTransitions, rollingActive, gapHistogram)
+    eventTransitions, rollingActive, gapHistogram, decayScore)
 }
