@@ -326,8 +326,40 @@ object Relational {
     },
     Some(q18Sql))
 
+  /** The shared Q7 text (volume shipping between two nation pairs):
+    * exercises the OR-of-conjunctions join predicate across TWO aliases
+    * of the same dimension — Catalyst broadcasts both nation sides and
+    * pushes the date range to the lineitem scan. Revenue in DECIMAL
+    * (exact product + sum), one final rounded double. Fixture nations
+    * are synthetic NATION_k names (TESTDATA.md). */
+  private val q7Sql = """SELECT supp_nation, cust_nation, l_year,
+      CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        year(l_shipdate) AS l_year,
+        CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+          AND TIMESTAMP '1997-12-31') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  val sqlQ7 = Q(
+    "q_sql_q7",
+    (s, dir) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(q7Sql)
+    },
+    Some(q7Sql))
+
   def all: Seq[Q] = Seq(
     q1Agg, s1Project, s4Cast, s5CountDistinct, s6Repartition,
     s7MapPartitions, s9Collect, s10ScalarUdf, s11Struct, s13Filter, s16CreateDf,
-    bucketedJoin, sqlQ3, sqlQ5, sqlQ18)
+    bucketedJoin, sqlQ3, sqlQ5, sqlQ7, sqlQ18)
 }
