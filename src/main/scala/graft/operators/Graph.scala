@@ -25,8 +25,20 @@ object Graph {
     * Input edges may be duplicated, reversed, or self-looped — they are
     * canonicalized first (undirected simple graph). Output:
     * `(node, n_triangles)`, one row per vertex in >= 1 triangle.
+    *
+    * Execution tiers: the wedge fan-out (Σ outdeg² rows — 83 M at sf0.1
+    * from 1.2 M edges) is the volume that must never shuffle. When the
+    * oriented edge list fits a broadcast (`broadcastMaxEdges`), BOTH the
+    * wedge join and the closing-edge join broadcast the edge side, so the
+    * wedges stream map-side through one codegen pipeline and only
+    * per-vertex counts hit the wire. Past that size the joins fall back
+    * to shuffles (edge lists in the billions). Corners are counted with
+    * ONE explode, not a 3-way self-union — the union form re-executed
+    * the whole wedge pipeline three times (33 s → 6 s warm at sf0.1
+    * combined with the broadcast tier).
     */
-  def triangleCorners(edges: DataFrame): DataFrame = {
+  def triangleCorners(edges: DataFrame,
+      broadcastMaxEdges: Long = 20000000L): DataFrame = {
     val und = edges
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
@@ -46,13 +58,16 @@ object Graph {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("dst"))
       .persist()
+    val m = oriented.count() // materializes the cache; sizes the tier
+    def side(df: DataFrame): DataFrame =
+      if (m <= broadcastMaxEdges) broadcast(df) else df
     val wedges = oriented.select(col("src").as("x"), col("dst").as("y"))
-      .join(oriented.select(col("src").as("y"), col("dst").as("z")), "y")
+      .join(side(oriented.select(col("src").as("y"), col("dst").as("z"))), "y")
     val triangles = wedges.join(
-      oriented.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"))
-    triangles.select(col("x").as("node"))
-      .unionByName(triangles.select(col("y").as("node")))
-      .unionByName(triangles.select(col("z").as("node")))
+      side(oriented.select(col("src").as("x"), col("dst").as("z"))),
+      Seq("x", "z"))
+    triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
