@@ -374,7 +374,175 @@ object CurationQueriesImpl {
         CAST(sum(doc_id) AS BIGINT) AS doc_checksum
       FROM p GROUP BY shard ORDER BY shard"""))
 
+  /** Exact-count stratified sampling: ceil(20%) of each language stratum,
+    * chosen by content-hash order (md5 — reproducible across engines, no
+    * rand()). Where q_corpus_mix is the Bernoulli hash-threshold tier
+    * (sample SIZE is binomial, membership needs no sort), this is the
+    * exact-k tier: a per-stratum row_number over hash order guarantees
+    * the quota exactly. Scale shape: the window sorts WITHIN each
+    * stratum partition only — no global sort — but a stratum is one
+    * task, so at 100 TB with few huge strata the hash-threshold tier is
+    * the right default and this is the audit/repro path (or run it on
+    * the reduced survivor set, as the ntile queries do). */
+  val stratifiedSample = Q(
+    "q_stratified_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      docs.select(col("lang"), col("doc_id"), col("text"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_stratum",
+          count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .where(col("rk") <= ceil(col("n_stratum") * lit(0.2)))
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_stratum"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""WITH r AS (SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk,
+          count(*) OVER (PARTITION BY lang) AS n_stratum
+        FROM documents)
+      SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_stratum
+      FROM r WHERE rk <= ceil(n_stratum * 0.2)
+      ORDER BY lang, rk"""))
+
+  /** Temperature-reweighted corpus mixing (alpha = 0.5): the standard
+    * multilingual/multi-source rebalancing — sampling weight proportional
+    * to p_i^alpha, which upweights small sources relative to their
+    * natural frequency. w_i = sqrt(n_i) / sum_j sqrt(n_j) (the 1/N
+    * factors cancel; ONE division per source, so both engines run the
+    * same float ops). Plan: one partial-aggregable groupBy to per-source
+    * counts (20 rows), then a broadcast cross-join of the 1-row total —
+    * the fact table shuffles only source counts. */
+  val temperatureMix = Q(
+    "q_temperature_mix",
+    (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val totals = counts.agg(
+        sum(col("n")).as("tot"),
+        sum(sqrt(col("n").cast("double"))).as("s_sqrt"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("source"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6).as("p_nat"),
+          round(sqrt(col("n").cast("double")) / col("s_sqrt"), 6).as("w_temp"),
+          round(sqrt(col("n").cast("double")) / col("s_sqrt") * lit(100000.0), 0)
+            .cast("long").as("target_n"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        t AS (SELECT sum(n) AS tot, sum(sqrt(n)) AS s_sqrt FROM c)
+      SELECT source, n, round(n / tot, 6) AS p_nat,
+        round(sqrt(n) / s_sqrt, 6) AS w_temp,
+        CAST(round(sqrt(n) / s_sqrt * 100000.0, 0) AS BIGINT) AS target_n
+      FROM c, t ORDER BY source"""))
+
+  /** Per-document unigram token entropy — the information-density quality
+    * signal (near-zero entropy = repeated-token spam). Computed in the
+    * partial-aggregable form H = log2(n) - sum(c*log2(c))/n, so the plan
+    * is explode -> (doc,token) count -> ONE groupBy(doc) carrying two
+    * sums — no second window/join to bring n alongside c, which is what
+    * keeps it two map-side-combinable shuffles at 100 TB. */
+  val tokenEntropy = Q(
+    "q_token_entropy",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c").cast("double") * log2(col("c").cast("double"))).as("slc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(log2(col("n_tokens").cast("double"))
+            - col("slc") / col("n_tokens").cast("double"), 4).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        count(*) AS n_distinct,
+        round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 4) AS entropy
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Filter-funnel attrition report: how many documents survive each
+    * successive curation gate (length -> token count -> chars/token ->
+    * stopword ratio), with drop counts and survival rate per stage.
+    * The funnel is ONE scan with five conditional sums folded into a
+    * single partial-aggregable aggregate row, unpivoted to a row per
+    * stage via inline() (the q_table_stats pattern) — at 100 TB this
+    * costs exactly one pass over the corpus, not one pass per stage. */
+  val filterFunnel = Q(
+    "q_filter_funnel",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val toks = TextFunctions.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val stopHits = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+      val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
+      val cpt = when(nTok > 0, length(col("text")).cast("double") / nTok)
+        .otherwise(0.0)
+      val g1 = length(col("text")) >= 200
+      val g2 = g1 && nTok >= lit(40.0)
+      val g3 = g2 && cpt <= lit(12.0)
+      val g4 = g3 && stopRatio >= lit(0.02)
+      val row = Tables.documents(s, dir).agg(
+        count(lit(1)).as("s0"),
+        sum(when(g1, 1L).otherwise(0L)).as("s1"),
+        sum(when(g2, 1L).otherwise(0L)).as("s2"),
+        sum(when(g3, 1L).otherwise(0L)).as("s3"),
+        sum(when(g4, 1L).otherwise(0L)).as("s4"))
+      val stages = Seq(
+        ("0_total", "s0", "s0"), ("1_min_length", "s1", "s0"),
+        ("2_min_tokens", "s2", "s1"), ("3_chars_per_token", "s3", "s2"),
+        ("4_stopword_ratio", "s4", "s3"))
+      row.select(inline(array(stages.map { case (nm, cur, prev) => struct(
+          lit(nm).as("stage"),
+          col(cur).as("n_pass"),
+          (col(prev) - col(cur)).as("n_dropped"),
+          // when() guard: empty corpus => s0 = 0 (ANSI divide would throw)
+          round(when(col("s0") > 0,
+            col(cur).cast("double") / col("s0").cast("double"))
+            .otherwise(0.0), 4).as("survival"))
+        }: _*)))
+        .orderBy(col("stage"))
+    },
+    Some(s"""WITH d AS (SELECT length(text) AS len,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+          CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            t -> t IN ($stopSql))) AS DOUBLE) AS stop_hits,
+          length(text) AS n_chars
+        FROM documents),
+      f AS (SELECT len >= 200 AS g1,
+          len >= 200 AND n_tok >= 40.0 AS g2,
+          len >= 200 AND n_tok >= 40.0
+            AND (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0 END) <= 12.0 AS g3,
+          len >= 200 AND n_tok >= 40.0
+            AND (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0 END) <= 12.0
+            AND (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END) >= 0.02 AS g4
+        FROM d),
+      a AS (SELECT count(*) AS s0,
+          sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS s1,
+          sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS s2,
+          sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS s3,
+          sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS s4
+        FROM f)
+      SELECT stage, CAST(n_pass AS BIGINT) AS n_pass,
+        CAST(n_dropped AS BIGINT) AS n_dropped,
+        round(CAST(n_pass AS DOUBLE) / s0, 4) AS survival
+      FROM (
+        SELECT '0_total' AS stage, s0 AS n_pass, 0 AS n_dropped, s0 FROM a
+        UNION ALL SELECT '1_min_length', s1, s0 - s1, s0 FROM a
+        UNION ALL SELECT '2_min_tokens', s2, s1 - s2, s0 FROM a
+        UNION ALL SELECT '3_chars_per_token', s3, s2 - s3, s0 FROM a
+        UNION ALL SELECT '4_stopword_ratio', s4, s3 - s4, s0 FROM a)
+      ORDER BY stage"""))
+
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
     tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ,
-    softDedup, vocabOov, imputeMissing, lengthBuckets, corpusShuffle)
+    softDedup, vocabOov, imputeMissing, lengthBuckets, corpusShuffle,
+    stratifiedSample, temperatureMix, tokenEntropy, filterFunnel)
 }

@@ -358,8 +358,83 @@ object Relational {
     },
     Some(q7Sql))
 
+  /** The shared Q6 text (forecasting-revenue-change): the canonical
+    * scan-filter-aggregate — no join, no group key, one output row. The
+    * interesting part is what Catalyst does with it: all three predicates
+    * reach the parquet scan as PushedFilters, and the aggregate is a
+    * per-partition partial sum + a 1-row exchange. At 100 TB this query
+    * is pure scan bandwidth. Revenue in DECIMAL (exact product/sum). */
+  private val q6Sql = """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    ORDER BY revenue"""
+
+  val sqlQ6 = Q(
+    "q_sql_q6",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(q6Sql)
+    },
+    Some(q6Sql))
+
+  /** The shared Q10 text (returned-item reporting), adapted to the fixture
+    * schema: the driver's customer table carries no address/phone/comment
+    * columns, so the classic output list is trimmed to key/name/acctbal/
+    * nation (same joins, same filters, same top-20-by-revenue shape).
+    * c_acctbal passes through unarithmetic'd so stored bits compare
+    * exactly; revenue in DECIMAL. Catalyst broadcasts customer+nation
+    * below the lineitem join and plans the top-20 as
+    * TakeOrderedAndProject. */
+  private val q10Sql = """SELECT c_custkey, c_name,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+      c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  val sqlQ10 = Q(
+    "q_sql_q10",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(q10Sql)
+    },
+    Some(q10Sql))
+
+  /** The shared Q13 text (customer order-count distribution), minus the
+    * classic o_comment NOT LIKE filter (the fixture orders table has no
+    * comment column). Exercises the outer-join-then-double-aggregate
+    * shape: LEFT OUTER preserves zero-order customers (count(o_orderkey)
+    * = 0 for them — count of a NULL column, not count(*)), then the
+    * second aggregate histograms the counts. Both aggregates are
+    * partial-aggregable; the histogram is at most |distinct counts|
+    * rows. */
+  private val q13Sql = """SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  val sqlQ13 = Q(
+    "q_sql_q13",
+    (s, dir) => {
+      Seq("customer", "orders")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(q13Sql)
+    },
+    Some(q13Sql))
+
   def all: Seq[Q] = Seq(
     q1Agg, s1Project, s4Cast, s5CountDistinct, s6Repartition,
     s7MapPartitions, s9Collect, s10ScalarUdf, s11Struct, s13Filter, s16CreateDf,
-    bucketedJoin, sqlQ3, sqlQ5, sqlQ7, sqlQ18)
+    bucketedJoin, sqlQ3, sqlQ5, sqlQ6, sqlQ7, sqlQ10, sqlQ13, sqlQ18)
 }
