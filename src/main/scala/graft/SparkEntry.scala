@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.SourceQueriesImpl.all ++
     graft.queries.LayoutQueriesImpl.all ++
     graft.queries.RetrievalQueriesImpl.all ++
-    graft.queries.GraphQueriesImpl.all
+    graft.queries.GraphQueriesImpl.all ++
+    graft.queries.TpchQueriesImpl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
