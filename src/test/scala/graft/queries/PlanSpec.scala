@@ -210,4 +210,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "rolling distinct must not range-join:\n" + p.take(1200))
   }
+
+  test("q_sql_q21: EXISTS/NOT EXISTS plan as semi + anti hash joins, " +
+      "never a nested loop") {
+    val p = plan("q_sql_q21")
+    assert(p.contains("LeftSemi"), "EXISTS must rewrite to a semi join:\n" + p.take(1200))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must rewrite to an anti join:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "correlated subqueries must stay hash-join shaped:\n" + p.take(1500))
+  }
+
+  test("q_sql_q19: the OR-of-ANDs factors into ONE equi-join with a " +
+      "residual filter — no nested loop") {
+    val p = plan("q_sql_q19")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "expected the factored p_partkey equi-join:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the disjunction must not degrade to a nested loop:\n" + p.take(1500))
+  }
+
+  test("q_sql_q17: the correlated scalar-avg subquery decorrelates into an " +
+      "aggregate-then-join, not a per-row loop") {
+    val p = plan("q_sql_q17")
+    assert(p.contains("partial_avg") || p.contains("avg("),
+      "expected the decorrelated per-part aggregate:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decorrelation must keep hash-join shape:\n" + p.take(1500))
+  }
+
+  test("q_sql_q6: all three predicates push to the lineitem scan") {
+    val p = plan("q_sql_q6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"),
+      s"Q6 is pure scan bandwidth only if every predicate pushes: $pushed")
+  }
+
+  test("q_graph_triangles: candidates come from array_intersect, not a " +
+      "materialized wedge join") {
+    val p = plan("q_graph_triangles")
+    assert(p.contains("array_intersect"),
+      "expected the adjacency-intersection form:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "triangle counting must stay equi-join shaped:\n" + p.take(1200))
+  }
 }
