@@ -541,8 +541,54 @@ object CurationQueriesImpl {
         UNION ALL SELECT '4_stopword_ratio', s4, s3 - s4, s0 FROM a)
       ORDER BY stage"""))
 
+  /** Contrastive negative sampling WITHOUT a cross join: K pseudo-random
+    * negatives per anchor via a deterministic multiplicative-hash OFFSET
+    * into the contiguous id space — `neg = (id + 1 + h(id,k) mod (N-1))
+    * mod N` is never the anchor itself by construction, and the whole
+    * assignment is per-row integer arithmetic (replayable in any engine,
+    * no rand()). The naive formulation is a corpus×corpus cross join
+    * sampled down — quadratic rows before the filter; this is K rows per
+    * anchor then ONE equi-join on neg_id to fetch the negative's
+    * features. At 100 TB: a K× map-side fan-out plus one hash join on a
+    * uniformly-distributed key — no skew (offsets spread by the
+    * multiplier), no broadcast needed on either side. N comes from a
+    * 1-row count broadcast onto the anchor scan. */
+  val negativePairs = Q(
+    "q_negative_pairs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(count(lit(1)).as("nn"))
+      val assigned = docs.select(col("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("nn"),
+          explode(sequence(lit(1), lit(4))).as("k"))
+        .select(col("doc_id"), col("k"),
+          ((col("doc_id") + lit(1L)
+            + ((col("doc_id") * lit(2654435761L) + col("k") * lit(40503L))
+               % lit(2147483647L)) % (col("nn") - lit(1L)))
+            % col("nn")).as("neg_id"))
+      assigned.join(
+          docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang"),
+            col("n_chars").as("neg_chars")),
+          "neg_id")
+        .select(col("doc_id"), col("k"), col("neg_id"), col("neg_lang"),
+          col("neg_chars"))
+        .orderBy(col("doc_id"), col("k"))
+    },
+    Some("""WITH n AS (SELECT count(*) AS nn FROM documents),
+        ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+        a AS (SELECT doc_id, k,
+            (doc_id + 1 + ((doc_id * 2654435761 + k * 40503) % 2147483647)
+              % (nn - 1)) % nn AS neg_id
+          FROM documents, n, ks)
+      SELECT a.doc_id, a.k, a.neg_id, d.lang AS neg_lang,
+        d.n_chars AS neg_chars
+      FROM a JOIN documents d ON d.doc_id = a.neg_id
+      ORDER BY a.doc_id, a.k"""))
+
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
     tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ,
     softDedup, vocabOov, imputeMissing, lengthBuckets, corpusShuffle,
-    stratifiedSample, temperatureMix, tokenEntropy, filterFunnel)
+    stratifiedSample, temperatureMix, tokenEntropy, filterFunnel,
+    negativePairs)
 }
