@@ -23,7 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Schema adaptations (the fixture has no partsupp table and no
   * comment/shipmode/commitdate/receiptdate/phone/container columns; SURVEY
-  * §2 notes the driver's tables): Q2/Q11/Q16/Q20 need partsupp and are out;
+  * §2 notes the driver's tables): Q2/Q11/Q16/Q20 need partsupp, which this
+  * module DERIVES from lineitem — `partsupp(ps_partkey, ps_suppkey,
+  * ps_availqty=count(*), ps_supplycost=min(price))` over the observed
+  * (part, supplier) pairs — so all four plan shapes run (correlated MIN,
+  * HAVING vs scalar subquery, NOT IN + count distinct, nested IN with a
+  * two-key correlated scalar);
   * Q4/Q21 replace the commit-vs-receipt lateness predicate with
   * l_returnflag = 'R' (same EXISTS shapes, "returned" instead of "late");
   * Q9 drops the ps_supplycost term from profit; Q12 groups by l_linestatus
@@ -299,6 +304,120 @@ object TpchQueriesImpl {
 
   val sqlQ22 = Q("q_sql_q22", sqlOver("customer", "orders")(q22Sql), Some(q22Sql))
 
-  def all: Seq[Q] = Seq(sqlQ1, sqlQ4, sqlQ8, sqlQ9, sqlQ12, sqlQ14, sqlQ15,
-    sqlQ17, sqlQ19, sqlQ21, sqlQ22)
+  /** The derived supply bridge standing in for the missing partsupp table:
+    * one row per OBSERVED (part, supplier) pair in lineitem, with
+    * ps_availqty = line count and ps_supplycost = the pair's minimum
+    * extended price as exact DECIMAL (min is order-independent, so the
+    * derivation is bit-stable under any partial-agg schedule). Queries that
+    * reference the CTE twice (Q2's correlated MIN, Q11's HAVING threshold)
+    * recompute it — Catalyst inlines CTEs — which is fine here because the
+    * bridge is ONE partial-aggregable pass over lineitem; at 100 TB you'd
+    * materialize it once as a bucketed table (it is a slowly-changing
+    * derived dimension, ~|part|×avg-suppliers rows, far smaller than the
+    * fact) and every query below joins it by key without re-scanning the
+    * fact. */
+  private val psCte = """partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        count(*) AS ps_availqty,
+        min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)"""
+
+  /** Q2 (minimum-cost supplier): the correlated scalar-MIN subquery over a
+    * four-table join, re-correlated on p_partkey — Catalyst de-correlates
+    * it into an aggregate of the EUROPE bridge joined back on partkey, so
+    * the "min per part" side is one grouped pass, not a per-row loop. The
+    * supplycost equality is DECIMAL-exact; the ORDER BY chain ends in
+    * (p_partkey, s_name), unique per bridge row, so LIMIT 100 is
+    * deterministic cross-engine. p_brand stands in for the missing p_mfgr.
+    */
+  private val q2Sql = s"""WITH $psCte
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part, supplier, partsupp, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size < 15 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT min(ps_supplycost) FROM partsupp, supplier, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+  val sqlQ2 = Q(
+    "q_sql_q2",
+    sqlOver("part", "supplier", "lineitem", "nation", "region")(q2Sql),
+    Some(q2Sql))
+
+  /** Q11 (important stock identification): GROUP BY + HAVING against an
+    * uncorrelated scalar subquery computing the same aggregate over the
+    * same input — under AQE the nation-filtered bridge join's exchange is
+    * reusable between the two sides. Both sides of the threshold compare
+    * as ONE double cast of exact DECIMAL sums times a double literal, so
+    * the cut is bit-identical cross-engine (a DECIMAL*DECIMAL(4,4) form
+    * would overflow precision 38 and round differently per engine). */
+  private val q11Sql = s"""WITH $psCte
+    SELECT ps_partkey, CAST(sum(ps_supplycost * ps_availqty) AS DOUBLE) AS stock_value
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY ps_partkey
+    HAVING CAST(sum(ps_supplycost * ps_availqty) AS DOUBLE) > (
+      SELECT CAST(sum(ps_supplycost * ps_availqty) AS DOUBLE) * CAST(0.0001 AS DOUBLE)
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+    ORDER BY stock_value DESC, ps_partkey"""
+
+  val sqlQ11 = Q(
+    "q_sql_q11",
+    sqlOver("supplier", "lineitem", "nation")(q11Sql),
+    Some(q11Sql))
+
+  /** Q16 (parts/supplier relationship): count(DISTINCT) per three-column
+    * group plus a NOT IN subquery — s_suppkey is non-nullable, so the
+    * null-aware anti join degenerates to a plain anti hash join (the
+    * excluded-supplier side broadcasts). Negative balance stands in for
+    * the missing s_comment complaint filter. */
+  private val q16Sql = s"""WITH $psCte
+    SELECT p_brand, p_type, p_size, CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  val sqlQ16 = Q(
+    "q_sql_q16",
+    sqlOver("supplier", "lineitem", "part")(q16Sql),
+    Some(q16Sql))
+
+  /** Q20 (potential part promotion): the nested-IN tower — suppliers IN
+    * (bridge rows whose part is IN the name-filtered part set AND whose
+    * availqty beats a TWO-key correlated scalar count over lineitem).
+    * Catalyst de-correlates the inner scalar into a grouped count joined
+    * on (partkey, suppkey); both IN subqueries become left-semi hash
+    * joins. 0.5 * count is exact (DECIMAL(1,1) × BIGINT), so the
+    * threshold comparison is exact on both engines. */
+  private val q20Sql = s"""WITH $psCte
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps_availqty > (
+            SELECT 0.5 * count(*) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'))
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    ORDER BY s_name"""
+
+  val sqlQ20 = Q(
+    "q_sql_q20",
+    sqlOver("supplier", "lineitem", "part", "nation")(q20Sql),
+    Some(q20Sql))
+
+  def all: Seq[Q] = Seq(sqlQ1, sqlQ2, sqlQ4, sqlQ8, sqlQ9, sqlQ11, sqlQ12,
+    sqlQ14, sqlQ15, sqlQ16, sqlQ17, sqlQ19, sqlQ20, sqlQ21, sqlQ22)
 }
