@@ -586,9 +586,44 @@ object CurationQueriesImpl {
       FROM a JOIN documents d ON d.doc_id = a.neg_id
       ORDER BY a.doc_id, a.k"""))
 
+  /** Intra-document dedup (the C4/Gopher "remove repeated spans within a
+    * page" primitive, at word granularity for this fixture's space-joined
+    * corpus): keep each token's FIRST occurrence, reassemble in original
+    * order, count removals. The Spark form is pure per-row codegen'd
+    * array work — `array_distinct(split(...))` preserves first-occurrence
+    * order — so it needs ZERO shuffle at any scale: 100 TB of documents
+    * dedups map-side in one pass with no exchange anywhere in the plan.
+    * The oracle replays the semantics the honest relational way (explode
+    * with ordinality → min(ord) per (doc, word) → ordered string_agg),
+    * which doubles as a cross-engine proof that array_distinct's order
+    * contract matches the explicit first-occurrence query. */
+  val intraDocDedup = Q(
+    "q_dedup_intra_doc",
+    (s, dir) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat_ws(" ", array_distinct(words)).as("dedup_text"),
+          (size(words) - size(array_distinct(words))).cast("long").as("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          unnest(string_split(text, ' ')) AS word,
+          unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents),
+      f AS (SELECT doc_id, word, min(ord) AS ord FROM w GROUP BY doc_id, word),
+      c AS (SELECT doc_id, count(*) AS n_tot FROM w GROUP BY doc_id)
+      SELECT f.doc_id,
+        string_agg(f.word, ' ' ORDER BY f.ord) AS dedup_text,
+        CAST(max(c.n_tot) - count(*) AS BIGINT) AS n_removed
+      FROM f JOIN c ON f.doc_id = c.doc_id
+      GROUP BY f.doc_id
+      ORDER BY f.doc_id"""))
+
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
     tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ,
     softDedup, vocabOov, imputeMissing, lengthBuckets, corpusShuffle,
     stratifiedSample, temperatureMix, tokenEntropy, filterFunnel,
-    negativePairs)
+    negativePairs, intraDocDedup)
 }
