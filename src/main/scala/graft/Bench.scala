@@ -45,8 +45,17 @@ object Bench {
     // repeated runs is the standard robust estimator of noise-free cost.
     // A failing query records an explicit "err" marker — a swallowed
     // exception would otherwise SHRINK the total and read as a speedup.
+    // clearCache() between runs: operators that persist() intermediates
+    // their result plan depends on (Graph orientation, Dedup signatures,
+    // Fuzzy blocks) can't unpersist before returning, so without the
+    // sweep those caches LEAK across the suite — later queries evict
+    // earlier entries at random, and a repeat run may hit its first
+    // run's surviving cache, timing a warm partial plan. Sweeping makes
+    // every timed run the same self-contained job a cluster would
+    // submit: full plan, own caching, no neighbors.
     val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // sweep persisted intermediates leaked by operators whose result
+      // plan depends on them (see Bench) — 150+ queries in one JVM would
+      // otherwise accumulate evicting caches
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
