@@ -24,11 +24,13 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads with the
-    * legacy nanosAsLong conf (ts → epoch-nanos long). Set it HERE, not just
-    * in the streaming reader: otherwise every batch query over events is
-    * order-dependent — legal only if a streaming query ran first in the
-    * same session and set the conf as a side effect. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (older fixture
+    * generations) and as plain TIMESTAMP (µs). Setting nanosAsLong HERE
+    * keeps the nanos vintage readable (ts → epoch-nanos long) without
+    * order-dependence on which query runs first; it is a no-op for the
+    * µs vintage, which reads as TimestampType. Consumers that do time
+    * arithmetic dispatch on `schema("ts").dataType`; the streaming path
+    * normalizes in [[graft.streaming.EventStreams.eventsBatch]]. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")

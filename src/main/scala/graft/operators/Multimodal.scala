@@ -308,7 +308,13 @@ object Multimodal {
 
   def mediaTableCached(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, sfDir: String): DataFrame = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the documents file's (length, mtime) is part of the key: the media
+    // table is DERIVED from documents, so a fixture regenerated in place
+    // must invalidate the cache (same hazard as a streaming checkpoint
+    // over a rewritten source file)
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      s"_${src.length()}_${src.lastModified()}"
     val path = s"/tmp/graft_media/v$MediaGenVersion/$key"
     val done = new java.io.File(s"$path/_SUCCESS")
     if (!done.isFile) synchronized {

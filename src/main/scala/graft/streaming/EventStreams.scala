@@ -20,16 +20,28 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-    * timestamp type, so it is read as a long (legacy nanosAsLong conf)
-    * and truncated to microseconds on ingest. */
-  val eventsSchema: StructType = StructType(Seq(
+  /** events.ts has shipped in two fixture vintages: parquet
+    * TIMESTAMP(NANOS) — which Spark has no type for and reads only as an
+    * epoch-nanos long under the legacy nanosAsLong conf — and plain
+    * TIMESTAMP (µs). The file source needs an explicit schema whose ts
+    * field matches the file's physical type, so the reader probes the
+    * footer once and normalizes: every consumer sees ts: TimestampType
+    * regardless of vintage. */
+  private def eventsFileSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** True when the stored ts column is TIMESTAMP(NANOS) (surfaces as a
+    * long under nanosAsLong); false for a plain timestamp column. Sets
+    * the conf itself so the probe is order-independent. */
+  private def tsStoredAsNanos(spark: SparkSession, sfDir: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType == LongType
+  }
 
   /** Runs a streaming drain with a bounded state-store count: each state
     * partition is its own store instance with per-batch maintenance, so
@@ -42,25 +54,51 @@ object EventStreams {
     try body finally spark.conf.set(key, prev)
   }
 
-  private def readEvents(spark: SparkSession, sfDir: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(sfDir)
-      // integral `div`, NOT `/`: epoch nanos (~1.7e18) overflow a double's
-      // 53-bit mantissa, so float division rounds by up to ±1 µs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Stable per-(sfDir, fixture-generation) key for the fixed sink and
+    * checkpoint dirs. The events file's (length, mtime) is part of the
+    * key: a file-source checkpoint records processed file PATHS, so if
+    * the fixture is regenerated in place the old checkpoint marks the
+    * new data as already-read and the sink read-back serves the previous
+    * generation's rows. Fingerprinting gives a regenerated fixture a
+    * fresh checkpoint while an unchanged one still reuses its
+    * checkpoint (the exactly-once demo). */
+  private def fixtureKey(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      s"_${f.length()}_${f.lastModified()}"
   }
 
-  /** Batch read of the same events table. Sets the nanosAsLong conf
-    * itself: any events read that runs first in a fresh session (e.g. a
-    * SPARK_GRAFT_ONLY run of a single query) must not depend on another
-    * query having set it. */
-  private def readEventsBatch(spark: SparkSession, sfDir: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+  private def readEvents(spark: SparkSession, sfDir: String) = {
+    if (tsStoredAsNanos(spark, sfDir)) {
+      spark.readStream
+        .schema(eventsFileSchema(LongType))
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(sfDir)
+        // integral `div`, NOT `/`: epoch nanos (~1.7e18) overflow a double's
+        // 53-bit mantissa, so float division rounds by up to ±1 µs
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.readStream
+        .schema(eventsFileSchema(TimestampType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+    }
+  }
+
+  /** Batch read of the same events table, ts normalized to TimestampType
+    * like the streaming read. Probes the footer itself: any events read
+    * that runs first in a fresh session (e.g. a SPARK_GRAFT_ONLY run of a
+    * single query) must not depend on another query having set the
+    * legacy conf. */
+  def eventsBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    if (tsStoredAsNanos(spark, sfDir)) {
+      spark.read.schema(eventsFileSchema(LongType))
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.schema(eventsFileSchema(TimestampType))
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    }
   }
 
   /** 5-minute tumbling-window counts/sums by event_type, run as a real
@@ -101,7 +139,7 @@ object EventStreams {
       // new files and commits nothing, and the read-back is unchanged.
       // (Assumes one JVM per (sfDir) at a time, which is how the driver
       // and the local loop run.)
-      val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = fixtureKey(sfDir)
       val outDir = s"/tmp/graft_stream_sink/$key/out"
       val ckDir = s"/tmp/graft_stream_sink/$key/ck"
       val stream = readEvents(spark, sfDir)
@@ -174,7 +212,7 @@ object EventStreams {
             .cast("decimal(38,6)").as("sum_value"))
 
     // batch-seeded base snapshot: click events only
-    val batchEvents = readEventsBatch(spark, sfDir)
+    val batchEvents = eventsBatch(spark, sfDir)
     profile(batchEvents.where(col("event_type") === "click"))
       .write.mode("overwrite").parquet(s"$snapDir/v0")
 
@@ -261,7 +299,7 @@ object EventStreams {
     // of per-user event density (a 20x-replicated probe OOM'd the JVM
     // exactly there). The file sink keeps rows executor-side; same
     // exactly-once fixed-dir pattern as the window sink.
-    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = fixtureKey(sfDir)
     val outDir = s"/tmp/graft_stream_join/$key/out"
     val ckDir = s"/tmp/graft_stream_join/$key/ck"
     val q = joined

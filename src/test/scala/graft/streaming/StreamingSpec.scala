@@ -9,10 +9,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("windowed streaming aggregate equals the batch computation") {
     val streamed = EventStreams.windowedAggregate(spark, sfDir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.schema(EventStreams.eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val batch = EventStreams.eventsBatch(spark, sfDir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
@@ -48,9 +45,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     val merged = EventStreams.mergeToSnapshot(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.schema(EventStreams.eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val batch = EventStreams.eventsBatch(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value"))
