@@ -267,6 +267,49 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** EXACT Jaccard edge list by COUNT AGGREGATION: every undirected pair
+    * `(u < v)` with word-n-gram Jaccard >= `threshold`, in ONE gram
+    * self-join + ONE grouped count — no candidate/verify split at all.
+    *
+    * The intersection size falls out of the shuffle: posting rows are
+    * DISTINCT (doc, gram), so grouping the gram-equality self-join by
+    * (u, v) counts |A∩B| exactly, and one narrow size join turns it into
+    * `J = c / (|A| + |B| - c)`. Recall is trivially complete for any
+    * t > 0 — a qualifying pair shares at least one gram — so unlike
+    * df-capped candidate generators there is no rare-gram recall carve-
+    * out, and unlike the kernel-verified form no doc's gram array is
+    * ever re-scanned per pair: the comparison cost per co-occurring pair
+    * is one counter bump, not an O(|A|+|B|) array merge.
+    *
+    * Scale envelope: the self-join emits Σ_g C(df_g, 2) rows, which is
+    * the honest cost of EXACT similarity under boilerplate-free gram
+    * profiles (df spread over many low-df grams — the shape after
+    * normalization strips templates). A corpus with mega-df boilerplate
+    * grams needs the prefix-filtered tier ([[prefixFilteredJaccardJoin]],
+    * whose rare-first prefixes never post hot grams) or the MinHash tier
+    * ([[minhashNearDups]]); this form is the low-threshold workhorse
+    * where prefixes stop pruning (at t = 0.35 a prefix still posts 66%
+    * of each doc's grams, so the filter buys little). */
+  def exactJaccardEdges(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val d = docs.select(col(idCol).as("doc"),
+      wordNgrams(col(textCol), n).as("grams"))
+      .where(size(col("grams")) > 0)
+    val sz = d.select(col("doc"), size(col("grams")).as("sz"))
+    val eg = d.select(col("doc"), explode(col("grams")).as("gram"))
+    val inter = eg.as("x").join(eg.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("u"), col("y.doc").as("v"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc").as("u"), col("sz").as("su")), "u")
+      .join(sz.select(col("doc").as("v"), col("sz").as("sv")), "v")
+      .where(col("c").cast("double") /
+        (col("su") + col("sv") - col("c")).cast("double") >= threshold)
+      .select(col("u"), col("v"))
+  }
+
   /** Asymmetric CONTAINMENT self-join: every directed pair (a, b) with
     * `|grams(a) ∩ grams(b)| / |grams(a)| >= threshold` — the doc-in-doc
     * detector. Jaccard misses subset duplication by construction (a

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 import graft.functions.KernelExpressions.JaccardSorted
 
 /** Catalyst optimizer rule: derive cheap length bounds from Jaccard
@@ -61,6 +61,21 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
             if t > 0 && t <= 1 && !alreadyBounded(conjuncts, js) => bounds(js, t)
         case LessThanOrEqual(Literal(t: Double, DoubleType), js: JaccardSorted)
             if t > 0 && t <= 1 && !alreadyBounded(conjuncts, js) => bounds(js, t)
+        // the verification filters round before comparing
+        // (`round(jaccard_sorted(a,b), d) >= t`): round-half-up at scale
+        // d means the raw score can sit up to 0.5·10^-d below t, so the
+        // bounds hold at the RELAXED threshold t − 10^-d (conservative by
+        // another half-ulp) — still a useful prune at d = 4, t >= 0.5
+        case GreaterThanOrEqual(r: Round, Literal(t: Double, DoubleType))
+            if t > 0 && t <= 1 => r.child match {
+          case js: JaccardSorted if !alreadyBounded(conjuncts, js) =>
+            r.scale match {
+              case Literal(d: Int, IntegerType) if t - math.pow(10, -d) > 0 =>
+                bounds(js, t - math.pow(10, -d))
+              case _ => Nil
+            }
+          case _ => Nil
+        }
         case _ => Nil
       }
       if (derived.isEmpty) f

@@ -69,6 +69,7 @@ object DedupQueriesImpl {
   val ngramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, dir) => {
+      graft.plans.JaccardLengthPruning.install(s) // size bounds before the merge kernel
       val d = Tables.documents(s, dir).where(col("doc_id") < 200)
         .select(col("doc_id"), Dedup.sortedGramHashes(col("text"), 3).as("grams"))
       val a = d.alias("a")
@@ -99,9 +100,11 @@ object DedupQueriesImpl {
     * probabilistic MinHash one; the oracle brute-forces all pairs. */
   val prefixJoin = Q(
     "q_dedup_prefix_join",
-    (s, dir) =>
+    (s, dir) => {
+      graft.plans.JaccardLengthPruning.install(s) // size bounds before the merge kernel
       Dedup.prefixFilteredJaccardJoin(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
-        .orderBy(col("a"), col("b")),
+        .orderBy(col("a"), col("b"))
+    },
     Some("""WITH d AS (
         SELECT doc_id, list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
           for i in range(1, greatest(len(toks) - 1, 2))]) AS grams
@@ -197,6 +200,7 @@ object DedupQueriesImpl {
   val incremental = Q(
     "q_dedup_incremental",
     (s, dir) => {
+      graft.plans.JaccardLengthPruning.install(s) // size bounds before the merge kernel
       val d = Tables.documents(s, dir)
       Dedup.incrementalDedup(
           d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
@@ -366,49 +370,28 @@ object DedupQueriesImpl {
 
   /** Near-dup CLUSTERS: similarity pairs are not transitive, so dedup
     * must keep one doc per connected component of the similarity graph.
-    * Candidate pairs = docs sharing ≥1 RARE trigram (document frequency
-    * ≤ 20 — common shingles carry no dedup signal and capping df bounds
-    * the per-gram join fan-out at any corpus size); edges = candidates
-    * whose exact gram-set Jaccard ≥ 0.35 (sorted-merge kernel);
-    * clusters = min-label connected components. Every stage is exactly
-    * replayable in SQL, so this one IS oracle-checked (recursive-CTE
-    * reachability), unlike the seeded-LSH candidate paths. */
-  /** Shared near-dup component construction (rare-gram candidates →
-    * exact-Jaccard edges → min-label connected components), returning
-    * (node, component) — the input to BOTH the cluster-stats query and
-    * the canonical-selection query. */
+    * Edges = ALL pairs with exact gram-set Jaccard ≥ 0.35 (count-
+    * aggregation form, complete recall); clusters = min-label connected
+    * components. Every stage is exactly replayable in SQL, so this one
+    * IS oracle-checked (recursive-CTE reachability), unlike the
+    * seeded-LSH candidate paths. */
+  /** Shared near-dup component construction (exact-Jaccard edge list →
+    * min-label connected components), returning (node, component) — the
+    * input to BOTH the cluster-stats query and the canonical-selection
+    * query.
+    *
+    * Edges come from [[Dedup.exactJaccardEdges]] — the count-aggregation
+    * form. The earlier rare-gram candidate generator (share a df<=20
+    * gram, then kernel-verify) assumed boilerplate-heavy gram profiles;
+    * on a corpus where nearly EVERY gram is rare it degenerated into
+    * "share any gram" and produced 1.1 M candidates for 256 true edges
+    * at sf0.1 (16 s of candidate+verify work). The count form computes
+    * the same 256 edges exactly, with COMPLETE recall (no rare-gram
+    * carve-out), in one shuffle. */
   private def nearDupComponents(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    graft.plans.JaccardLengthPruning.install(s) // size bounds before the merge kernel
     val docs = Tables.documents(s, dir)
-    val eg = docs.select(col("doc_id"),
-      explode(Dedup.wordNgrams(col("text"), 3)).as("gram"))
-    val rare = eg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= 20).select("gram")
-    val re = eg.join(rare, "gram")
-    // materialized once: cand feeds BOTH candIds and the edge join, and
-    // recomputing it re-runs the whole gram-explode self-join. The
-    // candidate set is tiny (pairs sharing a rare gram). Lazy
-    // localCheckpoint, not persist: RDD-level cache blocks are released
-    // by the ContextCleaner once the query result is GC'd, so repeated
-    // runs in one session don't accumulate CacheManager entries.
-    val cand = re.as("x").join(re.as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // gram-hash arrays only for docs that appear in a candidate pair
-    // (semi-join prefilter — same shape as q_dedup_minhash_verified)
-    val candIds = cand.select(col("u").as("doc_id"))
-      .union(cand.select(col("v").as("doc_id"))).distinct()
-    val h = docs.join(candIds, "doc_id")
-      .select(col("doc_id"), Dedup.sortedGramHashes(col("text"), 3).as("h"))
-    val edges = cand
-      .join(h.select(col("doc_id").as("u"), col("h").as("ha")), "u")
-      .join(h.select(col("doc_id").as("v"), col("h").as("hb")), "v")
-      .where(graft.functions.KernelExpressions.jaccard_sorted(
-        col("ha"), col("hb")) >= 0.35)
-      .select(col("u"), col("v"))
+    val edges = Dedup.exactJaccardEdges(docs, "doc_id", "text", 3, 0.35)
     graft.operators.Components.connectedComponents(edges, "u", "v")
   }
 
@@ -434,16 +417,15 @@ object DedupQueriesImpl {
           list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
             for i in range(1, greatest(len(t) - 1, 2))]) AS grams
         FROM toks),
-      eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-      rare AS (SELECT gram FROM eg GROUP BY gram HAVING count(*) <= 20),
-      re AS (SELECT eg.doc_id, eg.gram FROM eg JOIN rare USING (gram)),
-      cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-        FROM re a JOIN re b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-      ed AS (SELECT u, v FROM cand
-        JOIN g ga ON ga.doc_id = cand.u JOIN g gb ON gb.doc_id = cand.v
-        WHERE len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) * 1.0
-              / (len(ga.grams) + len(gb.grams)
-                 - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))) >= 0.35),
+      eg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0),
+      sz AS (SELECT doc_id, len(grams) AS sz FROM g WHERE len(grams) > 0),
+      inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+        FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      ed AS (SELECT u, v FROM inter
+        JOIN sz su ON su.doc_id = inter.u
+        JOIN sz sv ON sv.doc_id = inter.v
+        WHERE CAST(c AS DOUBLE) / CAST(su.sz + sv.sz - c AS DOUBLE) >= 0.35),
       sym AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
       reach(node, lab) AS (
         SELECT DISTINCT u, u FROM sym
@@ -476,10 +458,10 @@ object DedupQueriesImpl {
         .orderBy(col("cluster_rep"))
     },
     Some(componentsCteSql + """,
-      sz AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      ntok AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
         FROM documents),
       m AS (SELECT c.cluster_rep, c.node, s.n_tok
-        FROM comp c JOIN sz s ON s.doc_id = c.node),
+        FROM comp c JOIN ntok s ON s.doc_id = c.node),
       k AS (SELECT cluster_rep, node, n_tok,
           row_number() OVER (PARTITION BY cluster_rep ORDER BY n_tok DESC, node) AS rn
         FROM m),

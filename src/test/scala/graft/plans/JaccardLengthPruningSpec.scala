@@ -61,4 +61,26 @@ class JaccardLengthPruningSpec extends AnyFunSuite {
     val plan = pairs.where(col("id") > 1L).queryExecution.optimizedPlan.toString
     assert(!plan.contains("size("), plan)
   }
+
+  // the verification filters in the prefix/minhash paths round the score
+  // before comparing — the rule must still fire, at the relaxed threshold
+  private def roundFiltered(t: Double) =
+    pairs.where(round(KernelExpressions.jaccard_sorted(col("a"), col("b")), 4) >= t)
+
+  test("rounded threshold: bounds injected and rows preserved") {
+    val plan = roundFiltered(0.5).queryExecution.optimizedPlan.toString
+    val nSize = "size\\(".r.findAllIn(plan).length
+    assert(nSize == 4, s"expected 4 size() reads (2 bounds), got $nSize in:\n$plan")
+    val got = roundFiltered(0.5).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"rounded-filter rows changed: $got")
+    // the skewed pair must still be pruned semantically
+    assert(!got.contains(4L))
+  }
+
+  test("rounded threshold at the boundary: round-half-up rows survive the relaxed bounds") {
+    // id=3: J = 0.25 exactly; round(J,4) >= 0.25 must keep it — the
+    // relaxed bound (0.25 - 1e-4) cannot prune a qualifying row
+    val got = roundFiltered(0.25).select("id").as[Long].collect().sorted.toSeq
+    assert(got.contains(3L), s"boundary row lost: $got")
+  }
 }
