@@ -96,13 +96,15 @@ object Graph {
     * scale 1e6, and identically reproduced by any engine computing the
     * same recurrence.
     *
-    * Plan shape per iteration: one hash join (ranks ⋈ adjacency on src —
-    * the rank side is |V| rows vs |E| adjacency rows, so AQE broadcasts
-    * it when small) and one shuffle aggregation on dst. The adjacency
-    * (+out-degree) table is computed once and persisted; iterations
-    * reuse it — the classic bulk-synchronous PageRank dataflow. On an
-    * undirected graph every vertex has an in-edge, so no dangling-mass
-    * term is needed.
+    * Plan shape per iteration: one join (ranks ⋈ adjacency on src) and
+    * one shuffle aggregation on dst (map-side partials bound the shuffle
+    * by |V|·partitions, not |E|). The adjacency+degree table is built in
+    * ONE shuffle (count window over the src partitioning) and persisted
+    * hash-partitioned and sorted on src, so per-iteration joins read it
+    * in place and move only the |V|-row rank side — the classic
+    * bulk-synchronous PageRank dataflow with the big side's exchange
+    * paid once. On an undirected graph every vertex has an in-edge, so
+    * no dangling-mass term is needed.
     */
   def pagerankFixedPoint(edges: DataFrame, iters: Int,
       dampingPct: Int = 85, scale: Long = 1000000L): DataFrame = {
@@ -118,10 +120,21 @@ object Graph {
     // deg is persisted too: the rank SEED reads it, and without the cache
     // the whole edge-build pipeline (self-join + distinct) would appear a
     // second time in the iteration lineage and execute again
-    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    val adjDeg = adj.join(deg, "src").persist()
+    // ONE shuffle builds the iteration-ready adjacency: out-degree via a
+    // count window over the src partitioning (no separate groupBy+join
+    // pass over |E| rows), and the window's sort leaves the cache
+    // hash-partitioned AND sorted on src — InMemoryRelation reports its
+    // child's outputPartitioning/ordering, so each iteration's
+    // sort-merge join reads the adjacency in place and shuffles only the
+    // |V|-row rank table. Same recipe as a bucketed fact table: pay the
+    // big side's exchange once, iterate on the small side.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val adjDeg = adj
+      .withColumn("deg", count(lit(1)).over(w))
+      .persist()
     val base = (scale * (100 - dampingPct)) / 100
-    var ranks = deg.select(col("src").as("node"), lit(scale).as("pr"))
+    var ranks = adjDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
       ranks = adjDeg.join(ranks, adjDeg("src") === ranks("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
