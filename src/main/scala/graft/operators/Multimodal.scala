@@ -12,8 +12,13 @@ import org.apache.spark.sql.types._
   * extraction and resize run on `javax.imageio` + `BufferedImage`.
   * The AUDIO path is real too: WAV/PCM16 decode + waveform statistics on
   * `javax.sound.sampled` (both JDK built-ins, zero extra dependencies).
-  * Bytes neither codec reads — and the video kind, for which the JDK
-  * ships no codec — fall back to [[DecodeStub]]/[[ResizeStub]],
+  * The VIDEO path parses the REAL ISO-BMFF (MP4) container header —
+  * box-tree walk over ftyp/moov/mvhd/trak/tkhd/mdat for dimensions,
+  * duration, timescale, and payload layout ([[VideoCodec]]) — which is
+  * how a pipeline probes video at scale without a frame decoder; only
+  * frame DECODE is stubbed (the JDK ships no video codec — a deployment
+  * plugs ffmpeg/JNI into the same batched partition map). Bytes no
+  * parser reads fall back to [[DecodeStub]]/[[ResizeStub]],
   * deterministic byte-derived fakes, so synthetic fixtures and foreign
   * blobs flow through the same plumbing instead of killing the task. Everything
   * Spark-side is shared: the schema convention, the batched
@@ -148,6 +153,146 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Parsed MP4/ISO-BMFF container header: dimensions from `tkhd`,
+    * duration/timescale from `mvhd`, payload location from `mdat`. */
+  final case class Mp4Header(brand: String, widthPx: Int, heightPx: Int,
+      timescale: Long, duration: Long, mdatOffset: Int, mdatLength: Int) {
+    def durationMs: Long =
+      if (timescale <= 0) 0L else duration * 1000L / timescale
+  }
+
+  /** Real ISO-BMFF (MP4) container-header codec: box-tree walking over
+    * `ftyp`/`moov`/`mvhd`/`trak`/`tkhd`/`mdat`. This is how a media
+    * pipeline PROBES video at scale — dimensions, duration, and payload
+    * layout come from ~100 header bytes without touching a frame
+    * decoder. FRAME decode stays out of scope (the JDK ships no video
+    * codec; a deployment would plug ffmpeg/JNI into the same batched
+    * partition map — see [[sampleFrames]]). */
+  final class VideoCodec extends Serializable {
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walks the top-level (and moov-nested) box tree; returns null for
+      * bytes that are not a well-formed MP4 header. Only version-0
+      * (32-bit) mvhd/tkhd tables are handled — the synthetic fixtures
+      * and the overwhelming share of real files. */
+    def parse(bytes: Array[Byte]): Mp4Header = {
+      if (bytes == null || bytes.length < 16) return null
+      if (tag(bytes, 0) != "ftyp") return null
+      var brand: String = null
+      var w = 0; var h = 0
+      var timescale = 0L; var duration = -1L
+      var mdatOff = -1; var mdatLen = -1
+      var o = 0
+      try {
+        while (o + 8 <= bytes.length) {
+          val size = u32(bytes, o)
+          if (size < 8 || o + size > bytes.length) return null
+          tag(bytes, o) match {
+            case "ftyp" =>
+              brand = new String(bytes, o + 8, 4,
+                java.nio.charset.StandardCharsets.US_ASCII)
+            case "mdat" =>
+              mdatOff = o + 8
+              mdatLen = (size - 8).toInt
+            case "moov" =>
+              var c = o + 8
+              val end = o + size.toInt
+              while (c + 8 <= end) {
+                val cs = u32(bytes, c)
+                if (cs < 8 || c + cs > end) return null
+                tag(bytes, c) match {
+                  case "mvhd" if bytes(c + 8) == 0 => // version 0
+                    timescale = u32(bytes, c + 20)
+                    duration = u32(bytes, c + 24)
+                  case "trak" =>
+                    var t = c + 8
+                    val tend = c + cs.toInt
+                    while (t + 8 <= tend) {
+                      val ts = u32(bytes, t)
+                      if (ts < 8 || t + ts > tend) return null
+                      if (tag(bytes, t) == "tkhd" && bytes(t + 8) == 0) {
+                        // width/height are 16.16 fixed point at the tail
+                        w = (u32(bytes, t + ts.toInt - 8) >> 16).toInt
+                        h = (u32(bytes, t + ts.toInt - 4) >> 16).toInt
+                      }
+                      t += ts.toInt
+                    }
+                  case _ =>
+                }
+                c += cs.toInt
+              }
+            case _ =>
+          }
+          o += size.toInt
+        }
+      } catch { case _: IndexOutOfBoundsException => return null }
+      if (brand == null || duration < 0) null
+      else Mp4Header(brand, w, h, timescale, duration, mdatOff, mdatLen)
+    }
+
+    /** FeatureDim statistics from the parsed header:
+      * [w/4096, h/4096, aspect, dur_s/60, timescale/90k, mdat-fraction,
+      * log10(container bytes)/8, brand-hash/65536]. */
+    def features(hdr: Mp4Header, totalBytes: Int): Array[Float] = {
+      val aspect = if (hdr.heightPx > 0) hdr.widthPx.toFloat / hdr.heightPx else 0f
+      var bh = 0
+      var i = 0
+      while (i < hdr.brand.length) { bh = bh * 31 + hdr.brand.charAt(i); i += 1 }
+      Array((hdr.widthPx / 4096.0f).min(1f), (hdr.heightPx / 4096.0f).min(1f),
+        aspect.min(8f), (hdr.durationMs / 60000.0).min(1.0).toFloat,
+        (hdr.timescale / 90000.0f).min(1f),
+        if (totalBytes > 0 && hdr.mdatLength > 0) hdr.mdatLength.toFloat / totalBytes else 0f,
+        (math.log10(math.max(totalBytes, 1)) / 8.0).toFloat,
+        ((bh & 0xffff) / 65536.0f))
+    }
+  }
+
+  /** Builds a minimal valid MP4: `ftyp` + `moov`(`mvhd`+`trak`(`tkhd`)) +
+    * `mdat` carrying `payload`. Fixture helper — what
+    * [[syntheticMediaTable]] embeds in video rows, so the registered
+    * queries exercise the REAL container-header path. */
+  def mp4Bytes(widthPx: Int, heightPx: Int, durationMs: Int,
+      timescale: Int, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 16 + 8 + 108 + 8 + 92 + 8 +
+      (if (payload == null) 0 else payload.length))
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size)
+      bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    box(24, "ftyp")
+    bb.put("isom".getBytes); bb.putInt(0); bb.put("isom".getBytes); bb.put("mp41".getBytes)
+    val duration = (durationMs.toLong * timescale / 1000L).toInt
+    box(8 + 108 + 8 + 92, "moov")
+    box(108, "mvhd")
+    bb.putInt(0)               // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(timescale); bb.putInt(duration)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)  // rate, volume
+    bb.putInt(0); bb.putInt(0) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(2)               // next track id
+    box(8 + 92, "trak")
+    box(92, "tkhd")
+    bb.putInt(0)               // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(1)               // track id
+    bb.putInt(0)               // reserved
+    bb.putInt(duration)
+    bb.putInt(0); bb.putInt(0) // reserved
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0) // layer/group/volume/rsvd
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    bb.putInt(widthPx << 16); bb.putInt(heightPx << 16) // 16.16 fixed
+    val n = if (payload == null) 0 else payload.length
+    box(8 + n, "mdat")
+    if (n > 0) bb.put(payload)
+    bb.array()
+  }
+
   val MediaMetaType: StructType = StructType(Seq(
     StructField("kind", StringType),        // "image" | "audio" | "video"
     StructField("width", IntegerType),
@@ -192,6 +337,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       val codec = new ImageCodec // one init per partition/task
       val audio = new AudioCodec
+      val video = new VideoCodec
       val fallback = new DecodeStub
       rows.grouped(BatchSize).flatMap { batch =>
         val contents = batch.map(_.getAs[Array[Byte]](contentIdx)).toArray
@@ -200,7 +346,12 @@ object Multimodal {
           if (img != null) codec.features(img)
           else {
             val af = audio.features(bytes)
-            if (af != null) af else fallback.decodeBatch(Array(bytes))(0)
+            if (af != null) af
+            else {
+              val hdr = video.parse(bytes)
+              if (hdr != null) video.features(hdr, bytes.length)
+              else fallback.decodeBatch(Array(bytes))(0)
+            }
           }
         }
         batch.iterator.zipWithIndex.map { case (r, i) =>
@@ -263,10 +414,15 @@ object Multimodal {
     }
   }
 
-  /** Samples `n` evenly-spaced "frames" from each video row (a real
-    * decoder would seek keyframes — stubbed as byte-range slices with
-    * the same output contract: one row per sampled frame, frame index +
-    * frame bytes). Non-video rows produce no frames. */
+  /** Samples `n` evenly-spaced "frames" from each video row. The
+    * container header is REALLY parsed ([[VideoCodec]]): slices come
+    * from inside the `mdat` payload — the media data a decoder would
+    * read — not from header bytes. Actual frame DECODE stays stubbed as
+    * byte-range slices (no JDK video codec; a deployment plugs
+    * ffmpeg/JNI into this same per-partition loop) with the same output
+    * contract: one row per sampled frame, frame index + frame bytes.
+    * Non-MP4 video bytes fall back to whole-content slices; non-video
+    * rows produce no frames. */
   def sampleFrames(df: DataFrame, n: Int): DataFrame = {
     val schema = df.schema
     val outSchema = StructType(Seq(
@@ -278,16 +434,28 @@ object Multimodal {
     val metaIdx = schema.fieldIndex("meta")
     implicit val enc = Encoders.row(outSchema)
     df.mapPartitions { rows =>
+      val video = new VideoCodec
       rows.flatMap { r =>
         val m = r.getStruct(metaIdx)
         if (m == null || m.getString(0) != "video") Iterator.empty
         else {
-          val bytes = r.getAs[Array[Byte]](contentIdx)
-          if (bytes == null || bytes.isEmpty) Iterator.empty
-          else (0 until n).iterator.map { f =>
-            val start = ((f.toLong * bytes.length) / n).toInt
-            val end = (((f + 1).toLong * bytes.length) / n).toInt
-            Row(r.get(idIdx), f, java.util.Arrays.copyOfRange(bytes, start, math.max(end, start + 1)))
+          val all = r.getAs[Array[Byte]](contentIdx)
+          val hdr = if (all == null) null else video.parse(all)
+          // a parsed container with no media data has no frames — the
+          // mdat payload, not the byte count, decides (a header-only MP4
+          // is non-empty but frameless)
+          if (all == null || all.isEmpty ||
+            (hdr != null && hdr.mdatLength <= 0)) Iterator.empty
+          else {
+            val (off, len) =
+              if (hdr != null) (hdr.mdatOffset, hdr.mdatLength)
+              else (0, all.length)
+            (0 until n).iterator.map { f =>
+              val start = off + ((f.toLong * len) / n).toInt
+              val end = off + (((f + 1).toLong * len) / n).toInt
+              Row(r.get(idIdx), f,
+                java.util.Arrays.copyOfRange(all, start, math.max(end, start + 1)))
+            }
           }
         }
       }
@@ -304,7 +472,7 @@ object Multimodal {
   /** Bump when [[syntheticMediaTable]]'s generation rule changes — the
     * version is part of the cache path, so stale renders are never
     * served after a logic change. */
-  val MediaGenVersion = 3
+  val MediaGenVersion = 4
 
   def mediaTableCached(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, sfDir: String): DataFrame = {
@@ -336,18 +504,24 @@ object Multimodal {
   /** Builds a multimodal table from the documents table. IMAGE rows carry
     * a REAL rendered PNG (a deterministic two-band pattern seeded by
     * media_id and text hash) so the registered multimodal queries
-    * exercise the actual `javax.imageio` decode path; audio/video rows
-    * keep text bytes as opaque stand-in blobs. */
+    * exercise the actual `javax.imageio` decode path; AUDIO rows carry a
+    * real sine-tone WAV; VIDEO rows carry a minimal valid MP4 container
+    * (ftyp + moov/mvhd/trak/tkhd + mdat payload = the text bytes) so the
+    * container-header parse path is real too. */
   def syntheticMediaTable(docs: DataFrame): DataFrame = {
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val vidW = (pmod(col("doc_id"), lit(4)) * 320 + 640).cast("int")  // 640..1600
+    val vidH = (pmod(col("doc_id"), lit(4)) * 180 + 360).cast("int")  // 360..900
     val base = docs.select(
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"),
       struct(
         kind.as("kind"),
-        when(kind === "image", lit(SynthImageW)).otherwise(lit(null).cast("int")).as("width"),
-        when(kind === "image", lit(SynthImageH)).otherwise(lit(null).cast("int")).as("height"),
+        when(kind === "image", lit(SynthImageW))
+          .when(kind === "video", vidW).otherwise(lit(null).cast("int")).as("width"),
+        when(kind === "image", lit(SynthImageH))
+          .when(kind === "video", vidH).otherwise(lit(null).cast("int")).as("height"),
         when(kind === "audio", lit(16000)).otherwise(lit(null).cast("int")).as("sample_rate"),
         when(kind === "audio", // capped: 16 kHz PCM16 is 32 bytes/ms per row
           least(greatest(length(col("text")) * 10, lit(10)), lit(250)).cast("int"))
@@ -371,6 +545,14 @@ object Multimodal {
           val freq = 200.0 + java.lang.Long.remainderUnsigned(h, 2000L)
           val vals = r.toSeq.toArray
           vals(contentIdx) = sineWav(freq, m.getInt(4), m.getInt(3))
+          Row.fromSeq(vals.toIndexedSeq)
+        } else if (m.getString(0) == "video") {
+          // real MP4 container: header carries the meta dims/duration,
+          // mdat carries the text bytes (what frame sampling slices)
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val vals = r.toSeq.toArray
+          vals(contentIdx) = mp4Bytes(m.getInt(1), m.getInt(2), m.getInt(4),
+            timescale = 1000, payload = bytes)
           Row.fromSeq(vals.toIndexedSeq)
         } else if (m.getString(0) != "image") r
         else {

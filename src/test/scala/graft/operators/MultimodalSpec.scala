@@ -31,8 +31,16 @@ class MultimodalSpec extends AnyFunSuite {
       .select("media_id", "features").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(rows == rows2)
-    // empty content → zero vector, not a crash
-    assert(rows(2L).forall(_ == 0.0f))
+    // the empty-payload video still carries a parseable container:
+    // header features (dims real, duration 0), not stub hashes
+    assert(math.abs(rows(2L)(0) - 1280 / 4096.0f) < 1e-6, s"id2: ${rows(2L)}")
+    assert(rows(2L)(3) == 0.0f, s"empty payload → zero duration: ${rows(2L)}")
+    // truly empty bytes → zero vector, not a crash (totality)
+    val emptyRow = Multimodal.decodeFeatures(
+      media.withColumn("content", when(col("media_id") === 2L,
+        lit(Array.empty[Byte])).otherwise(col("content"))), "content")
+      .where(col("media_id") === 2L).select("features").collect()(0).getSeq[Float](0)
+    assert(emptyRow.forall(_ == 0.0f))
     // different content → different features
     assert(rows(0L) != rows(1L))
   }
@@ -145,6 +153,54 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(f(4) - 0.5) < 0.01, s"audio row peak: ${f(4)}")
       assert(math.abs(f(3) - 0.5 / math.sqrt(2)) < 0.01, s"audio row rms: ${f(3)}")
     }
+  }
+
+  test("MP4 container header: round-trip through build + parse") {
+    val payload = "media data payload".getBytes
+    val bytes = Multimodal.mp4Bytes(1280, 720, durationMs = 90000,
+      timescale = 1000, payload = payload)
+    val hdr = new Multimodal.VideoCodec().parse(bytes)
+    assert(hdr != null, "well-formed MP4 must parse")
+    assert(hdr.brand == "isom")
+    assert(hdr.widthPx == 1280 && hdr.heightPx == 720, s"dims: $hdr")
+    assert(hdr.timescale == 1000 && hdr.durationMs == 90000, s"duration: $hdr")
+    // the mdat slice is exactly the payload
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, hdr.mdatOffset, hdr.mdatOffset + hdr.mdatLength),
+      payload))
+  }
+
+  test("MP4 parser rejects malformed bytes instead of throwing") {
+    val codec = new Multimodal.VideoCodec()
+    assert(codec.parse(null) == null)
+    assert(codec.parse(Array.empty[Byte]) == null)
+    assert(codec.parse("definitely not an mp4 container here".getBytes) == null)
+    // truncated container: valid ftyp, then a box whose size overruns
+    val good = Multimodal.mp4Bytes(640, 360, 1000, 1000, "x".getBytes)
+    assert(codec.parse(java.util.Arrays.copyOfRange(good, 0, 60)) == null)
+  }
+
+  test("video rows carry real MP4s: header features and mdat-sliced frames") {
+    // synthetic video rows must parse, and their features must reflect
+    // the SEEDED header values, not byte-hash stub output
+    val vids = Multimodal.decodeFeatures(media, "content")
+      .where(col("meta.kind") === "video")
+      .select("media_id", "meta.width", "meta.duration_ms", "features").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      val w = r.getInt(1); val durMs = r.getInt(2)
+      val f = r.getSeq[Float](3)
+      assert(math.abs(f(0) - (w / 4096.0f).min(1f)) < 1e-6, s"width feature: $r")
+      assert(math.abs(f(3) - (durMs / 60000.0).min(1.0)) < 1e-6, s"duration feature: $r")
+      assert(math.abs(f(2) - 16f / 9f) < 1e-3, s"synthetic aspect is 16:9: $r")
+    }
+    // frames for id 5 are slices of the ORIGINAL text payload (the mdat),
+    // never header bytes
+    val frames = Multimodal.sampleFrames(media, 4)
+      .where(col("media_id") === 5L).orderBy(col("frame_idx")).collect()
+    val joined = frames.flatMap(_.getAs[Array[Byte]]("frame")).toArray
+    assert(new String(joined) == "a long enough synthetic video payload",
+      s"frames must reassemble the mdat payload: '${new String(joined)}'")
   }
 
   test("batched execution: batch boundaries do not change results") {
