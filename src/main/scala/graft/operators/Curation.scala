@@ -253,4 +253,49 @@ object Curation {
       .select(col("doc"), col("n_tokens"), col("oov"),
         round(col("oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
+
+  /** T5-style SPAN CORRUPTION: deterministic masking of fixed-width
+    * token blocks, producing the (corrupted input, extraction target)
+    * pair a denoising pretrainer consumes. Tokens are grouped into
+    * `spanLen`-wide blocks; block b of document d is masked iff
+    * `pmod(((d*7919 + b) mod 1048573) * 2654435761, 2147483647) < p`
+    * with `p = pctMasked·(2^31−1)/100` — an integer hash both engines
+    * evaluate identically (each factor is bounded so the product stays
+    * inside int64; no rand(), no partition-order dependence). Masked
+    * blocks collapse to one `<extra>` sentinel in the input and are
+    * concatenated (in order, `<extra>`-separated) into the target.
+    *
+    * Entirely per-row array expressions (`transform`/`filter`/`flatten`
+    * over the token array) — zero shuffle, zero join: corruption
+    * parallelizes embarrassingly, which is the property that matters at
+    * 100 TB. The per-block hash is O(tokens); nothing is quadratic.
+    * Returns the id column plus `n_tokens`, `n_spans` (masked blocks),
+    * `n_masked` (masked tokens), `input_text`, `target_text`. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, pctMasked: Int = 15): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    require(pctMasked >= 0 && pctMasked <= 100, s"bad pctMasked $pctMasked")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nTok = size(toks)
+    val nBlk = ceil(nTok.cast("double") / spanLen).cast("int")
+    val cut = lit(2147483647L * pctMasked / 100)
+    // per block: (masked?, tokens of the block)
+    val blocks = transform(sequence(lit(0), nBlk - 1), b => {
+      val h = pmod(pmod(col(idCol) * 7919 + b.cast("long"), lit(1048573L)) *
+        lit(2654435761L), lit(2147483647L))
+      struct((h < cut).as("m"),
+        slice(toks, b * spanLen + 1, lit(spanLen)).as("t"))
+    })
+    df.select(col(idCol), blocks.as("blocks"), nTok.as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        size(filter(col("blocks"), b => b.getField("m"))).as("n_spans"),
+        aggregate(col("blocks"), lit(0),
+          (acc, b) => acc + when(b.getField("m"), size(b.getField("t"))).otherwise(0))
+          .cast("long").as("n_masked"),
+        array_join(flatten(transform(col("blocks"),
+          b => when(b.getField("m"), array(lit("<extra>")))
+            .otherwise(b.getField("t")))), " ").as("input_text"),
+        array_join(transform(filter(col("blocks"), b => b.getField("m")),
+          b => array_join(b.getField("t"), " ")), " <extra> ").as("target_text"))
+  }
 }

@@ -621,9 +621,46 @@ object CurationQueriesImpl {
       GROUP BY f.doc_id
       ORDER BY f.doc_id"""))
 
+  /** T5-style span corruption ([[Curation.spanCorrupt]]): 3-token blocks
+    * masked at 15% by an integer hash both engines evaluate identically,
+    * producing (corrupted input, `<extra>`-joined extraction target) —
+    * the denoising-pretraining sample builder. Pure per-row array
+    * expressions: zero shuffle, zero join. The oracle replays blocks,
+    * hash, and both strings verbatim (first 100 docs keep the result
+    * diffable). */
+  val spanCorruptQ = Q(
+    "q_span_corrupt",
+    (s, dir) =>
+      Curation.spanCorrupt(
+          Tables.documents(s, dir).where(col("doc_id") < 100), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 100),
+      nb AS (SELECT doc_id, t, CAST(ceil(len(t) / 3.0) AS INT) AS nblk FROM toks),
+      blk AS (SELECT doc_id, t,
+          [{'m': ((doc_id*7919 + b) % 1048573) * 2654435761 % 2147483647 < 322122547,
+            's': list_aggregate(t[b*3+1 : b*3+3], 'string_agg', ' '),
+            'c': least(len(t) - b*3, 3)}
+           for b in range(nblk)] AS blocks
+        FROM nb),
+      m AS (SELECT doc_id, t, blocks,
+          list_filter(blocks, x -> x.m) AS masked FROM blk)
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(len(masked) AS INT) AS n_spans,
+        CAST(coalesce(list_sum(list_transform(masked, x -> x.c)), 0) AS BIGINT)
+          AS n_masked,
+        coalesce(list_aggregate(list_transform(blocks,
+          x -> CASE WHEN x.m THEN '<extra>' ELSE x.s END),
+          'string_agg', ' '), '') AS input_text,
+        coalesce(list_aggregate(list_transform(masked, x -> x.s),
+          'string_agg', ' <extra> '), '') AS target_text
+      FROM m ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
     tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ,
     softDedup, vocabOov, imputeMissing, lengthBuckets, corpusShuffle,
     stratifiedSample, temperatureMix, tokenEntropy, filterFunnel,
-    negativePairs, intraDocDedup)
+    negativePairs, intraDocDedup, spanCorruptQ)
 }

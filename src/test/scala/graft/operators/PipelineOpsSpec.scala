@@ -516,4 +516,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy($"text").collect().toSeq
     assert(a == b)
   }
+
+  test("span corruption: sentinel substitution reconstructs the original text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "one two"),
+      (3L, (1 to 400).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.spanCorrupt(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.collect().foreach { d =>
+      val id = d.getLong(0)
+      val orig = d.getString(1).trim.split("\\s+").toSeq
+      val r = out(id)
+      assert(r.getAs[Int]("n_tokens") == orig.length)
+      // substitute each <extra> sentinel in the input with the
+      // corresponding target span — must reconstruct the original
+      val spans = Iterator(r.getAs[String]("target_text"))
+        .filter(_.nonEmpty).flatMap(_.split(" <extra> ")).toBuffer
+      val rebuilt = r.getAs[String]("input_text").split("\\s+").toSeq.flatMap {
+        case "<extra>" => spans.remove(0).split(" ").toSeq
+        case t => Seq(t)
+      }
+      assert(rebuilt == orig, s"doc $id reconstruction")
+      assert(spans.isEmpty, s"doc $id: unconsumed target spans")
+      // span/token accounting consistent
+      assert(r.getAs[Long]("n_masked") ==
+        orig.length - r.getAs[String]("input_text").split("\\s+")
+          .count(_ != "<extra>"))
+    }
+    // the long doc's masked fraction lands near the 15% target
+    val frac = out(3L).getAs[Long]("n_masked").toDouble / 400
+    assert(frac > 0.08 && frac < 0.25, s"masked fraction $frac")
+    // determinism across partitionings
+    val again = Curation.spanCorrupt(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toString).toMap
+    assert(out.keys.forall(k => again(k) == out(k).toString))
+  }
 }
