@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 import graft.functions.KernelExpressions.JaccardSorted
@@ -51,10 +51,10 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
   private def alreadyBounded(conjuncts: Seq[Expression], js: JaccardSorted): Boolean =
     hasSizeOf(conjuncts, js.left) && hasSizeOf(conjuncts, js.right)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case f @ Filter(cond, child) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val derived = conjuncts.flatMap {
+  /** Bounds derivable from the conjuncts of a predicate (empty if none
+    * apply or they are already present). */
+  private def derive(conjuncts: Seq[Expression]): Seq[Expression] =
+    conjuncts.flatMap {
         case GreaterThanOrEqual(js: JaccardSorted, Literal(t: Double, DoubleType))
             if t > 0 && t <= 1 && !alreadyBounded(conjuncts, js) => bounds(js, t)
         case GreaterThan(js: JaccardSorted, Literal(t: Double, DoubleType))
@@ -78,8 +78,23 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
         }
         case _ => Nil
       }
+
+  /** Injects into BOTH predicate homes: Filter conditions, and Join
+    * conditions — the main optimizer pushes a post-join threshold filter
+    * INTO the join (PushPredicateThroughJoin) before this extra batch
+    * runs, and the join is exactly where the merge kernel would
+    * otherwise run once per candidate pair. */
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val derived = derive(conjuncts)
       if (derived.isEmpty) f
       else Filter((derived ++ conjuncts).reduce(And), child)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val derived = derive(conjuncts)
+      if (derived.isEmpty) j
+      else j.copy(condition = Some((derived ++ conjuncts).reduce(And)))
   }
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {

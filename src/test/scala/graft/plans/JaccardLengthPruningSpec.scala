@@ -77,6 +77,31 @@ class JaccardLengthPruningSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("join-condition injection: bounds land inside the join, rows preserved") {
+    // the optimizer pushes a post-join threshold filter INTO the join
+    // condition before the extra batch runs — the rule must fire there
+    val left = pairs.select(col("id").as("lid"), col("a"))
+    val right = pairs.select(col("id").as("rid"), col("b"))
+    val joined = left.join(right,
+      round(KernelExpressions.jaccard_sorted(col("a"), col("b")), 4) >= 0.5 &&
+        col("lid") <= col("rid"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert("size\\(".r.findAllIn(plan).length == 4,
+      s"expected 2 injected bounds in the join condition:\n$plan")
+    // semantics: same pairs as the un-bounded cross check
+    val got = joined.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val rows = pairs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet))
+    val exp = (for {
+      (li, a, _) <- rows; (ri, _, b) <- rows
+      if li <= ri
+      j = a.intersect(b).size.toDouble / a.union(b).size
+      if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.5
+    } yield (li, ri)).sorted.toSeq
+    assert(got == exp)
+  }
+
   test("rounded threshold at the boundary: round-half-up rows survive the relaxed bounds") {
     // id=3: J = 0.25 exactly; round(J,4) >= 0.25 must keep it — the
     // relaxed bound (0.25 - 1e-4) cannot prune a qualifying row
