@@ -158,6 +158,39 @@ object MiscQueriesImpl {
         CAST(sum(sum_value) AS DOUBLE) AS sum_value
       FROM prof GROUP BY 1 ORDER BY bucket"""))
 
+  /** LEFT OUTER stream-stream interval join
+    * ([[EventStreams.clickPurchaseLeftJoin]]): matches emit like the
+    * inner join; a click's null row emits only once the watermark proves
+    * no purchase can still arrive (state eviction), so trailing clicks
+    * inside the final hold-back are withheld. The oracle replays the
+    * global watermark — min over BOTH inputs of (ms-truncated max event
+    * time) − 10 min — and the eviction cutoff in SQL; NULLS FIRST
+    * matches Spark's ascending null ordering. */
+  val streamLeftJoin = Q(
+    "q_stream_join_outer",
+    (s, dir) => EventStreams.clickPurchaseLeftJoin(s, dir),
+    Some("""WITH c AS (SELECT user_id, event_id AS c_id, CAST(ts AS TIMESTAMP) AS c_ts
+        FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+        FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT least(
+          (SELECT date_trunc('milliseconds', max(c_ts)) FROM c),
+          (SELECT date_trunc('milliseconds', max(p_ts)) FROM p))
+          - INTERVAL '10 minutes' AS w),
+      matched AS (SELECT c.user_id, c.c_id, p.p_id, round(p.value, 2) AS purchase_value
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL '10 minutes'),
+      unmatched AS (SELECT c.user_id, c.c_id,
+          CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS purchase_value
+        FROM c, wm
+        WHERE c.c_ts + INTERVAL '10 minutes' < wm.w
+          AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+            AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL '10 minutes'))
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM unmatched
+      ORDER BY user_id, c_id, p_id NULLS FIRST"""))
+
   def all: Seq[Q] = Seq(streamWindow, streamWindowSink, streamSessionize, streamDedup,
-    streamJoin, streamStatic, streamMerge, multimodalDecode, multimodalPipeline)
+    streamJoin, streamLeftJoin, streamStatic, streamMerge, multimodalDecode,
+    multimodalPipeline)
 }

@@ -322,6 +322,52 @@ object EventStreams {
       .orderBy(col("user_id"), col("c_id"), col("p_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every click, matched to the
+    * same user's purchases in the following 10 minutes OR emitted with
+    * nulls once the watermark proves no match can arrive — the
+    * state-eviction semantics the inner join never exercises. A click's
+    * null row appears when the watermark passes `c_ts + 10 min` (its
+    * state expires); clicks inside the final watermark hold-back are
+    * withheld forever on a bounded input, exactly like append-mode
+    * windows — the oracle replays that cutoff. State and scale behavior
+    * are the inner join's (bounded by the interval + delay). */
+  def clickPurchaseLeftJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val clicks = readEvents(spark, sfDir).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = readEvents(spark, sfDir).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val key = fixtureKey(sfDir)
+    val outDir = s"/tmp/graft_stream_ljoin/$key/out"
+    val ckDir = s"/tmp/graft_stream_ljoin/$key/ck"
+    val q = joined
+      .select(col("c_user").as("user_id"), col("c_id"), col("p_id"),
+        round(col("value"), 2).as("purchase_value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("c_id", LongType),
+        StructField("p_id", LongType),
+        StructField("purchase_value", DoubleType))))
+      .parquet(outDir)
+      .orderBy(col("user_id"), col("c_id"), col("p_id"))
+  }
+
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class SessState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

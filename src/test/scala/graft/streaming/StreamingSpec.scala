@@ -62,6 +62,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(versions.exists(_ != "v0"), s"no merged snapshot version: ${versions.mkString(",")}")
   }
 
+  test("left-outer interval join: inner rows preserved, nulls only for expired unmatched clicks") {
+    val outer = EventStreams.clickPurchaseLeftJoin(spark, sfDir).collect()
+    val inner = EventStreams.clickPurchaseJoin(spark, sfDir).collect()
+      .map(_.toString).toSet
+    val (matched, nulls) = outer.partition(r => !r.isNullAt(2))
+    // the matched subset IS the inner join
+    assert(matched.map(_.toString).toSet == inner)
+    // a click never appears both matched and null-emitted
+    val matchedClicks = matched.map(_.getLong(1)).toSet
+    assert(nulls.forall(r => !matchedClicks.contains(r.getLong(1))))
+    // null rows exist (bounded input leaves plenty of unmatched clicks)
+    assert(nulls.nonEmpty)
+    assert(nulls.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("sessionization: session stats are consistent with raw events") {
     val sessions = EventStreams.sessionize(spark, sfDir)
     val rows = sessions.collect()
