@@ -62,6 +62,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(versions.exists(_ != "v0"), s"no merged snapshot version: ${versions.mkString(",")}")
   }
 
+  test("state-store parity: the RocksDB provider yields identical streaming results") {
+    // the production state backend for state larger than executor memory
+    // (what a 100 TB streaming job runs on) must be a pure swap: same
+    // windowed aggregate AND same stateful-sessionization output as the
+    // default in-memory HDFS-backed provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = EventStreams.windowedAggregate(spark, sfDir).collect().map(_.toString)
+    val defaultSess = EventStreams.sessionize(spark, sfDir).collect().map(_.toString)
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = EventStreams.windowedAggregate(spark, sfDir).collect().map(_.toString)
+      assert(rocks.sameElements(default), "windowed aggregate diverged on RocksDB")
+      val rocksSess = EventStreams.sessionize(spark, sfDir).collect().map(_.toString)
+      assert(rocksSess.sameElements(defaultSess), "sessionization diverged on RocksDB")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("left-outer interval join: inner rows preserved, nulls only for expired unmatched clicks") {
     val outer = EventStreams.clickPurchaseLeftJoin(spark, sfDir).collect()
     val inner = EventStreams.clickPurchaseJoin(spark, sfDir).collect()
