@@ -203,6 +203,19 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Unicode NFC canonicalization (`java.text.Normalizer`) — the
+    * curation normalization that collapses decomposed sequences
+    * (e + U+0301 → é) before hashing/dedup, so byte-different renderings
+    * of the same text cannot defeat digest-based dedup. Cross-engine
+    * parity with utf8proc-based `nfc_normalize` (DuckDB) is pinned by
+    * the registered query's oracle. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Distinct word n-gram STRINGS in first-occurrence order — semantics
     * identical to the composed
     * `array_distinct(transform(sequence(1, max(nTok-(n-1),1)), i ->
@@ -415,6 +428,17 @@ object KernelExpressions {
       copy(child = c)
   }
 
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.nfcNormalize(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.nfcNormalize($c);")
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+  }
+
   case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(v: Any): Any =
@@ -517,6 +541,9 @@ object KernelExpressions {
 
   def sorted_gram_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(SortedGramHashes(ColumnBridge.expression(text), n))
+
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 
   def word_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))

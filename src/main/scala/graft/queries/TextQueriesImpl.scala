@@ -334,6 +334,51 @@ object TextQueriesImpl {
         round(CAST(hapax AS DOUBLE) / n_bigrams, 6) AS novelty
       FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id"""))
 
+  /** Unicode NFC canonicalization (native codegen'd
+    * [[graft.functions.KernelExpressions.nfc_normalize]] kernel over
+    * `java.text.Normalizer`): byte-different renderings of the same text
+    * (decomposed accents) must collapse to one form BEFORE digest dedup
+    * or they defeat it. The fixture corpus is ASCII-normalized already,
+    * so the query PLANTS decomposed suffixes (e+U+0301, A+U+030A, the
+    * U+FB01 ligature — NFC-invariant, proving this is not NFKC) on the
+    * first 200 docs — same pattern as the LSH planted twins; the oracle
+    * builds identical strings with chr() and replays utf8proc's
+    * `nfc_normalize`, pinning Java ≡ utf8proc on the full output text. */
+  val unicodeNfc = Q(
+    "q_text_unicode_nfc",
+    (s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      // explicit escapes, NOT raw characters: an NFC-normalizing editor
+      // would silently precompose a pasted decomposed literal
+      val suffix = when(m === 0, lit("e\u0301"))
+        .when(m === 1, lit("A\u030A"))
+        .when(m === 2, lit("\uFB01"))
+        .otherwise(lit(""))
+      val aug = concat(col("text"), suffix)
+      val norm = graft.functions.KernelExpressions.nfc_normalize(aug)
+      Tables.documents(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id"), aug.as("aug"), norm.as("norm"))
+        .select(col("doc_id"),
+          (col("norm") =!= col("aug")).as("changed"),
+          length(col("aug")).cast("long").as("len_aug"),
+          length(col("norm")).cast("long").as("len_norm"),
+          col("norm").as("norm_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+        text || CASE doc_id % 4
+          WHEN 0 THEN 'e' || chr(769)
+          WHEN 1 THEN 'A' || chr(778)
+          WHEN 2 THEN chr(64257)
+          ELSE '' END AS t
+      FROM documents WHERE doc_id < 200)
+      SELECT doc_id, nfc_normalize(t) <> t AS changed,
+        CAST(length(t) AS BIGINT) AS len_aug,
+        CAST(length(nfc_normalize(t)) AS BIGINT) AS len_norm,
+        nfc_normalize(t) AS norm_text
+      FROM aug ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
-    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, bigramMining, bigramLm)
+    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, bigramMining, bigramLm,
+    unicodeNfc)
 }

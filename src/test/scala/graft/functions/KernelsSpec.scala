@@ -189,4 +189,29 @@ class KernelsSpec extends AnyFunSuite {
     val again = docs.select(KernelExpressions.simhash64(col("text"))).collect().map(_.getLong(0))
     assert(again.toSeq == docs.select(col("doc_id")).collect().map(r => t(r.getLong(0))).toSeq)
   }
+
+  test("nfc_normalize kernel: composes decomposed sequences, idempotent, NFC not NFKC") {
+    import spark.implicits._
+    // explicit escapes, NOT raw characters: an NFC-normalizing editor
+    // would silently precompose a pasted decomposed literal
+    val decomposedCafe = "cafe\u0301"            // e + combining acute
+    val composedCafe = "caf\u00e9"
+    val decomposedA = "A\u030angstro\u0308m"    // ring + diaeresis decomposed
+    val composedA = "\u00c5ngstr\u00f6m"
+    val ligature = "\uFB01le"                    // fi ligature, NFC-invariant
+    val rows = Seq(decomposedCafe, composedCafe, decomposedA, ligature, "plain ascii")
+      .toDF("s")
+      .select(col("s"), KernelExpressions.nfc_normalize(col("s")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val norm = rows.toMap
+    assert(norm(decomposedCafe) == composedCafe)
+    assert(norm(composedCafe) == composedCafe)
+    assert(norm(decomposedA) == composedA)
+    assert(norm(ligature) == ligature, "NFC must preserve compatibility ligatures")
+    assert(norm("plain ascii") == "plain ascii")
+    // idempotence: the normalized column is an NFC fixpoint
+    rows.foreach { case (_, n) =>
+      assert(java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFC))
+    }
+  }
 }
