@@ -334,6 +334,38 @@ object TextQueriesImpl {
         round(CAST(hapax AS DOUBLE) / n_bigrams, 6) AS novelty
       FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id"""))
 
+  /** VARIANT ingestion + typed shredding (Spark 4's semi-structured
+    * type — the open-lakehouse JSON answer): nested JSON is parsed ONCE
+    * into a variant column (`parse_json`), then multiple typed paths are
+    * extracted with `variant_get` and aggregated. The nested document is
+    * built in-query from the flat fixture columns (value pre-rounded so
+    * the JSON text round-trip is exact by construction), so the oracle
+    * needs no JSON at all: extraction is lossless, and the DIRECT
+    * computation over the base columns IS the correctness statement for
+    * the parse → shred path. */
+  val variantShred = Q(
+    "q_events_variant",
+    (s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val nested = to_json(struct(
+        col("event_type").as("t"),
+        struct(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          round(col("value"), 2).as("v")).as("m")))
+      ev.select(parse_json(nested).as("doc"))
+        .select(
+          expr("variant_get(doc, '$.t', 'string')").as("event_type"),
+          expr("variant_get(doc, '$.m.k', 'int')").as("k"),
+          expr("variant_get(doc, '$.m.v', 'double')").as("v"))
+        .groupBy(col("event_type"), pmod(col("k"), lit(5)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("sum_v"))
+        .orderBy(col("event_type"), col("k_mod"))
+    },
+    Some("""SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_mod,
+        count(*) AS n, round(sum(round(value, 2)), 2) AS sum_v
+      FROM events GROUP BY event_type, k_mod
+      ORDER BY event_type, k_mod"""))
+
   /** Unicode NFC canonicalization (native codegen'd
     * [[graft.functions.KernelExpressions.nfc_normalize]] kernel over
     * `java.text.Normalizer`): byte-different renderings of the same text
@@ -380,5 +412,5 @@ object TextQueriesImpl {
 
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
     fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, bigramMining, bigramLm,
-    unicodeNfc)
+    unicodeNfc, variantShred)
 }
