@@ -302,6 +302,11 @@ object Dedup {
     // the difference between Σ C(df,2) over raw dfs and over distinct-
     // content dfs — a corpus replicated k× otherwise pays k² in the
     // self-join (the 20× probe would be ~400× the pair volume).
+    // persisted because three consumers read it (candidate join, within-
+    // and cross-expansion); like prefixFilteredJaccardJoin's identical
+    // stage, the cache entry outlives the call — callers running many
+    // queries per session sweep with clearCache() (Bench does) and the
+    // entry is small (one row per DISTINCT gram-set)
     val sets = d.groupBy(col("grams"))
       .agg(min(col("doc")).as("rep"),
         sort_array(collect_list(col("doc"))).as("docs"))

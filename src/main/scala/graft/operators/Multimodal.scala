@@ -189,15 +189,24 @@ object Multimodal {
       var o = 0
       try {
         while (o + 8 <= bytes.length) {
-          val size = u32(bytes, o)
-          if (size < 8 || o + size > bytes.length) return null
+          val size32 = u32(bytes, o)
+          // ISO-BMFF size conventions real muxers use: size 0 = box
+          // extends to EOF (live-muxed trailing mdat), size 1 = 64-bit
+          // largesize follows the type (files > 4 GB)
+          val (size, hdrLen) =
+            if (size32 == 0) ((bytes.length - o).toLong, 8)
+            else if (size32 == 1) {
+              if (o + 16 > bytes.length) return null
+              ((u32(bytes, o + 8) << 32) | u32(bytes, o + 12), 16)
+            } else (size32, 8)
+          if (size < hdrLen || o + size > bytes.length) return null
           tag(bytes, o) match {
             case "ftyp" =>
               brand = new String(bytes, o + 8, 4,
                 java.nio.charset.StandardCharsets.US_ASCII)
             case "mdat" =>
-              mdatOff = o + 8
-              mdatLen = (size - 8).toInt
+              mdatOff = o + hdrLen
+              mdatLen = (size - hdrLen).toInt
             case "moov" =>
               var c = o + 8
               val end = o + size.toInt
@@ -214,10 +223,17 @@ object Multimodal {
                     while (t + 8 <= tend) {
                       val ts = u32(bytes, t)
                       if (ts < 8 || t + ts > tend) return null
-                      if (tag(bytes, t) == "tkhd" && bytes(t + 8) == 0) {
-                        // width/height are 16.16 fixed point at the tail
-                        w = (u32(bytes, t + ts.toInt - 8) >> 16).toInt
-                        h = (u32(bytes, t + ts.toInt - 4) >> 16).toInt
+                      if (tag(bytes, t) == "tkhd" && bytes(t + 8) == 0 && ts >= 92) {
+                        // width/height are 16.16 fixed point at the tail.
+                        // Keep the FIRST trak with nonzero dims: a real
+                        // MP4 carries an audio trak after the video one,
+                        // and its tkhd dims are 0 — last-wins would
+                        // report a 0x0 video.
+                        val tw = (u32(bytes, t + ts.toInt - 8) >> 16).toInt
+                        val th = (u32(bytes, t + ts.toInt - 4) >> 16).toInt
+                        if (w == 0 && h == 0 && (tw != 0 || th != 0)) {
+                          w = tw; h = th
+                        }
                       }
                       t += ts.toInt
                     }
@@ -476,13 +492,11 @@ object Multimodal {
 
   def mediaTableCached(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, sfDir: String): DataFrame = {
-    // the documents file's (length, mtime) is part of the key: the media
-    // table is DERIVED from documents, so a fixture regenerated in place
-    // must invalidate the cache (same hazard as a streaming checkpoint
-    // over a rewritten source file)
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      s"_${src.length()}_${src.lastModified()}"
+    // the media table is DERIVED from documents, so the cache key
+    // carries the documents file's fingerprint (graft.Fixtures.key) —
+    // a fixture regenerated in place must invalidate it, same hazard as
+    // a streaming checkpoint over a rewritten source file
+    val key = graft.Fixtures.key(sfDir, "documents.parquet")
     val path = s"/tmp/graft_media/v$MediaGenVersion/$key"
     val done = new java.io.File(s"$path/_SUCCESS")
     if (!done.isFile) synchronized {

@@ -65,19 +65,27 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
         // (`round(jaccard_sorted(a,b), d) >= t`): round-half-up at scale
         // d means the raw score can sit up to 0.5·10^-d below t, so the
         // bounds hold at the RELAXED threshold t − 10^-d (conservative by
-        // another half-ulp) — still a useful prune at d = 4, t >= 0.5
+        // another half-ulp) — still a useful prune at d = 4, t >= 0.5.
+        // All three comparison spellings the bare kernel supports.
         case GreaterThanOrEqual(r: Round, Literal(t: Double, DoubleType))
-            if t > 0 && t <= 1 => r.child match {
-          case js: JaccardSorted if !alreadyBounded(conjuncts, js) =>
-            r.scale match {
-              case Literal(d: Int, IntegerType) if t - math.pow(10, -d) > 0 =>
-                bounds(js, t - math.pow(10, -d))
-              case _ => Nil
-            }
-          case _ => Nil
-        }
+            if t > 0 && t <= 1 => roundedBounds(conjuncts, r, t)
+        case GreaterThan(r: Round, Literal(t: Double, DoubleType))
+            if t > 0 && t <= 1 => roundedBounds(conjuncts, r, t)
+        case LessThanOrEqual(Literal(t: Double, DoubleType), r: Round)
+            if t > 0 && t <= 1 => roundedBounds(conjuncts, r, t)
         case _ => Nil
       }
+
+  private def roundedBounds(conjuncts: Seq[Expression], r: Round,
+      t: Double): Seq[Expression] = r.child match {
+    case js: JaccardSorted if !alreadyBounded(conjuncts, js) =>
+      r.scale match {
+        case Literal(d: Int, IntegerType) if t - math.pow(10, -d) > 0 =>
+          bounds(js, t - math.pow(10, -d))
+        case _ => Nil
+      }
+    case _ => Nil
+  }
 
   /** Injects into BOTH predicate homes: Filter conditions, and Join
     * conditions — the main optimizer pushes a post-join threshold filter

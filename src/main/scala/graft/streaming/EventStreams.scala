@@ -37,10 +37,17 @@ object EventStreams {
 
   /** True when the stored ts column is TIMESTAMP(NANOS) (surfaces as a
     * long under nanosAsLong); false for a plain timestamp column. Sets
-    * the conf itself so the probe is order-independent. */
+    * the conf itself so the probe is order-independent. Memoized per
+    * fixture generation — the footer read is driver-side I/O and every
+    * streaming query (both legs of a join, every bench rep) would
+    * otherwise re-probe. */
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def tsStoredAsNanos(spark: SparkSession, sfDir: String): Boolean = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType == LongType
+    tsNanosCache.computeIfAbsent(graft.Fixtures.key(sfDir, "events.parquet"),
+      _ => spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType == LongType)
   }
 
   /** Runs a streaming drain with a bounded state-store count: each state
@@ -55,18 +62,12 @@ object EventStreams {
   }
 
   /** Stable per-(sfDir, fixture-generation) key for the fixed sink and
-    * checkpoint dirs. The events file's (length, mtime) is part of the
-    * key: a file-source checkpoint records processed file PATHS, so if
-    * the fixture is regenerated in place the old checkpoint marks the
-    * new data as already-read and the sink read-back serves the previous
-    * generation's rows. Fingerprinting gives a regenerated fixture a
-    * fresh checkpoint while an unchanged one still reuses its
-    * checkpoint (the exactly-once demo). */
-  private def fixtureKey(sfDir: String): String = {
-    val f = new java.io.File(s"$sfDir/events.parquet")
-    sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      s"_${f.length()}_${f.lastModified()}"
-  }
+    * checkpoint dirs — see [[graft.Fixtures.key]] for why the source
+    * file's fingerprint must participate. A regenerated fixture gets a
+    * fresh checkpoint; an unchanged one still reuses its checkpoint
+    * (the exactly-once demo). */
+  private def fixtureKey(sfDir: String): String =
+    graft.Fixtures.key(sfDir, "events.parquet")
 
   private def readEvents(spark: SparkSession, sfDir: String) = {
     if (tsStoredAsNanos(spark, sfDir)) {

@@ -180,6 +180,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(codec.parse(java.util.Arrays.copyOfRange(good, 0, 60)) == null)
   }
 
+  test("MP4 parser: first nonzero-dims trak wins; size-0 mdat extends to EOF") {
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+      bb.putInt(8 + content.length)
+      bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(content)
+      bb.array()
+    }
+    def tkhdTrak(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(84) // version-0 tkhd content
+      bb.position(76)
+      bb.putInt(w << 16); bb.putInt(h << 16)
+      box("trak", box("tkhd", bb.array()))
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.position(12); bb.putInt(1000); bb.putInt(5000) // timescale, duration
+      box("mvhd", bb.array())
+    }
+    val ftyp = box("ftyp", "isomxxxxisommp41".getBytes)
+    val codec = new Multimodal.VideoCodec()
+    // a real MP4 shape: video trak first, then the audio trak whose tkhd
+    // dims are 0 — the parser must not let it overwrite the video dims
+    val videoThenAudio = ftyp ++ box("moov", mvhd ++ tkhdTrak(1920, 1080) ++ tkhdTrak(0, 0)) ++
+      box("mdat", "payload".getBytes)
+    val h1 = codec.parse(videoThenAudio)
+    assert(h1 != null && h1.widthPx == 1920 && h1.heightPx == 1080, s"$h1")
+    // audio trak first: dims come from the later video trak
+    val audioThenVideo = ftyp ++ box("moov", mvhd ++ tkhdTrak(0, 0) ++ tkhdTrak(1280, 720)) ++
+      box("mdat", "payload".getBytes)
+    val h2 = codec.parse(audioThenVideo)
+    assert(h2 != null && h2.widthPx == 1280 && h2.heightPx == 720, s"$h2")
+    // live-muxed trailing mdat with size 0 (box extends to EOF)
+    val sizeZero = videoThenAudio.clone()
+    val mdatStart = h1.mdatOffset - 8
+    java.nio.ByteBuffer.wrap(sizeZero, mdatStart, 4).putInt(0)
+    val h3 = codec.parse(sizeZero)
+    assert(h3 != null, "size-0 mdat must parse")
+    assert(h3.mdatLength == sizeZero.length - h3.mdatOffset, s"$h3")
+    assert(new String(sizeZero, h3.mdatOffset, 7) == "payload")
+  }
+
   test("video rows carry real MP4s: header features and mdat-sliced frames") {
     // synthetic video rows must parse, and their features must reflect
     // the SEEDED header values, not byte-hash stub output
