@@ -304,6 +304,53 @@ object AnalyticsQueriesImpl {
         round(corr(value, user_id % 100), 4) AS corr_uid
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Robust outlier screen per group: median + MAD (median absolute
+    * deviation), the estimator a data-quality gate uses where mean/std
+    * would be dragged by the very outliers it hunts. Three grouped
+    * passes — medians reduce to one row per group (25 here), broadcast
+    * back onto the scan, deviations reduce to per-group MADs, broadcast
+    * back again for the outlier count — so the fact table is scanned
+    * three times and never row-shuffled. Exact `percentile` on both
+    * (same (n-1)·p interpolation as DuckDB quantile_cont, the parity
+    * q_group_quantiles pins); the outlier cut |v − med| > 3·1.4826·MAD
+    * compares doubles built from identical arithmetic on both engines.
+    * The GK sketch is the 100 TB tier for the medians, as everywhere. */
+  val madOutliers = Q(
+    "q_mad_outliers",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 4).as("median"),
+          round(first(col("mad")), 4).as("mad"),
+          sum(when(col("adev") > lit(3 * 1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+      dev AS (SELECT e.event_type, e.value, m.med,
+          abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT d.event_type, count(*) AS n,
+        round(any_value(d.med), 4) AS median,
+        round(any_value(mad.mad), 4) AS mad,
+        CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type"""))
+
   /** ANALYZE-style column statistics (the inputs a cost-based optimizer
     * keeps per column): row count, present count, exact NDV, min/max for
     * the lineitem measure columns — one scan, one aggregate row, unpivoted
@@ -633,5 +680,5 @@ object AnalyticsQueriesImpl {
 
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
     windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine,
-    ivmAgg, listAgg, cohortLtv, winsorize, ntileSpend)
+    ivmAgg, listAgg, cohortLtv, winsorize, ntileSpend, madOutliers)
 }
