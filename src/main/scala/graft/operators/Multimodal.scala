@@ -200,15 +200,20 @@ object Multimodal {
               ((u32(bytes, o + 8) << 32) | u32(bytes, o + 12), 16)
             } else (size32, 8)
           if (size < hdrLen || o + size > bytes.length) return null
+          // content starts AFTER the (possibly extended) header for
+          // every box type — reading at o+8 under a size-1 box would
+          // consume the largesize field as content
+          val content = o + hdrLen
           tag(bytes, o) match {
             case "ftyp" =>
-              brand = new String(bytes, o + 8, 4,
+              if (size < hdrLen + 4) return null
+              brand = new String(bytes, content, 4,
                 java.nio.charset.StandardCharsets.US_ASCII)
             case "mdat" =>
-              mdatOff = o + hdrLen
+              mdatOff = content
               mdatLen = (size - hdrLen).toInt
             case "moov" =>
-              var c = o + 8
+              var c = content
               val end = o + size.toInt
               while (c + 8 <= end) {
                 val cs = u32(bytes, c)

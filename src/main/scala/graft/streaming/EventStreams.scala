@@ -281,9 +281,17 @@ object EventStreams {
     * O(events inside the watermark window), not O(stream)). The bounded
     * input makes the match set deterministic, so a plain SQL self-join
     * with the same bounds is the oracle. */
-  def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
-    val base = readEvents(spark, sfDir)
-    val clicks = base.where(col("event_type") === "click")
+  def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame =
+    clickPurchaseJoinImpl(spark, sfDir, "inner", "graft_stream_join")
+
+  /** Shared body of the inner and left-outer click x purchase interval
+    * joins — ONE definition of the stream legs, watermarks, interval
+    * condition, sink drain, and read-back schema, so the two join faces
+    * (and the StreamingSpec assertion that the outer's matched subset
+    * equals the inner) cannot drift apart. */
+  private def clickPurchaseJoinImpl(spark: SparkSession, sfDir: String,
+      joinType: String, dirPrefix: String): DataFrame = withStatePartitions(spark, 8) {
+    val clicks = readEvents(spark, sfDir).where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
       .withWatermark("c_ts", "10 minutes")
@@ -294,15 +302,16 @@ object EventStreams {
     val joined = clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      joinType)
     // PARQUET sink, not memory: a memory sink collects every joined row
     // onto the driver, and the join's output volume grows with the SQUARE
     // of per-user event density (a 20x-replicated probe OOM'd the JVM
     // exactly there). The file sink keeps rows executor-side; same
     // exactly-once fixed-dir pattern as the window sink.
     val key = fixtureKey(sfDir)
-    val outDir = s"/tmp/graft_stream_join/$key/out"
-    val ckDir = s"/tmp/graft_stream_join/$key/ck"
+    val outDir = s"/tmp/$dirPrefix/$key/out"
+    val ckDir = s"/tmp/$dirPrefix/$key/ck"
     val q = joined
       .select(col("c_user").as("user_id"), col("c_id"), col("p_id"),
         round(col("value"), 2).as("purchase_value"))
@@ -332,42 +341,8 @@ object EventStreams {
     * withheld forever on a bounded input, exactly like append-mode
     * windows — the oracle replays that cutoff. State and scale behavior
     * are the inner join's (bounded by the interval + delay). */
-  def clickPurchaseLeftJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
-    val clicks = readEvents(spark, sfDir).where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("c_id"))
-      .withWatermark("c_ts", "10 minutes")
-    val purchases = readEvents(spark, sfDir).where(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"), col("value"))
-      .withWatermark("p_ts", "10 minutes")
-    val joined = clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
-      "left_outer")
-    val key = fixtureKey(sfDir)
-    val outDir = s"/tmp/graft_stream_ljoin/$key/out"
-    val ckDir = s"/tmp/graft_stream_ljoin/$key/ck"
-    val q = joined
-      .select(col("c_user").as("user_id"), col("c_id"), col("p_id"),
-        round(col("value"), 2).as("purchase_value"))
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckDir)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.read.schema(StructType(Seq(
-        StructField("user_id", LongType),
-        StructField("c_id", LongType),
-        StructField("p_id", LongType),
-        StructField("purchase_value", DoubleType))))
-      .parquet(outDir)
-      .orderBy(col("user_id"), col("c_id"), col("p_id"))
-  }
+  def clickPurchaseLeftJoin(spark: SparkSession, sfDir: String): DataFrame =
+    clickPurchaseJoinImpl(spark, sfDir, "left_outer", "graft_stream_ljoin")
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class SessState(start: Long, last: Long, n: Long, sum: Double)

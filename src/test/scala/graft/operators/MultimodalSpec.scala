@@ -220,6 +220,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h3 != null, "size-0 mdat must parse")
     assert(h3.mdatLength == sizeZero.length - h3.mdatOffset, s"$h3")
     assert(new String(sizeZero, h3.mdatOffset, 7) == "payload")
+    // size-1 (64-bit largesize) moov: content must be read AFTER the
+    // 16-byte extended header, not at offset 8
+    def box64(typ: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + content.length)
+      bb.putInt(1)
+      bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putLong(16L + content.length)
+      bb.put(content)
+      bb.array()
+    }
+    val moovContent = mvhd ++ tkhdTrak(1920, 1080)
+    val large = ftyp ++ box64("moov", moovContent) ++ box("mdat", "payload".getBytes)
+    val h4 = codec.parse(large)
+    assert(h4 != null, "size-1 moov must parse")
+    assert(h4.widthPx == 1920 && h4.heightPx == 1080 && h4.brand == "isom", s"$h4")
   }
 
   test("video rows carry real MP4s: header features and mdat-sliced frames") {
