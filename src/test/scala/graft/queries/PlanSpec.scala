@@ -254,4 +254,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "triangle counting must stay equi-join shaped:\n" + p.take(1200))
   }
+
+  test("q_mad_outliers: both per-group joins broadcast — the fact table is " +
+      "never row-shuffled") {
+    val p = plan("q_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the medians/MADs must broadcast back, not shuffle the fact:\n" + p.take(1200))
+  }
 }
