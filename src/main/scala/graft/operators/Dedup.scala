@@ -450,4 +450,41 @@ object Dedup {
     * taking a single array_dot per pair is cheaper still. */
   def cosine(a: Column, b: Column): Column =
     graft.functions.KernelExpressions.cosine_sim(a, b)
+
+  /** Default row cap for [[exactEmbeddingTopPairs]] — ~5·10⁷ scored
+    * pairs, a few seconds of cluster work. Override per call or with
+    * `spark.graft.dedup.exactPairsMaxRows`. */
+  val ExactPairsDefaultMaxRows = 10000L
+
+  /** Exact all-pairs embedding similarity, top-N pairs — the ORACLE
+    * BASELINE tier for the LSH path, O(N²) by construction (broadcast
+    * cross product; every pair is scored). That cost is fine on a gate
+    * fixture and catastrophic on a corpus: at a mere 20× probe this one
+    * query was 522 s of a 673 s suite. The operator therefore refuses
+    * input past a row cap instead of silently launching a cluster-melting
+    * cross product — a scale-killer that cannot fire by accident stops
+    * being a scale-killer. The 100 TB path is
+    * [[Similarity.embeddingNearDupPairs]] (`q_dedup_embedding_lsh`),
+    * whose bucket self-join stays near-linear in N. */
+  def exactEmbeddingTopPairs(df: DataFrame, idCol: String, vecCol: String,
+      topN: Int, maxRows: Long = ExactPairsDefaultMaxRows): DataFrame = {
+    val cap = df.sparkSession.conf.getOption("spark.graft.dedup.exactPairsMaxRows")
+      .map(_.toLong).getOrElse(maxRows)
+    val n = df.count()
+    require(n <= cap,
+      s"exact all-pairs embedding tier is O(N²): n=$n rows would score " +
+        s"~${n * (n - 1) / 2} pairs (cap $cap rows). This tier exists as the " +
+        "oracle baseline for small fixtures; for large corpora use the LSH " +
+        "bucket path Similarity.embeddingNearDupPairs (q_dedup_embedding_lsh) " +
+        "or raise spark.graft.dedup.exactPairsMaxRows explicitly.")
+    val e = df.select(col(idCol), col(vecCol))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.crossJoin(broadcast(b))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a"), col(s"b.$idCol").as("b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(topN)
+  }
 }

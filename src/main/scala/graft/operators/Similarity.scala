@@ -221,6 +221,54 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vid"), col("cos"))
   }
 
+  /** IVF-flat ANN over a FROZEN coarse quantizer: the centroids are
+    * compile-time literals (trained offline — [[graft.queries.IvfOracle]]
+    * pins the fixture fit), so cell assignment is a pure per-row
+    * expression with no KMeans job, no sample pass, and a bit-exact
+    * DuckDB replay. This is the production IVF layout: the quantizer
+    * trains once on a sample and is immutable while the index serves
+    * (re-fitting would re-shard every cell); at 100 TB the cell id is
+    * the partition key and a probe touches only its cells' files.
+    *
+    * Cell of a vector = argmax over dot(v, centroid_i), ties to the
+    * smallest cell id. Centroid literals are unit-normalized at pin
+    * time and the row norm is a positive per-row constant, so raw-dot
+    * ranking equals cosine ranking — no per-row normalization needed
+    * for assignment. Queries probe their nProbe best cells (dot desc,
+    * cell asc); candidates re-rank on exact unit-vector cosine.
+    */
+  def ivfTopKPinned(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "need at least one pinned centroid")
+    val nCells = centroids.length
+    // struct(dot, -cell): array_max → highest dot, ties to SMALLEST cell
+    def entries(v: Column): Column =
+      array(centroids.zipWithIndex.map { case (cen, i) =>
+        struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
+      }: _*)
+    def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
+    val cell = (-array_max(entries(rawV(col(vecCol)))).getField("nc")).as("cell")
+    val c = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"), cell)
+    // per-row probe list: sort entries descending (d desc, nc desc ⇒ cell
+    // asc on ties), slice nProbe — no window, no shuffle on the query side
+    val probeCells = transform(
+      slice(reverse(array_sort(entries(rawV(col(vecCol))))), 1, nProbe),
+      e => -e.getField("nc"))
+    val q = queries.select(col(idCol).as("qid"), unit_vector(col(vecCol)).as("qvec"),
+      explode(probeCells).as("cell"))
+    val cos = round(array_dot(col("qvec"), col("cvec")), 6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    // each vid lives in exactly one cell and probe cells are distinct,
+    // so (qid, vid) candidates are already unique — no dedup needed
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid"), col("cos"))
+  }
+
   /** Symmetric per-vector int8 quantization — the 4× memory cut that
     * makes a 100 TB ANN corpus fit executor RAM (IVF/LSH candidates are
     * re-ranked on codes; only survivors touch float vectors). scale =

@@ -645,9 +645,9 @@ object AnalyticsQueriesImpl {
     * (spend, custkey) order, per-decile profile. The global ntile window
     * is a deliberate single-partition pass over the ALREADY-REDUCED
     * per-customer table (|customers| rows, not |orders|); when even that
-    * is too large, the scale path is `q_feature_binning`'s edge-based
-    * form (percentile edges broadcast to the scan — no global sort).
-    * This query pins the ntile API face. */
+    * is too large, the scale path is [[ntileSpendScale]]
+    * (`q_ntile_spend_scale`): percentile edges broadcast onto the scan,
+    * no global sort. This query pins the ntile API face. */
   val ntileSpend = Q(
     "q_ntile_spend",
     (s, dir) => {
@@ -678,7 +678,62 @@ object AnalyticsQueriesImpl {
         round(CAST(sum(spend) AS DOUBLE), 2) AS total
       FROM d GROUP BY decile ORDER BY decile"""))
 
+  /** Customer spend deciles at SCALE: the same per-customer DECIMAL
+    * spend reduction, but decile assignment via BROADCAST percentile
+    * edges (`q_feature_binning`'s shape) instead of a global `ntile`
+    * window — the per-customer table is never range-sorted into one
+    * partition, so the plan survives 1.5M+ customers where the API
+    * tier's single-partition window becomes one task. The semantic
+    * trade is the standard one: quantile-edge deciles put TIES in the
+    * same bin (counts can be uneven) where ntile forces exact equal
+    * counts by arbitrary tie order; at 100 TB the edge form is what a
+    * pipeline actually runs. Edges round to 4 dp on both sides; the
+    * spend aggregate stays DECIMAL-exact, doubles appear only in the
+    * edge compares and final rounded output. */
+  val ntileSpendScale = Q(
+    "q_ntile_spend_scale",
+    (s, dir) => {
+      val spend = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+          lit(0).cast("decimal(28,2)")).as("spend"))
+        .select(col("c_custkey"), col("spend"),
+          col("spend").cast("double").as("spend_d"))
+      val edges = spend
+        .agg(expr("percentile(spend_d, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("e"))
+        .select(transform(col("e"), x => round(x, 4)).as("edges"))
+      val decileExpr = (0 until 9)
+        .map(i => when(col("spend_d") > col("edges")(i), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      spend.crossJoin(broadcast(edges))
+        .select(decileExpr.as("decile"), col("spend"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("spend")).cast("double"), 2).as("lo"),
+          round(max(col("spend")).cast("double"), 2).as("hi"),
+          round(sum(col("spend")).cast("double"), 2).as("total"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH s AS (SELECT c_custkey,
+          coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey),
+      sd AS (SELECT c_custkey, spend, CAST(spend AS DOUBLE) AS spend_d FROM s),
+      e AS (SELECT [round(x, 4) for x in
+          quantile_cont(spend_d, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] AS edges
+        FROM sd),
+      b AS (SELECT 1 + len(list_filter(e.edges, ed -> sd.spend_d > ed)) AS decile,
+          spend FROM sd, e)
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        round(CAST(min(spend) AS DOUBLE), 2) AS lo,
+        round(CAST(max(spend) AS DOUBLE), 2) AS hi,
+        round(CAST(sum(spend) AS DOUBLE), 2) AS total
+      FROM b GROUP BY decile ORDER BY decile"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
     windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine,
-    ivmAgg, listAgg, cohortLtv, winsorize, ntileSpend, madOutliers)
+    ivmAgg, listAgg, cohortLtv, winsorize, ntileSpend, ntileSpendScale, madOutliers)
 }

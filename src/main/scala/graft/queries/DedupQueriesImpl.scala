@@ -228,22 +228,18 @@ object DedupQueriesImpl {
       FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
       ORDER BY b.doc_id"""))
 
-  /** Embedding-cosine near-dup: top-20 most similar pairs (broadcast
-    * cross product — the small side fits in memory at every sf; at true
-    * scale this switches to the LSH/IVF candidate paths). Oracle-checked. */
+  /** Embedding-cosine near-dup: top-20 most similar pairs via the exact
+    * all-pairs tier ([[Dedup.exactEmbeddingTopPairs]]) — the oracle
+    * baseline for the LSH path. The operator row-gates itself: past
+    * `spark.graft.dedup.exactPairsMaxRows` it refuses with an error
+    * naming `q_dedup_embedding_lsh` as the scale path instead of
+    * silently launching an O(N²) cross product. */
   val embedding = Q(
     "q_dedup_embedding",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val a = e.alias("a")
-      val b = e.alias("b")
-      a.crossJoin(broadcast(b))
-        .where(col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
-          round(Dedup.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-        .orderBy(col("cos").desc, col("a"), col("b"))
-        .limit(20)
-    },
+    (s, dir) =>
+      Dedup.exactEmbeddingTopPairs(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 20),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       SELECT a.vec_id AS a, b.vec_id AS b,
         round(list_cosine_similarity(a.v, b.v), 6) AS cos

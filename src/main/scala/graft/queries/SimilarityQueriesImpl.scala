@@ -44,15 +44,19 @@ object SimilarityQueriesImpl {
     },
     Some(LshOracle.topkSql(k = 5, bits = 4, tables = 3, seed = 42L)))
 
-  /** IVF-flat ANN (KMeans coarse cells, nProbe=4). */
+  /** IVF-flat ANN over the PINNED coarse quantizer (nProbe=4): the
+    * fixture-fit, unit-normalized centroids are literals on both sides
+    * ([[IvfOracle]]), so assignment/probe/rerank all hash-check. The
+    * online-fit tier ([[Similarity.ivfTopK]]) stays the API for fresh
+    * corpora and is recall-pinned in SimilaritySpec. */
   val ivf = Q(
     "q_sim_topk_ivf",
     (s, dir) => {
-      Similarity.ivfTopK(Tables.embeddings(s, dir), queriesSlice(s, dir),
-          "vec_id", "embedding", 5)
+      Similarity.ivfTopKPinned(Tables.embeddings(s, dir), queriesSlice(s, dir),
+          "vec_id", "embedding", 5, IvfOracle.pinnedCentroids)
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    Some(IvfOracle.topkSql(k = 5, nProbe = 4)))
 
   /** The projection planes are seeded literals, so the SAME values are
     * compiled into the Spark expression and the generated oracle SQL —
@@ -87,11 +91,18 @@ object SimilarityQueriesImpl {
 
   /** Per-vector int8 quantization ([[Similarity.int8Quantize]]) with the
     * full code vector in the output — the oracle pins every code byte,
-    * not just aggregates. */
+    * not just aggregates. The code vector is serialized to a canonical
+    * CSV string (`codes_csv`) on BOTH sides: the driver's comparator
+    * sorts cell values and cannot hash a top-level array column, so the
+    * per-byte exactness witness must be a scalar. */
   val embedQuantize = Q(
     "q_embed_quantize",
     (s, dir) =>
       Similarity.int8Quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumn("codes_csv", array_join(col("codes").cast("array<string>"), ","))
+        .drop("codes")
+        .select(col("vec_id"), col("maxabs"), col("codes_csv"),
+          col("code_sum"), col("code_abs_sum"), col("recon_cos"))
         .orderBy(col("vec_id")),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
@@ -100,7 +111,8 @@ object SimilarityQueriesImpl {
             THEN list_transform(v, x -> CAST(round(x * (127.0 / maxabs)) AS INTEGER))
             ELSE list_transform(v, x -> 0) END AS codes
         FROM q)
-      SELECT vec_id, round(maxabs, 6) AS maxabs, codes,
+      SELECT vec_id, round(maxabs, 6) AS maxabs,
+        array_to_string(codes, ',') AS codes_csv,
         CAST(list_sum(codes) AS BIGINT) AS code_sum,
         CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_abs_sum,
         CASE WHEN maxabs > 0 THEN

@@ -479,6 +479,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"distance ratios out of band: min=${ratios.min} max=${ratios.max}")
   }
 
+  test("exactEmbeddingTopPairs: row-gate refuses O(N²) input, names the LSH tier") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // under the cap: works, agrees with itself on shape
+    val top = Dedup.exactEmbeddingTopPairs(emb, "vec_id", "embedding", 5)
+    assert(top.count() == 5)
+    // over the cap (forced tiny): refuses LOUDLY, pointing at the scale path
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactEmbeddingTopPairs(emb, "vec_id", "embedding", 5, maxRows = 3L)
+    }
+    assert(e.getMessage.contains("q_dedup_embedding_lsh"))
+    assert(e.getMessage.contains("O(N²)"))
+    // conf override wins over the argument
+    spark.conf.set("spark.graft.dedup.exactPairsMaxRows", "1000000")
+    try {
+      assert(Dedup.exactEmbeddingTopPairs(emb, "vec_id", "embedding", 3, maxRows = 3L)
+        .count() == 3)
+    } finally spark.conf.unset("spark.graft.dedup.exactPairsMaxRows")
+  }
+
   test("LSH and IVF ANN achieve reasonable recall@5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
@@ -488,13 +507,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     val exact = neighborSet(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
     val lsh = neighborSet(Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5))
     val ivf = neighborSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5))
+    // pinned tier on a DIFFERENT sf than the quantizer was fit on — the
+    // frozen centroids must still carve useful cells on unseen data
+    val ivfPinned = neighborSet(Similarity.ivfTopKPinned(emb, queries,
+      "vec_id", "embedding", 5, graft.queries.IvfOracle.pinnedCentroids))
     def recall(approx: Map[Long, Set[Long]]): Double =
       exact.keys.toSeq.map(q => (approx.getOrElse(q, Set.empty) & exact(q)).size.toDouble / 5)
         .sum / exact.size
     val rl = recall(lsh)
     val ri = recall(ivf)
+    val rp = recall(ivfPinned)
     assert(rl > 0.6, s"LSH recall too low: $rl")
     assert(ri > 0.3, s"IVF recall too low: $ri")
+    assert(rp > 0.3, s"pinned-IVF recall too low: $rp")
   }
 
   test("contentHashSplit: exact duplicates always share a split; fraction tracks k/16") {

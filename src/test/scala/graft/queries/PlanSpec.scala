@@ -195,6 +195,16 @@ class PlanSpec extends AnyFunSuite {
       "exactly the user-key exchange may sit below the lag window:\n" + p.take(1500))
   }
 
+  test("q_ntile_spend_scale: no window at all — the 1-row edge table " +
+      "broadcasts onto the per-customer side (the ntile API tier's " +
+      "single-partition sort never appears in the scale tier)") {
+    val p = plan("q_ntile_spend_scale")
+    assert(!p.contains("Window"),
+      "scale tier must not plan a window:\n" + p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "edges must broadcast:\n" + p.take(1200))
+  }
+
   test("q_winsorize: the percentile bounds broadcast back onto the fact side") {
     val p = plan("q_winsorize")
     assert(p.contains("BroadcastHashJoin"), "bounds must broadcast:\n" + p.take(1200))

@@ -26,7 +26,6 @@ class RobustnessSpec extends AnyFunSuite {
     "q_ml_train_predict_barrier" -> "barrier fit on zero rows is undefined",
     "q_ml_train_predict_scale" -> "distributed fit on zero rows is undefined",
     "q_s9_collect_scalar" -> "driver-collected scalar's contract is a non-empty lookup",
-    "q_sim_topk_ivf" -> "KMeans quantizer needs at least one vector to fit",
     "q_drift_detect" -> "drift against an empty side is undefined; histogramDrift fails loudly by contract"
   )
 
