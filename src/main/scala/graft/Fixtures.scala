@@ -3,16 +3,42 @@ package graft
 /** Fixture-file fingerprint shared by every derived-state cache. */
 object Fixtures {
 
-  /** Stable per-(dir, file-generation) key: sanitized dir + the source
-    * file's (length, mtime). Derived state keyed by it — streaming
-    * checkpoints, the synthetic media cache, schema probes — is
-    * invalidated when the fixture is regenerated IN PLACE (a file-source
-    * checkpoint records processed paths, so without the fingerprint the
-    * old checkpoint marks new data already-read and serves the previous
-    * generation's rows). A missing file fingerprints as 0_0 — constant,
-    * so the caller's subsequent read fails loudly on its own terms. */
+  /** Stable per-(dir, file-generation) key: a CRC32 of the raw dir string
+    * (raw, not sanitized — '/a/b' and '/a_b' must not collide) + the
+    * source file's (length, sub-second mtime, edge-content CRC). Derived
+    * state keyed by it — streaming checkpoints, the synthetic media
+    * cache, schema probes — is invalidated when the fixture is
+    * regenerated IN PLACE (a file-source checkpoint records processed
+    * paths, so without the fingerprint the old checkpoint marks new data
+    * already-read and serves the previous generation's rows). The content
+    * CRC over the first+last 4 KiB closes the residual hazard of a
+    * same-length rewrite within one coarse-mtime tick. A missing file
+    * fingerprints as 0_0_0 — constant, so the caller's subsequent read
+    * fails loudly on its own terms. */
   def key(dir: String, file: String): String = {
     val f = new java.io.File(dir, file)
-    dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_${f.length()}_${f.lastModified()}"
+    val dirCrc = {
+      val c = new java.util.zip.CRC32()
+      c.update(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.toHexString(c.getValue)
+    }
+    if (!f.isFile) return s"d${dirCrc}_0_0_0"
+    // Files.getLastModifiedTime keeps sub-second precision where the
+    // filesystem has it; File.lastModified truncates to millis on some
+    // JDK/FS combinations.
+    val mtime = java.nio.file.Files
+      .getLastModifiedTime(f.toPath).toInstant.toEpochMilli
+    val crc = new java.util.zip.CRC32()
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val len = raf.length()
+      val head = new Array[Byte](math.min(4096L, len).toInt)
+      raf.readFully(head); crc.update(head)
+      if (len > 4096) {
+        val tail = new Array[Byte](math.min(4096L, len - 4096).toInt)
+        raf.seek(len - tail.length); raf.readFully(tail); crc.update(tail)
+      }
+    } finally raf.close()
+    s"d${dirCrc}_${f.length()}_${mtime}_${java.lang.Long.toHexString(crc.getValue)}"
   }
 }

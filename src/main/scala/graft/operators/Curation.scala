@@ -281,7 +281,7 @@ object Curation {
     val cut = lit(2147483647L * pctMasked / 100)
     // per block: (masked?, tokens of the block)
     val blocks = transform(sequence(lit(0), nBlk - 1), b => {
-      val h = pmod(pmod(col(idCol) * 7919 + b.cast("long"), lit(1048573L)) *
+      val h = pmod(pmod(col(idCol).cast("long") * 7919 + b.cast("long"), lit(1048573L)) *
         lit(2654435761L), lit(2147483647L))
       struct((h < cut).as("m"),
         slice(toks, b * spanLen + 1, lit(spanLen)).as("t"))

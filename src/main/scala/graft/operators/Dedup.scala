@@ -220,11 +220,15 @@ object Dedup {
       sortedGramHashes(col(textCol), n).as("grams"))
       .where(size(col("grams")) > 0)
     // 1. exact collapse: one representative doc per distinct gram-set.
-    //    Reused by the candidate join AND both expansion joins.
+    //    Reused by the candidate join AND both expansion joins. Eager
+    //    localCheckpoint, not persist(): the materialized copy is owned
+    //    by the returned plan's RDD lineage and released by the
+    //    ContextCleaner when it goes out of scope — no CacheManager
+    //    entry survives the call for callers to know about.
     val sets = d.groupBy(col("grams"))
       .agg(min(col("doc")).as("rep"),
         sort_array(collect_list(col("doc"))).as("docs"))
-      .persist()
+      .localCheckpoint(true)
     val r = sets.select(col("rep").as("doc"), col("grams"))
     // 2. prefix-filtered candidate join over representatives
     val posting = r.select(col("doc"), size(col("grams")).as("sz"),
@@ -302,15 +306,16 @@ object Dedup {
     // the difference between Σ C(df,2) over raw dfs and over distinct-
     // content dfs — a corpus replicated k× otherwise pays k² in the
     // self-join (the 20× probe would be ~400× the pair volume).
-    // persisted because three consumers read it (candidate join, within-
-    // and cross-expansion); like prefixFilteredJaccardJoin's identical
-    // stage, the cache entry outlives the call — callers running many
-    // queries per session sweep with clearCache() (Bench does) and the
-    // entry is small (one row per DISTINCT gram-set)
+    // materialized once (three consumers: candidate join, within- and
+    // cross-expansion) via eager localCheckpoint — the copy rides the
+    // returned plan's lineage and is ContextCleaner-released when
+    // unreferenced, instead of leaking a CacheManager entry that only
+    // an explicit clearCache() sweep would free. It is small: one row
+    // per DISTINCT gram-set.
     val sets = d.groupBy(col("grams"))
       .agg(min(col("doc")).as("rep"),
         sort_array(collect_list(col("doc"))).as("docs"))
-      .persist()
+      .localCheckpoint(true)
     val r = sets.select(col("rep").as("doc"), col("grams"))
     val sz = r.select(col("doc"), size(col("grams")).as("sz"))
     val eg = r.select(col("doc"), explode(col("grams")).as("gram"))
@@ -367,7 +372,7 @@ object Dedup {
     val sets = d.groupBy(col("grams"))
       .agg(min(col("doc")).as("rep"),
         sort_array(collect_list(col("doc"))).as("docs"))
-      .persist()
+      .localCheckpoint(true) // see exactJaccardEdges: no cache-entry leak
     val r = sets.select(col("rep").as("doc"), col("grams"))
     val posting = r.select(col("doc"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))

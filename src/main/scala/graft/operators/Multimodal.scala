@@ -209,25 +209,39 @@ object Multimodal {
               if (size < hdrLen + 4) return null
               brand = new String(bytes, content, 4,
                 java.nio.charset.StandardCharsets.US_ASCII)
-            case "mdat" =>
+            case "mdat" if mdatOff < 0 =>
+              // FIRST mdat wins: fragmented files carry several, and
+              // [[sampleFrames]] slices a single payload — first matches
+              // the track the synthetic muxer (and most progressive
+              // files) lay down first
               mdatOff = content
               mdatLen = (size - hdrLen).toInt
             case "moov" =>
               var c = content
               val end = o + size.toInt
-              while (c + 8 <= end) {
+              var nestedOk = true
+              while (nestedOk && c + 8 <= end) {
                 val cs = u32(bytes, c)
-                if (cs < 8 || c + cs > end) return null
-                tag(bytes, c) match {
+                // nested boxes using the size-0 (to-EOF) / size-1
+                // (64-bit largesize) conventions are only handled at top
+                // level; inside moov, stop walking the REMAINDER of this
+                // container but keep what top-level parsing already
+                // yielded — rejecting the whole file over one exotic
+                // nested box would silently degrade a real fragmented
+                // file to the stub path
+                if (cs < 8 || c + cs > end) { nestedOk = false }
+                else tag(bytes, c) match {
                   case "mvhd" if bytes(c + 8) == 0 => // version 0
                     timescale = u32(bytes, c + 20)
                     duration = u32(bytes, c + 24)
                   case "trak" =>
                     var t = c + 8
                     val tend = c + cs.toInt
-                    while (t + 8 <= tend) {
+                    var trakOk = true
+                    while (trakOk && t + 8 <= tend) {
                       val ts = u32(bytes, t)
-                      if (ts < 8 || t + ts > tend) return null
+                      if (ts < 8 || t + ts > tend) { trakOk = false; t = tend }
+                      else {
                       if (tag(bytes, t) == "tkhd" && bytes(t + 8) == 0 && ts >= 92) {
                         // width/height are 16.16 fixed point at the tail.
                         // Keep the FIRST trak with nonzero dims: a real
@@ -241,6 +255,7 @@ object Multimodal {
                         }
                       }
                       t += ts.toInt
+                      }
                     }
                   case _ =>
                 }

@@ -235,6 +235,21 @@ class MultimodalSpec extends AnyFunSuite {
     val h4 = codec.parse(large)
     assert(h4 != null, "size-1 moov must parse")
     assert(h4.widthPx == 1920 && h4.heightPx == 1080 && h4.brand == "isom", s"$h4")
+    // fragmented file with two mdats: the FIRST one is the payload
+    // sampleFrames slices — last-wins would point at the second
+    val twoMdat = ftyp ++ box("moov", mvhd ++ tkhdTrak(640, 480)) ++
+      box("mdat", "first".getBytes) ++ box("mdat", "second".getBytes)
+    val h5 = codec.parse(twoMdat)
+    assert(h5 != null && new String(twoMdat, h5.mdatOffset, h5.mdatLength) == "first", s"$h5")
+    // an exotic nested box (size-1 convention INSIDE moov, unhandled
+    // there) must not reject the file: parsing keeps what it already
+    // read (mvhd) and stops walking that container
+    val weirdNested = ftyp ++
+      box("moov", mvhd ++ box64("free", new Array[Byte](4)) ++ tkhdTrak(1920, 1080)) ++
+      box("mdat", "payload".getBytes)
+    val h6 = codec.parse(weirdNested)
+    assert(h6 != null && h6.timescale == 1000 && h6.durationMs == 5000, s"$h6")
+    assert(new String(weirdNested, h6.mdatOffset, h6.mdatLength) == "payload")
   }
 
   test("video rows carry real MP4s: header features and mdat-sliced frames") {
