@@ -99,20 +99,34 @@ object MlQueriesImpl {
     },
     None)
 
-  /** C2-path smoke at query level: distributed training (treeAggregate
-    * histogram path, numWorkers=2) then batch scoring. Rows-only. */
+  /** C2-path at query level, now DRIVER-CHECKED instead of rows-only:
+    * the output is a per-row PARITY WITNESS the oracle can replay as
+    * literals. Two invariants a production training service must hold —
+    * (a) refit determinism: fitting the same (data, params) twice yields
+    * the same model (with numWorkers=2 every float histogram merge is a
+    * commutative 2-way add, so the collectives are order-insensitive);
+    * (b) the spec-pinned tolerance band: both fits' predictions agree
+    * within 1e-6 per row (BarrierTrainerSpec's bound). A silent
+    * nondeterminism regression flips `refit_ok` to false and the driver
+    * hash catches it — "trust the specs" becomes a per-round check. */
   val trainPredictDist = Q(
     "q_ml_train_predict_dist",
     (s, dir) => {
       val df = Tables.embeddings(s, dir)
-      val model = new XgboostRegressor()
+      def fit() = new XgboostRegressor()
         .setFeaturesCol("embedding").setLabelCol("label")
         .setNumWorkers(2).setNEstimators(10).setMaxDepth(4).fit(df)
-      model.transform(df)
-        .select(col("vec_id"), round(col("prediction"), 4).as("prediction"))
+      val p1 = fit().transform(df).select(col("vec_id"), col("label"),
+        col("prediction").as("p1"))
+      val p2 = fit().transform(df).select(col("vec_id"),
+        col("prediction").as("p2"))
+      p1.join(p2, "vec_id")
+        .select(col("vec_id"), col("label"),
+          (abs(col("p1") - col("p2")) < 1e-6).as("refit_ok"))
         .orderBy(col("vec_id"))
     },
-    None)
+    Some("""SELECT vec_id, label, true AS refit_ok
+      FROM embeddings ORDER BY vec_id"""))
 
   /** Distributed training at table scale: 8 workers over the full
     * lineitem table (~600k rows at sf0.1) — the treeAggregate histogram
@@ -138,25 +152,40 @@ object MlQueriesImpl {
     },
     None)
 
-  /** C2+C8 faithful path: gang-scheduled barrier training with the
-    * socket-collective histogram allreduce (partition 0 = tracker,
-    * bootstrap via ONE allGather), then batch scoring. Rows-only. */
+  /** C2+C8 faithful path, driver-checked: gang-scheduled barrier
+    * training (socket-collective histogram allreduce, partition 0 =
+    * tracker, bootstrap via ONE allGather) must produce the SAME model
+    * as the treeAggregate path — the invariant Rabit gave the reference
+    * and BarrierTrainerSpec pins at 1e-6. The query emits the per-row
+    * parity witness so the driver hash re-checks it every round. */
   val trainPredictBarrier = Q(
     "q_ml_train_predict_barrier",
     (s, dir) => {
       val df = Tables.embeddings(s, dir)
-      val model = new XgboostRegressor()
+      def reg() = new XgboostRegressor()
         .setFeaturesCol("embedding").setLabelCol("label")
-        .setNumWorkers(2).setUseBarrierMode(true)
-        .setNEstimators(10).setMaxDepth(4).fit(df)
-      model.transform(df)
-        .select(col("vec_id"), round(col("prediction"), 4).as("prediction"))
+        .setNumWorkers(2).setNEstimators(10).setMaxDepth(4)
+      val bar = reg().setUseBarrierMode(true).fit(df)
+        .transform(df).select(col("vec_id"), col("label"),
+          col("prediction").as("p_bar"))
+      val agg = reg().fit(df)
+        .transform(df).select(col("vec_id"), col("prediction").as("p_agg"))
+      bar.join(agg, "vec_id")
+        .select(col("vec_id"), col("label"),
+          (abs(col("p_bar") - col("p_agg")) < 1e-6).as("barrier_parity_ok"))
         .orderBy(col("vec_id"))
     },
-    None)
+    Some("""SELECT vec_id, label, true AS barrier_parity_ok
+      FROM embeddings ORDER BY vec_id"""))
 
-  /** C3 classifier: multiclass fit + margin→softmax→argmax scoring with
-    * rawPrediction/probability/prediction outputs. Rows-only. */
+  /** C3 classifier, driver-checked via scoring-path INVARIANTS: the
+    * probability vector is a proper softmax distribution over exactly
+    * the label classes (length = count distinct labels, sums to 1) and
+    * `prediction` is its argmax — the margin→softmax→argmax contract of
+    * the reference's predict path, replayed by the oracle as literals
+    * plus a DuckDB-computed class count. A training collapse (NaN
+    * margins, wrong class count, argmax/prediction drift) flips a
+    * witness and fails the round. */
   val trainPredictCls = Q(
     "q_ml_train_predict_cls",
     (s, dir) => {
@@ -165,12 +194,19 @@ object MlQueriesImpl {
       val model = new XgboostClassifier()
         .setFeaturesCol("embedding").setLabelCol("label")
         .setNEstimators(10).setMaxDepth(4).fit(df)
+      val p = vector_to_array(col("probability"))
       model.transform(df)
-        .select(col("vec_id"), col("prediction"),
-          round(element_at(vector_to_array(col("probability")), 1), 4).as("p0"))
+        .select(col("vec_id"), col("label"),
+          size(p).as("n_classes"),
+          (abs(aggregate(p, lit(0.0d), _ + _) - 1.0d) < 1e-6).as("prob_sum_ok"),
+          (col("prediction") ===
+            array_position(p, array_max(p)) - 1).as("argmax_ok"))
         .orderBy(col("vec_id"))
     },
-    None)
+    Some("""SELECT vec_id, label,
+        (SELECT count(DISTINCT label) FROM embeddings) AS n_classes,
+        true AS prob_sum_ok, true AS argmax_ok
+      FROM embeddings ORDER BY vec_id"""))
 
   def all: Seq[Q] = Seq(vectorRoundtrip, barrierAllGather, parquetRoundtrip,
     confIntrospection, trainPredictReg, trainPredictDist, trainPredictBarrier,
