@@ -501,6 +501,72 @@ object Multimodal {
   val SynthImageW = 48
   val SynthImageH = 32
 
+  /** Sidecar EXPECTED features, computed at fixture-generation time from
+    * the generation PARAMETERS — closed-form pixel statistics for the
+    * two-band image, a direct stats pass over the synthesized pre-
+    * container PCM for audio, header arithmetic for video. These are
+    * independent derivations, not calls into the decoders, so
+    * `decoded == expected` genuinely exercises the full encode →
+    * container → decode → featurize loop (and turns the decode queries
+    * from rows-only into driver-hash-checked). */
+  private[operators] def imageExpected(c1: Int, c2: Int): Array[Float] = {
+    // closed form of [[ImageCodec.features]] for the half-c1/half-c2
+    // band image: SynthImageW/H are both <= 64, so the 64x64 sampling
+    // grid degenerates to every pixel and each mean is (c1+c2)/2
+    require(SynthImageW <= 64 && SynthImageH <= 64, "closed form needs full sampling")
+    def ch(c: Int, s: Int) = (c >> s) & 0xff
+    def luma(c: Int) = 0.2126 * ch(c, 16) + 0.7152 * ch(c, 8) + 0.0722 * ch(c, 0)
+    val mr = (ch(c1, 16) + ch(c2, 16)) / 2.0
+    val mg = (ch(c1, 8) + ch(c2, 8)) / 2.0
+    val mb = (ch(c1, 0) + ch(c2, 0)) / 2.0
+    val l1 = luma(c1); val l2 = luma(c2)
+    val ml = (l1 + l2) / 2
+    val contrast = math.sqrt(math.max(0.0, (l1 * l1 + l2 * l2) / 2 - ml * ml)) / 255.0
+    Array((SynthImageW / 4096.0f).min(1f), (SynthImageH / 4096.0f).min(1f),
+      (SynthImageW.toFloat / SynthImageH).min(8f),
+      (mr / 255.0).toFloat, (mg / 255.0).toFloat, (mb / 255.0).toFloat,
+      (ml / 255.0).toFloat, contrast.toFloat)
+  }
+
+  private[operators] def audioExpected(freqHz: Double, durMs: Int,
+      sampleRate: Int, amplitude: Double = 0.5): Array[Float] = {
+    // the same statistics [[AudioCodec.features]] derives from the WAV
+    // bytes, computed directly over the QUANTIZED samples [[sineWav]]
+    // synthesizes — validating the PCM16 encode/decode round trip
+    val n = math.max(1, (sampleRate.toLong * durMs / 1000).toInt)
+    var sum = 0.0; var sumAbs = 0.0; var sum2 = 0.0
+    var peak = 0.0; var crossings = 0L; var prev = 0.0
+    var i = 0
+    while (i < n) {
+      val q = (amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate) * 32767).toInt
+      val s = q / 32768.0
+      sum += s; sumAbs += math.abs(s); sum2 += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (s > 0) != (prev > 0)) crossings += 1
+      prev = s
+      i += 1
+    }
+    val rate = sampleRate.toFloat
+    val durS = n / rate // mono: frames = samples
+    Array((rate / 48000.0f).min(1f), 1 / 2.0f, (durS / 60.0).min(1.0).toFloat,
+      math.sqrt(sum2 / n).toFloat, peak.toFloat,
+      (crossings.toDouble / n).toFloat, (sum / n).toFloat, (sumAbs / n).toFloat)
+  }
+
+  private[operators] def videoExpected(w: Int, h: Int, durMs: Int,
+      payloadLen: Int): Array[Float] = {
+    // header arithmetic of [[VideoCodec.features]] over the container
+    // [[mp4Bytes]] lays down: 248 fixed bytes + the mdat payload
+    val total = 248 + payloadLen
+    val aspect = if (h > 0) w.toFloat / h else 0f
+    var bh = 0
+    "isom".foreach(c => bh = bh * 31 + c)
+    Array((w / 4096.0f).min(1f), (h / 4096.0f).min(1f), aspect.min(8f),
+      (durMs / 60000.0).min(1.0).toFloat, (1000 / 90000.0f).min(1f),
+      if (payloadLen > 0) payloadLen.toFloat / total else 0f,
+      (math.log10(math.max(total, 1)) / 8.0).toFloat, (bh & 0xffff) / 65536.0f)
+  }
+
   /** Disk-cached media table per source dir: media content is INPUT data —
     * synthesizing PNGs/WAVs per query run would bill fixture generation to
     * the decode operators (it tripled the bench numbers). Content is
@@ -508,7 +574,7 @@ object Multimodal {
   /** Bump when [[syntheticMediaTable]]'s generation rule changes — the
     * version is part of the cache path, so stale renders are never
     * served after a logic change. */
-  val MediaGenVersion = 4
+  val MediaGenVersion = 5
 
   def mediaTableCached(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, sfDir: String): DataFrame = {
@@ -562,13 +628,18 @@ object Multimodal {
           .when(kind === "video", (length(col("text")) * 10).cast("int"))
           .otherwise(lit(null).cast("int")).as("duration_ms")).as("meta"))
     val schema = base.schema
+    val outSchema = schema.add(StructField("expected", ArrayType(FloatType)))
     val contentIdx = schema.fieldIndex("content")
     val metaIdx = schema.fieldIndex("meta")
-    implicit val enc = Encoders.row(schema)
+    implicit val enc = Encoders.row(outSchema)
+    def withExpected(vals: Array[Any], exp: Array[Float]): Row = {
+      val e: Any = if (exp == null) null else (exp.toIndexedSeq: Seq[Float])
+      Row.fromSeq(vals.toIndexedSeq :+ e)
+    }
     base.mapPartitions { rows =>
       rows.map { r =>
         val m = r.getStruct(metaIdx)
-        if (m == null) r
+        if (m == null) withExpected(r.toSeq.toArray, null)
         else if (m.getString(0) == "audio") {
           // real WAV content (tone seeded by id + text hash) so the decode
           // queries exercise the actual javax.sound.sampled path
@@ -579,7 +650,7 @@ object Multimodal {
           val freq = 200.0 + java.lang.Long.remainderUnsigned(h, 2000L)
           val vals = r.toSeq.toArray
           vals(contentIdx) = sineWav(freq, m.getInt(4), m.getInt(3))
-          Row.fromSeq(vals.toIndexedSeq)
+          withExpected(vals, audioExpected(freq, m.getInt(4), m.getInt(3)))
         } else if (m.getString(0) == "video") {
           // real MP4 container: header carries the meta dims/duration,
           // mdat carries the text bytes (what frame sampling slices)
@@ -587,8 +658,9 @@ object Multimodal {
           val vals = r.toSeq.toArray
           vals(contentIdx) = mp4Bytes(m.getInt(1), m.getInt(2), m.getInt(4),
             timescale = 1000, payload = bytes)
-          Row.fromSeq(vals.toIndexedSeq)
-        } else if (m.getString(0) != "image") r
+          withExpected(vals, videoExpected(m.getInt(1), m.getInt(2), m.getInt(4),
+            if (bytes == null) 0 else bytes.length))
+        } else if (m.getString(0) != "image") withExpected(r.toSeq.toArray, null)
         else {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](contentIdx)
@@ -611,7 +683,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(img, "png", baos)
           val vals = r.toSeq.toArray
           vals(contentIdx) = baos.toByteArray
-          Row.fromSeq(vals.toIndexedSeq)
+          withExpected(vals, imageExpected(c1, c2))
         }
       }
     }

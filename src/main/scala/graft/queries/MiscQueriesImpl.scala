@@ -106,40 +106,70 @@ object MiscQueriesImpl {
     Some("""SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type"""))
 
-  /** Multimodal: binary content + typed metadata, batched partition-map
-    * decode (stubbed codec), feature checksum output. Rows-only. */
+  /** Multimodal decode, driver-checked via the fixture SIDECAR: media
+    * rows carry an `expected` feature vector computed at generation time
+    * from the generation parameters (closed-form pixel stats, direct PCM
+    * stats, header arithmetic — independent derivations, not decoder
+    * calls). The query decodes through the real javax.imageio /
+    * javax.sound / ISO-BMFF paths and emits the per-row decoded-vs-
+    * expected witness, which the oracle replays as literals (kind is a
+    * pure function of doc_id). A decoder regression flips `decode_ok`
+    * and fails the round hash. */
   val multimodalDecode = Q(
     "q_multimodal_decode",
     (s, dir) => {
       val media = Multimodal.mediaTableCached(s, Tables.documents(s, dir), dir)
       Multimodal.decodeFeatures(media, "content")
         .select(col("media_id"), col("meta.kind").as("kind"),
-          length(col("content")).as("n_bytes"),
-          round(aggregate(col("features"),
-            lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("feature_sum"))
+          size(col("features")).as("n_features"),
+          (array_max(zip_with(col("features"), col("expected"),
+            (a, b) => abs(a - b))) < lit(1e-4f)).as("decode_ok"))
         .orderBy(col("media_id"))
     },
-    None)
+    Some("""SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        8 AS n_features, true AS decode_ok
+      FROM documents ORDER BY media_id"""))
 
-  /** Multimodal resize + frame-sample stages composed after decode:
-    * images resized to 224x224 (metadata rewritten), videos exploded to
-    * 4 sampled frames. Output counts per kind — deterministic, rows-only
-    * (stubbed codecs aren't SQL-expressible). */
+  /** Multimodal resize + frame-sample stages composed after decode,
+    * driver-checked: counts per kind and the 4-frames-per-nonempty-video
+    * contract are pure functions of the documents table the oracle
+    * recomputes, and `resized_ok` verifies every resized image row is a
+    * REAL 224x224 PNG by parsing the IHDR dims out of the binary column
+    * with plain codegen'd expressions (substring/hex/conv — no UDF). */
   val multimodalPipeline = Q(
     "q_multimodal_pipeline",
     (s, dir) => {
       val media = Multimodal.mediaTableCached(s, Tables.documents(s, dir), dir)
       val resized = Multimodal.resizeImages(media, 224, 224)
       val frames = Multimodal.sampleFrames(media, 4)
+      // PNG IHDR: width/height are big-endian int32 at byte offsets 16/20
+      val pngW = conv(hex(substring(col("content"), 17, 4)), 16, 10).cast("int")
+      val pngH = conv(hex(substring(col("content"), 21, 4)), 16, 10).cast("int")
       val kinds = resized.groupBy(col("meta.kind").as("kind"))
         .agg(count(lit(1)).as("n_media"),
-          round(avg(length(col("content"))), 2).as("avg_bytes"))
-      val frameCount = frames.agg(count(lit(1)).as("cnt")).collect()(0).getLong(0)
-      kinds.withColumn("n_frames",
-          when(col("kind") === "video", lit(frameCount)).otherwise(lit(0L)))
+          min(when(col("meta.kind") === "image",
+            pngW === 224 && pngH === 224).otherwise(lit(true))).as("resized_ok"))
+      val fc = frames.agg(count(lit(1)).as("n_frames_total"))
+      kinds.crossJoin(broadcast(fc))
+        .select(col("kind"), col("n_media"),
+          when(col("kind") === "video", col("n_frames_total"))
+            .otherwise(lit(0L)).as("n_frames"),
+          col("resized_ok"))
         .orderBy(col("kind"))
     },
-    None)
+    Some("""WITH k AS (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          length(text) AS tl
+        FROM documents)
+      SELECT kind, count(*) AS n_media,
+        CAST(CASE kind WHEN 'video' THEN
+          (SELECT 4 * count(*) FROM k WHERE kind = 'video' AND tl > 0)
+          ELSE 0 END AS BIGINT) AS n_frames,
+        true AS resized_ok
+      FROM k GROUP BY kind ORDER BY kind"""))
 
   /** foreachBatch merge sink ([[EventStreams.mergeToSnapshot]]): a batch
     * -seeded per-user profile snapshot kept current by full-outer merging

@@ -45,6 +45,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0L) != rows(1L))
   }
 
+  test("generation-time sidecar matches the real decode for every synthetic kind") {
+    val out = Multimodal.decodeFeatures(media, "content")
+      .select(col("media_id"), col("features"), col("expected")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val f = r.getSeq[Float](1)
+      val e = r.getSeq[Float](2)
+      assert(e != null, s"id ${r.getLong(0)}: synthetic rows must carry a sidecar")
+      assert(e.length == Multimodal.FeatureDim)
+      val dev = f.zip(e).map { case (a, b) => math.abs(a - b) }.max
+      assert(dev < 1e-4, s"id ${r.getLong(0)}: decoded vs expected dev $dev\n  $f\n  $e")
+    }
+  }
+
   test("resizeImages rewrites image rows and metadata, passes others through") {
     val out = Multimodal.resizeImages(media, 224, 224)
     assert(out.count() == media.count(), "row count unchanged")
