@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
   * extraction and resize run on `javax.imageio` + `BufferedImage`.
   * The AUDIO path is real too: WAV/PCM16 decode + waveform statistics on
   * `javax.sound.sampled` (both JDK built-ins, zero extra dependencies).
-  * The VIDEO path parses the REAL ISO-BMFF (MP4) container header —
-  * box-tree walk over ftyp/moov/mvhd/trak/tkhd/mdat for dimensions,
-  * duration, timescale, and payload layout ([[VideoCodec]]) — which is
-  * how a pipeline probes video at scale without a frame decoder; only
-  * frame DECODE is stubbed (the JDK ships no video codec — a deployment
-  * plugs ffmpeg/JNI into the same batched partition map). Bytes no
+  * The VIDEO path parses the REAL ISO-BMFF (MP4) container — box-tree
+  * walk over ftyp/moov/mvhd/trak/tkhd/mdat for dimensions, duration,
+  * timescale, and payload layout, plus the mdia→minf→stbl SAMPLE TABLE
+  * (stsd codec fourcc, stsz sample sizes, stco chunk offset) that
+  * locates every frame's byte range ([[VideoCodec]]). Frame DECODE is
+  * real for Motion-JPEG tracks ([[decodeFrameFeatures]] — each sample
+  * is a standalone JPEG `javax.imageio` reads); other codecs (H.264,
+  * VP9, …) have no JDK decoder and emit nothing — a deployment plugs
+  * ffmpeg/JNI into the same batched partition map. Bytes no
   * parser reads fall back to [[DecodeStub]]/[[ResizeStub]],
   * deterministic byte-derived fakes, so synthetic fixtures and foreign
   * blobs flow through the same plumbing instead of killing the task. Everything
@@ -154,11 +157,26 @@ object Multimodal {
   }
 
   /** Parsed MP4/ISO-BMFF container header: dimensions from `tkhd`,
-    * duration/timescale from `mvhd`, payload location from `mdat`. */
+    * duration/timescale from `mvhd`, payload location from `mdat`, and —
+    * when the track carries a sample table (`stbl`) — the codec fourcc
+    * from `stsd`, per-sample byte sizes from `stsz`, and the chunk
+    * offset from `stco`, which together locate every FRAME's exact byte
+    * range inside the file (the real ISO-BMFF frame index). */
   final case class Mp4Header(brand: String, widthPx: Int, heightPx: Int,
-      timescale: Long, duration: Long, mdatOffset: Int, mdatLength: Int) {
+      timescale: Long, duration: Long, mdatOffset: Int, mdatLength: Int,
+      codec: String = null, sampleSizes: Array[Int] = null,
+      chunkOffset: Int = -1) {
     def durationMs: Long =
       if (timescale <= 0) 0L else duration * 1000L / timescale
+    def sampleCount: Int = if (sampleSizes == null) 0 else sampleSizes.length
+    /** (offset, length) of sample `i` — consecutive samples in one chunk,
+      * the layout `stsc` declares for the single-chunk files we mux. */
+    def sampleRange(i: Int): (Int, Int) = {
+      var off = chunkOffset
+      var j = 0
+      while (j < i) { off += sampleSizes(j); j += 1 }
+      (off, sampleSizes(i))
+    }
   }
 
   /** Real ISO-BMFF (MP4) container-header codec: box-tree walking over
@@ -175,6 +193,25 @@ object Multimodal {
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
+    /** Walks the plain (size32 + type) child boxes of `[start, end)`,
+      * invoking `f(tag, contentStart, contentEnd)`. Stops at the first
+      * box using the size-0/size-1 conventions (only handled at top
+      * level) — keeping what was already yielded, same policy as the
+      * moov walk. */
+    private def walkChildren(b: Array[Byte], start: Int, end: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var c = start
+      var ok = true
+      while (ok && c + 8 <= end) {
+        val cs = u32(b, c)
+        if (cs < 8 || c + cs > end) ok = false
+        else {
+          f(tag(b, c), c + 8, c + cs.toInt)
+          c += cs.toInt
+        }
+      }
+    }
+
     /** Walks the top-level (and moov-nested) box tree; returns null for
       * bytes that are not a well-formed MP4 header. Only version-0
       * (32-bit) mvhd/tkhd tables are handled — the synthetic fixtures
@@ -186,6 +223,9 @@ object Multimodal {
       var w = 0; var h = 0
       var timescale = 0L; var duration = -1L
       var mdatOff = -1; var mdatLen = -1
+      var codec: String = null
+      var sampleSizes: Array[Int] = null
+      var chunkOff = -1
       var o = 0
       try {
         while (o + 8 <= bytes.length) {
@@ -235,26 +275,57 @@ object Multimodal {
                     timescale = u32(bytes, c + 20)
                     duration = u32(bytes, c + 24)
                   case "trak" =>
-                    var t = c + 8
-                    val tend = c + cs.toInt
-                    var trakOk = true
-                    while (trakOk && t + 8 <= tend) {
-                      val ts = u32(bytes, t)
-                      if (ts < 8 || t + ts > tend) { trakOk = false; t = tend }
-                      else {
-                      if (tag(bytes, t) == "tkhd" && bytes(t + 8) == 0 && ts >= 92) {
+                    walkChildren(bytes, c + 8, c + cs.toInt) { (tt, ts, te) =>
+                      if (tt == "tkhd" && bytes(ts) == 0 && te - ts >= 84) {
                         // width/height are 16.16 fixed point at the tail.
                         // Keep the FIRST trak with nonzero dims: a real
                         // MP4 carries an audio trak after the video one,
                         // and its tkhd dims are 0 — last-wins would
                         // report a 0x0 video.
-                        val tw = (u32(bytes, t + ts.toInt - 8) >> 16).toInt
-                        val th = (u32(bytes, t + ts.toInt - 4) >> 16).toInt
+                        val tw = (u32(bytes, te - 8) >> 16).toInt
+                        val th = (u32(bytes, te - 4) >> 16).toInt
                         if (w == 0 && h == 0 && (tw != 0 || th != 0)) {
                           w = tw; h = th
                         }
-                      }
-                      t += ts.toInt
+                      } else if (tt == "mdia" && sampleSizes == null) {
+                        // descend mdia → minf → stbl for the FRAME INDEX:
+                        // stsd carries the codec fourcc, stsz the
+                        // per-sample byte sizes, stco the chunk offset —
+                        // together they locate every frame without
+                        // touching a decoder. First video trak wins
+                        // (same policy as dims/mdat).
+                        walkChildren(bytes, ts, te) { (mt, ms, me) =>
+                          if (mt == "minf") walkChildren(bytes, ms, me) { (nt, ns, ne) =>
+                            if (nt == "stbl") walkChildren(bytes, ns, ne) { (st, ss, se) =>
+                              st match {
+                                case "stsd" if se - ss >= 16 =>
+                                  // entry_count then the first sample
+                                  // entry; its TYPE is the codec fourcc
+                                  if (u32(bytes, ss + 4) >= 1) codec = tag(bytes, ss + 8)
+                                case "stsz" if se - ss >= 12 =>
+                                  val fixed = u32(bytes, ss + 4)
+                                  val n = u32(bytes, ss + 8).toInt
+                                  if (n >= 0 && n < (1 << 20)) {
+                                    val sz = new Array[Int](n)
+                                    var i = 0
+                                    var okSz = true
+                                    while (i < n) {
+                                      if (fixed != 0) sz(i) = fixed.toInt
+                                      else if (ss + 12 + 4 * i + 4 <= se)
+                                        sz(i) = u32(bytes, ss + 12 + 4 * i).toInt
+                                      else okSz = false
+                                      i += 1
+                                    }
+                                    if (okSz) sampleSizes = sz
+                                  }
+                                case "stco" if se - ss >= 12 =>
+                                  if (u32(bytes, ss + 4) >= 1)
+                                    chunkOff = u32(bytes, ss + 8).toInt
+                                case _ =>
+                              }
+                            }
+                          }
+                        }
                       }
                     }
                   case _ =>
@@ -267,7 +338,8 @@ object Multimodal {
         }
       } catch { case _: IndexOutOfBoundsException => return null }
       if (brand == null || duration < 0) null
-      else Mp4Header(brand, w, h, timescale, duration, mdatOff, mdatLen)
+      else Mp4Header(brand, w, h, timescale, duration, mdatOff, mdatLen,
+        codec, sampleSizes, chunkOff)
     }
 
     /** FeatureDim statistics from the parsed header:
@@ -326,6 +398,113 @@ object Multimodal {
     val n = if (payload == null) 0 else payload.length
     box(8 + n, "mdat")
     if (n > 0) bb.put(payload)
+    bb.array()
+  }
+
+  /** Builds a Motion-JPEG MP4 with a REAL sample table: `ftyp` +
+    * `moov`(`mvhd` + `trak`(`tkhd` + `mdia`(`mdhd` + `hdlr` +
+    * `minf`(`vmhd` + `dinf`/`dref` + `stbl`(`stsd`('jpeg') + `stts` +
+    * `stsc` + `stsz` + `stco`))))) + `mdat` holding the concatenated
+    * JPEG frames as one chunk. MJPEG is the one video codec the JDK can
+    * actually decode (each sample is a standalone JPEG — `javax.imageio`
+    * reads it), so this container makes the END-TO-END frame path real:
+    * mux → stbl parse → sample slice → frame decode → pixels.
+    *
+    * `widthPx`/`heightPx` are the tkhd DISPLAY dims; `codedW`/`codedH`
+    * are the stsd coded dims — the spec-sanctioned split (tkhd carries
+    * the presentation matrix target, the sample entry the pixel
+    * buffer). */
+  def mjpegMp4Bytes(widthPx: Int, heightPx: Int, durationMs: Int,
+      timescale: Int, codedW: Int, codedH: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    val nS = frames.length
+    val mdatLen = frames.map(_.length).sum
+    val stsdSz = 8 + 8 + 86        // vf + entry_count + VisualSampleEntry
+    val sttsSz = 8 + 8 + 8
+    val stscSz = 8 + 8 + 12
+    val stszSz = 8 + 12 + 4 * nS
+    val stcoSz = 8 + 12
+    val stblSz = 8 + stsdSz + sttsSz + stscSz + stszSz + stcoSz
+    val vmhdSz = 8 + 12
+    val drefSz = 8 + 8 + 12        // vf + entry_count + self-contained url
+    val dinfSz = 8 + drefSz
+    val minfSz = 8 + vmhdSz + dinfSz + stblSz
+    val mdhdSz = 8 + 24
+    val hdlrSz = 8 + 25
+    val mdiaSz = 8 + mdhdSz + hdlrSz + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val chunkOff = 24 + moovSz + 8 // ftyp + moov + mdat header
+    val bb = java.nio.ByteBuffer.allocate(24 + moovSz + 8 + mdatLen)
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size)
+      bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    val duration = (durationMs.toLong * timescale / 1000L).toInt
+    box(24, "ftyp")
+    bb.put("isom".getBytes); bb.putInt(0); bb.put("isom".getBytes); bb.put("mp41".getBytes)
+    box(moovSz, "moov")
+    box(108, "mvhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(timescale); bb.putInt(duration)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    bb.putInt(0); bb.putInt(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (1 to 6).foreach(_ => bb.putInt(0))
+    bb.putInt(2)
+    box(trakSz, "trak")
+    box(92, "tkhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1); bb.putInt(0); bb.putInt(duration)
+    bb.putInt(0); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    bb.putInt(widthPx << 16); bb.putInt(heightPx << 16)
+    box(mdiaSz, "mdia")
+    box(mdhdSz, "mdhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(timescale); bb.putInt(duration)
+    bb.putShort(0x55c4.toShort); bb.putShort(0) // language "und", pre_defined
+    box(hdlrSz, "hdlr")
+    bb.putInt(0); bb.putInt(0)
+    bb.put("vide".getBytes)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.put(0.toByte)                            // empty name
+    box(minfSz, "minf")
+    box(vmhdSz, "vmhd")
+    bb.putInt(1)                                // version 0, flags 1 (spec)
+    bb.putShort(0)                              // graphicsmode
+    bb.putShort(0); bb.putShort(0); bb.putShort(0) // opcolor r/g/b
+    box(dinfSz, "dinf")
+    box(drefSz, "dref")
+    bb.putInt(0); bb.putInt(1)
+    box(12, "url "); bb.putInt(1)               // flag 1: media in this file
+    box(stblSz, "stbl")
+    box(stsdSz, "stsd")
+    bb.putInt(0); bb.putInt(1)
+    box(86, "jpeg")                             // VisualSampleEntry
+    bb.putInt(0); bb.putShort(0); bb.putShort(1)        // reserved + data_ref_index
+    bb.putShort(0); bb.putShort(0)                       // pre_defined + reserved
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)             // pre_defined[3]
+    bb.putShort(codedW.toShort); bb.putShort(codedH.toShort)
+    bb.putInt(0x00480000); bb.putInt(0x00480000)         // 72 dpi
+    bb.putInt(0)
+    bb.putShort(1)                                       // frame_count
+    bb.put(new Array[Byte](32))                          // compressorname
+    bb.putShort(24); bb.putShort(0xffff.toShort)         // depth, pre_defined
+    box(sttsSz, "stts")
+    bb.putInt(0); bb.putInt(1)
+    bb.putInt(nS); bb.putInt(if (nS == 0) 0 else duration / math.max(nS, 1))
+    box(stscSz, "stsc")
+    bb.putInt(0); bb.putInt(1)
+    bb.putInt(1); bb.putInt(math.max(nS, 1)); bb.putInt(1)
+    box(stszSz, "stsz")
+    bb.putInt(0); bb.putInt(0); bb.putInt(nS)
+    frames.foreach(f => bb.putInt(f.length))
+    box(stcoSz, "stco")
+    bb.putInt(0); bb.putInt(1); bb.putInt(chunkOff)
+    box(8 + mdatLen, "mdat")
+    frames.foreach(bb.put)
     bb.array()
   }
 
@@ -450,15 +629,15 @@ object Multimodal {
     }
   }
 
-  /** Samples `n` evenly-spaced "frames" from each video row. The
-    * container header is REALLY parsed ([[VideoCodec]]): slices come
-    * from inside the `mdat` payload — the media data a decoder would
-    * read — not from header bytes. Actual frame DECODE stays stubbed as
-    * byte-range slices (no JDK video codec; a deployment plugs
-    * ffmpeg/JNI into this same per-partition loop) with the same output
-    * contract: one row per sampled frame, frame index + frame bytes.
-    * Non-MP4 video bytes fall back to whole-content slices; non-video
-    * rows produce no frames. */
+  /** Samples `n` evenly-spaced frames from each video row. The
+    * container is REALLY parsed ([[VideoCodec]]): when the track
+    * carries a sample table, each emitted row is an ACTUAL codec
+    * sample's exact byte range (a standalone JPEG for MJPEG tracks —
+    * decode it with [[decodeFrameFeatures]]); tracks without a sample
+    * table fall back to evenly-spaced `mdat` byte slices, and non-MP4
+    * bytes to whole-content slices. Output contract either way: one
+    * row per sampled frame, frame index + frame bytes; non-video rows
+    * produce no frames. */
   def sampleFrames(df: DataFrame, n: Int): DataFrame = {
     val schema = df.schema
     val outSchema = StructType(Seq(
@@ -482,7 +661,19 @@ object Multimodal {
           // is non-empty but frameless)
           if (all == null || all.isEmpty ||
             (hdr != null && hdr.mdatLength <= 0)) Iterator.empty
-          else {
+          else if (hdr != null && hdr.sampleCount > 0) {
+            // REAL frames: the stbl sample table locates every sample's
+            // byte range, so each emitted row is an actual codec frame
+            // (a standalone JPEG for the 'jpeg' tracks we mux) — n
+            // evenly-spaced samples, repeating when the track is shorter
+            // than n (keeps the n-rows-per-video output contract)
+            (0 until n).iterator.map { f =>
+              val si = ((f.toLong * hdr.sampleCount) / n).toInt
+              val (start, len) = hdr.sampleRange(si)
+              Row(r.get(idIdx), f,
+                java.util.Arrays.copyOfRange(all, start, start + len))
+            }
+          } else {
             val (off, len) =
               if (hdr != null) (hdr.mdatOffset, hdr.mdatLength)
               else (0, all.length)
@@ -498,8 +689,74 @@ object Multimodal {
     }
   }
 
+  /** REAL video frame decode: for each video row, locate `n`
+    * evenly-spaced samples through the parsed stbl frame index, slice
+    * each sample's exact byte range, decode it with `javax.imageio`
+    * (MJPEG samples are standalone JPEGs — the one video codec the JDK
+    * ships), and emit per-frame pixel features ([[ImageCodec.features]]
+    * — same 8-dim contract as still images). Output: one row per
+    * sampled frame `(media_id, frame_idx, sample_idx, codec,
+    * features)`. Rows without a sample table, with an empty track, or
+    * with samples ImageIO cannot read (H.264 etc. — no JDK codec;
+    * a deployment plugs ffmpeg/JNI into this same loop) emit nothing:
+    * a silent stub feature here would defeat the driver check.
+    * Batched per-partition execution, one codec init per task. */
+  def decodeFrameFeatures(df: DataFrame, n: Int): DataFrame = {
+    val schema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("media_id", schema("media_id").dataType),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("codec", StringType),
+      StructField("features", ArrayType(FloatType))))
+    val idIdx = schema.fieldIndex("media_id")
+    val contentIdx = schema.fieldIndex("content")
+    val metaIdx = schema.fieldIndex("meta")
+    implicit val enc = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val video = new VideoCodec
+      val images = new ImageCodec
+      rows.flatMap { r =>
+        val m = r.getStruct(metaIdx)
+        if (m == null || m.getString(0) != "video") Iterator.empty
+        else {
+          val all = r.getAs[Array[Byte]](contentIdx)
+          val hdr = if (all == null) null else video.parse(all)
+          if (hdr == null || hdr.sampleCount <= 0) Iterator.empty
+          else (0 until n).iterator.flatMap { f =>
+            val si = ((f.toLong * hdr.sampleCount) / n).toInt
+            val (start, len) = hdr.sampleRange(si)
+            val img = images.decode(java.util.Arrays.copyOfRange(all, start, start + len))
+            if (img == null) Iterator.empty
+            else Iterator.single(Row(r.get(idIdx), f, si, hdr.codec,
+              images.features(img).toIndexedSeq: Seq[Float]))
+          }
+        }
+      }
+    }
+  }
+
   val SynthImageW = 48
   val SynthImageH = 32
+
+  /** Vertical two-band test pattern: left half `c1`, right half `c2` —
+    * the deterministic render both the still-image fixtures and the
+    * MJPEG video frames are built from. */
+  private[operators] def bandImage(w: Int, h: Int, c1: Int,
+      c2: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(math.max(w, 1), math.max(h, 1),
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        img.setRGB(x, y, if (x < img.getWidth / 2) c1 else c2)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
 
   /** Sidecar EXPECTED features, computed at fixture-generation time from
     * the generation PARAMETERS — closed-form pixel statistics for the
@@ -554,17 +811,17 @@ object Multimodal {
   }
 
   private[operators] def videoExpected(w: Int, h: Int, durMs: Int,
-      payloadLen: Int): Array[Float] = {
-    // header arithmetic of [[VideoCodec.features]] over the container
-    // [[mp4Bytes]] lays down: 248 fixed bytes + the mdat payload
-    val total = 248 + payloadLen
+      mdatLen: Int, totalBytes: Int): Array[Float] = {
+    // header arithmetic of [[VideoCodec.features]]: dims/duration from
+    // the generation parameters, byte layout from the muxed container
+    // (the caller measures the actual bytes it just laid down)
     val aspect = if (h > 0) w.toFloat / h else 0f
     var bh = 0
     "isom".foreach(c => bh = bh * 31 + c)
     Array((w / 4096.0f).min(1f), (h / 4096.0f).min(1f), aspect.min(8f),
       (durMs / 60000.0).min(1.0).toFloat, (1000 / 90000.0f).min(1f),
-      if (payloadLen > 0) payloadLen.toFloat / total else 0f,
-      (math.log10(math.max(total, 1)) / 8.0).toFloat, (bh & 0xffff) / 65536.0f)
+      if (mdatLen > 0) mdatLen.toFloat / totalBytes else 0f,
+      (math.log10(math.max(totalBytes, 1)) / 8.0).toFloat, (bh & 0xffff) / 65536.0f)
   }
 
   /** Disk-cached media table per source dir: media content is INPUT data —
@@ -574,7 +831,7 @@ object Multimodal {
   /** Bump when [[syntheticMediaTable]]'s generation rule changes — the
     * version is part of the cache path, so stale renders are never
     * served after a logic change. */
-  val MediaGenVersion = 5
+  val MediaGenVersion = 6
 
   def mediaTableCached(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, sfDir: String): DataFrame = {
@@ -628,13 +885,18 @@ object Multimodal {
           .when(kind === "video", (length(col("text")) * 10).cast("int"))
           .otherwise(lit(null).cast("int")).as("duration_ms")).as("meta"))
     val schema = base.schema
-    val outSchema = schema.add(StructField("expected", ArrayType(FloatType)))
+    val outSchema = schema
+      .add(StructField("expected", ArrayType(FloatType)))
+      .add(StructField("expected_frames", ArrayType(ArrayType(FloatType))))
     val contentIdx = schema.fieldIndex("content")
     val metaIdx = schema.fieldIndex("meta")
     implicit val enc = Encoders.row(outSchema)
-    def withExpected(vals: Array[Any], exp: Array[Float]): Row = {
+    def withExpected(vals: Array[Any], exp: Array[Float],
+        frames: Array[Array[Float]] = null): Row = {
       val e: Any = if (exp == null) null else (exp.toIndexedSeq: Seq[Float])
-      Row.fromSeq(vals.toIndexedSeq :+ e)
+      val fr: Any = if (frames == null) null
+        else (frames.map(f => (f.toIndexedSeq: Seq[Float])).toIndexedSeq: Seq[Seq[Float]])
+      Row.fromSeq(vals.toIndexedSeq :+ e :+ fr)
     }
     base.mapPartitions { rows =>
       rows.map { r =>
@@ -652,33 +914,50 @@ object Multimodal {
           vals(contentIdx) = sineWav(freq, m.getInt(4), m.getInt(3))
           withExpected(vals, audioExpected(freq, m.getInt(4), m.getInt(3)))
         } else if (m.getString(0) == "video") {
-          // real MP4 container: header carries the meta dims/duration,
-          // mdat carries the text bytes (what frame sampling slices)
+          // real Motion-JPEG MP4: tkhd carries the display dims, the
+          // stsd entry the coded dims (display/10 — spec-sanctioned
+          // split), and mdat holds S standalone JPEG frames indexed by
+          // a real stbl sample table. S = 2 + id%3 for non-empty docs,
+          // 0 for empty ones (keeps the pipeline query's tl>0 frame
+          // contract). expected_frames pins the GENERATION-TIME decode
+          // of each frame's exact bytes: unlike the closed-form image/
+          // audio sidecars this shares the JPEG codec with the query
+          // path, so what it checks is the byte-exact container round
+          // trip — mux → parquet → stbl parse → sample slice must
+          // reproduce the muxed frame bytes bit-for-bit (any offset
+          // error yields garbage pixels or a failed decode).
+          val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](contentIdx)
+          var hh = 0xcbf29ce484222325L ^ id
+          if (bytes != null) { var i = 0; while (i < bytes.length) { hh ^= bytes(i) & 0xffL; hh *= 0x100000001b3L; i += 1 } }
+          val w = m.getInt(1); val h = m.getInt(2); val durMs = m.getInt(4)
+          val nFrames = if (bytes == null || bytes.isEmpty) 0 else (2 + (id % 3)).toInt
+          val codec = new ImageCodec
+          val jpegs = Array.tabulate(nFrames) { f =>
+            val fh = hh ^ (0x9e3779b97f4a7c15L * (f + 1))
+            val img = bandImage(w / 10, h / 10,
+              (fh & 0xffffff).toInt, ((fh >>> 24) & 0xffffff).toInt)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+            baos.toByteArray
+          }
+          val container = mjpegMp4Bytes(w, h, durMs, timescale = 1000,
+            codedW = w / 10, codedH = h / 10, frames = jpegs)
+          val expFrames = jpegs.map(j => codec.features(codec.decode(j)))
           val vals = r.toSeq.toArray
-          vals(contentIdx) = mp4Bytes(m.getInt(1), m.getInt(2), m.getInt(4),
-            timescale = 1000, payload = bytes)
-          withExpected(vals, videoExpected(m.getInt(1), m.getInt(2), m.getInt(4),
-            if (bytes == null) 0 else bytes.length))
+          vals(contentIdx) = container
+          withExpected(vals, videoExpected(w, h, durMs,
+            jpegs.map(_.length).sum, container.length), expFrames)
         } else if (m.getString(0) != "image") withExpected(r.toSeq.toArray, null)
         else {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](contentIdx)
           var h = 0xcbf29ce484222325L ^ id
           if (bytes != null) { var i = 0; while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 } }
-          val img = new java.awt.image.BufferedImage(SynthImageW, SynthImageH,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val img = bandImage(SynthImageW, SynthImageH,
+            (h & 0xffffff).toInt, ((h >>> 24) & 0xffffff).toInt)
           val c1 = (h & 0xffffff).toInt
           val c2 = ((h >>> 24) & 0xffffff).toInt
-          var y = 0
-          while (y < SynthImageH) {
-            var x = 0
-            while (x < SynthImageW) {
-              img.setRGB(x, y, if (x < SynthImageW / 2) c1 else c2)
-              x += 1
-            }
-            y += 1
-          }
           val baos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", baos)
           val vals = r.toSeq.toArray

@@ -171,6 +171,40 @@ object MiscQueriesImpl {
         true AS resized_ok
       FROM k GROUP BY kind ORDER BY kind"""))
 
+  /** REAL video frame decode, driver-checked: each video fixture is a
+    * Motion-JPEG MP4 (JPEG samples indexed by a real stbl sample
+    * table), so [[Multimodal.decodeFrameFeatures]] locates each
+    * sampled frame's exact byte range through stsz/stco, decodes it
+    * with the actual `javax.imageio` JPEG codec, and featurizes the
+    * pixels. `decode_ok` compares against the `expected_frames`
+    * sidecar, which pins the generation-time decode of the same frame
+    * bytes — so ANY corruption across mux → parquet → stbl parse →
+    * sample slice (an off-by-one offset, a swapped sample size) yields
+    * garbage pixels or a failed decode and flips the row. The oracle
+    * replays the sampling arithmetic (frame→sample index map, frame
+    * counts, the 'jpeg' fourcc) as pure functions of doc_id. */
+  val videoFrames = Q(
+    "q_video_frames",
+    (s, dir) => {
+      val media = Multimodal.mediaTableCached(s, Tables.documents(s, dir), dir)
+      Multimodal.decodeFrameFeatures(media, 4)
+        .join(media.select(col("media_id"), col("expected_frames")), "media_id")
+        .select(col("media_id"), col("frame_idx"), col("sample_idx"), col("codec"),
+          size(col("features")).as("n_features"),
+          (array_max(zip_with(col("features"),
+            element_at(col("expected_frames"), col("sample_idx") + 1),
+            (a, b) => abs(a - b))) < lit(1e-6f)).as("decode_ok"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""WITH v AS (
+        SELECT doc_id, 2 + CAST(doc_id % 3 AS INT) AS s FROM documents
+        WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0)
+      SELECT doc_id AS media_id, f.frame_idx,
+        CAST((f.frame_idx * s) // 4 AS INT) AS sample_idx,
+        'jpeg' AS codec, 8 AS n_features, true AS decode_ok
+      FROM v, (SELECT unnest(range(4)) AS frame_idx) f
+      ORDER BY media_id, frame_idx"""))
+
   /** foreachBatch merge sink ([[EventStreams.mergeToSnapshot]]): a batch
     * -seeded per-user profile snapshot kept current by full-outer merging
     * each micro-batch's deltas — streaming CDC into a versioned table.
@@ -222,5 +256,5 @@ object MiscQueriesImpl {
 
   def all: Seq[Q] = Seq(streamWindow, streamWindowSink, streamSessionize, streamDedup,
     streamJoin, streamLeftJoin, streamStatic, streamMerge, multimodalDecode,
-    multimodalPipeline)
+    multimodalPipeline, videoFrames)
 }
