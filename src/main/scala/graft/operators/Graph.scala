@@ -43,12 +43,17 @@ object Graph {
     * counted with ONE explode over (x, y, z).
     */
   def triangleCorners(edges: DataFrame,
-      broadcastMaxEdges: Long = 20000000L): DataFrame = {
-    val und = edges
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+      broadcastMaxEdges: Long = 20000000L,
+      assumeCanonical: Boolean = false): DataFrame = {
+    // assumeCanonical: caller guarantees a < b, no self-loops, no
+    // duplicates (e.g. a staged edge table) — skips a full |E| shuffle
+    val und =
+      if (assumeCanonical) edges.select(col("a").as("u"), col("b").as("v"))
+      else edges
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -107,14 +112,17 @@ object Graph {
     * no dangling-mass term is needed.
     */
   def pagerankFixedPoint(edges: DataFrame, iters: Int,
-      dampingPct: Int = 85, scale: Long = 1000000L): DataFrame = {
+      dampingPct: Int = 85, scale: Long = 1000000L,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100, s"bad damping $dampingPct")
-    val und = edges
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    val und =
+      if (assumeCanonical) edges.select(col("a").as("u"), col("b").as("v"))
+      else edges
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
     val adj = und.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
     // deg is persisted too: the rank SEED reads it, and without the cache
