@@ -269,6 +269,67 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vid"), col("cos"))
   }
 
+  /** SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings with a FROZEN coarse quantizer, compare pairs
+    * only WITHIN a cluster, and for every pair above the cosine threshold
+    * drop the more-central member — keeping low-centrality examples
+    * preserves diversity, the paper's best-performing keep rule.
+    *
+    * Scale shape: pair volume is Σ_c n_c² instead of N² — the cluster
+    * count grows with the corpus (k ∝ N holds E[n_c] constant, the paper
+    * uses k≈10⁴ for 10⁸ docs), the cell id is the ONE shuffle key in the
+    * plan, and each cell's pairs are generated cell-locally. Assignment
+    * is a pure per-row expression over the pinned centroids (same frozen-
+    * quantizer contract as [[ivfTopKPinned]]: train offline on a sample,
+    * immutable while serving), so the whole pipeline — assignment,
+    * in-cell pair join, unrounded threshold compare, keep rule — replays
+    * bit-exactly in SQL.
+    *
+    * Output: one row per input doc — (id, cell, centroid_cos, n_dups,
+    * keep) where keep=false iff some same-cell neighbor above `minCos`
+    * is strictly LESS central (smaller unit-dot to the cell centroid;
+    * fp-exact ties broken toward keeping the smaller id).
+    */
+  def semanticDedupPinned(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], minCos: Double): DataFrame = {
+    require(centroids.nonEmpty, "need at least one pinned centroid")
+    // struct(dot, -cell): array_max → highest raw dot, ties to SMALLEST
+    // cell id (raw-dot argmax ≡ cosine argmax: unit centroids, positive row norm)
+    def entries(v: Column): Column =
+      array(centroids.zipWithIndex.map { case (cen, i) =>
+        struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
+      }: _*)
+    def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
+    val cell = (-array_max(entries(rawV(col(vecCol)))).getField("nc")).as("cell")
+    // centrality = unit-vector dot to the OWN cell's centroid (centroid
+    // literals are unit-normalized at pin time, so this IS the cosine)
+    val uds = array(centroids.map(cen =>
+      array_dot(col("uvec"), typedLit(cen.toSeq))): _*)
+    val keyed = corpus
+      .select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("uvec"), cell)
+      .withColumn("ccos", element_at(uds, col("cell") + 1))
+    val pairs = keyed.alias("x").join(keyed.alias("y"),
+        col("x.cell") === col("y.cell") && col("x.vid") < col("y.vid"))
+      .where(array_dot(col("x.uvec"), col("y.uvec")) >= minCos)
+      .select(col("x.vid").as("a"), col("x.ccos").as("accos"),
+        col("y.vid").as("b"), col("y.ccos").as("bccos"))
+    // per-doc verdict over both pair directions: removed iff ∃ neighbor
+    // that is less central (or fp-equal with a smaller id)
+    val nbrs = pairs.select(col("a").as("vid"), col("accos").as("ccos"),
+        col("b").as("nvid"), col("bccos").as("nccos"))
+      .unionByName(pairs.select(col("b").as("vid"), col("bccos").as("ccos"),
+        col("a").as("nvid"), col("accos").as("nccos")))
+    val verdict = nbrs.groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_dups"),
+        max((col("ccos") > col("nccos")) ||
+          (col("ccos") === col("nccos") && col("vid") > col("nvid"))).as("removed"))
+    keyed.join(verdict, Seq("vid"), "left")
+      .select(col("vid"), col("cell"),
+        round(col("ccos"), 6).as("centroid_cos"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(!col("removed"), lit(true)).as("keep"))
+  }
+
   /** Symmetric per-vector int8 quantization — the 4× memory cut that
     * makes a 100 TB ANN corpus fit executor RAM (IVF/LSH candidates are
     * re-ranked on codes; only survivors touch float vectors). scale =

@@ -279,6 +279,31 @@ object DedupQueriesImpl {
     },
     Some(LshOracle.pairsSql(minCos = 0.8, bits = 6, tables = 8, seed = 42L)))
 
+  /** SemDeDup semantic dedup over the planted-twin corpus: frozen-
+    * quantizer cells (the SAME pinned centroids the IVF index uses —
+    * one offline quantizer serving both ANN and dedup), in-cell cosine
+    * pairs, drop-the-more-central keep rule. Pair volume is cell-bounded
+    * (Σ n_c², never N²) — the scale path SemDeDup exists for. Twins are
+    * planted with the same replayable arithmetic as the LSH query so the
+    * screen provably FINDS them rather than hash-passing on zero pairs. */
+  val semantic = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = e.where(col("vec_id") < 40).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.5d)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      graft.operators.Similarity.semanticDedupPinned(
+          e.unionByName(planted), "vec_id", "embedding",
+          IvfOracle.pinnedCentroids, 0.8)
+        .withColumnRenamed("vid", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+    Some(SemDedupOracle.sql(minCos = 0.8)))
+
   /** The full near-dup pipeline: MinHash/LSH candidates → EXACT n-gram
     * Jaccard verification of only those pairs (never all-pairs). This is
     * the composition that runs at 100 TB: candidate generation shuffles
@@ -510,5 +535,6 @@ object DedupQueriesImpl {
 
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
     ngramJaccard, prefixJoin, containment, corpusOverlap, incremental,
-    embedding, embeddingLsh, curation, clusters, canonical, dupGramCoverage)
+    embedding, embeddingLsh, semantic, curation, clusters, canonical,
+    dupGramCoverage)
 }

@@ -84,8 +84,13 @@ object MlQueriesImpl {
     },
     None)
 
-  /** C1+C3 regression: fit on the embeddings table (label as target),
-    * score it back. Rows-only (no SQL oracle can train a GBT). */
+  /** C1+C3 regression, driver-checked via LEARNING-INVARIANT witnesses:
+    * every row must score to a finite prediction, and the trained model's
+    * training MSE must beat the best constant predictor (= Var(label) —
+    * squared-loss boosting from a mean base score with positive-gain
+    * trees strictly reduces training loss). A silent training collapse
+    * (NaN margins, all-zero trees, loss regression) flips a witness and
+    * the driver hash catches it — the oracle replays both as literals. */
   val trainPredictReg = Q(
     "q_ml_train_predict_reg",
     (s, dir) => {
@@ -93,11 +98,24 @@ object MlQueriesImpl {
       val model = new XgboostRegressor()
         .setFeaturesCol("embedding").setLabelCol("label")
         .setNEstimators(20).setMaxDepth(4).fit(df)
-      model.transform(df)
-        .select(col("vec_id"), round(col("prediction"), 4).as("prediction"))
+      val scored = model.transform(df)
+        .select(col("vec_id"), col("label"), col("prediction"))
+      // one pass: Var(label) = E[l²]−E[l]² (labels are O(1) — no
+      // cancellation hazard at a boolean compare's resolution)
+      val w = scored.agg(
+          (avg(col("label") * col("label"))
+            - avg(col("label")) * avg(col("label"))).as("var_label"),
+          avg((col("label") - col("prediction"))
+            * (col("label") - col("prediction"))).as("mse_model"))
+        .select((col("mse_model") < col("var_label")).as("model_beats_mean"))
+      scored.crossJoin(broadcast(w))
+        .select(col("vec_id"), col("label"),
+          (!isnan(col("prediction")) && col("prediction").isNotNull).as("pred_ok"),
+          col("model_beats_mean"))
         .orderBy(col("vec_id"))
     },
-    None)
+    Some("""SELECT vec_id, label, true AS pred_ok, true AS model_beats_mean
+      FROM embeddings ORDER BY vec_id"""))
 
   /** C2-path at query level, now DRIVER-CHECKED instead of rows-only:
     * the output is a per-row PARITY WITNESS the oracle can replay as
@@ -116,9 +134,18 @@ object MlQueriesImpl {
       def fit() = new XgboostRegressor()
         .setFeaturesCol("embedding").setLabelCol("label")
         .setNumWorkers(2).setNEstimators(10).setMaxDepth(4).fit(df)
-      val p1 = fit().transform(df).select(col("vec_id"), col("label"),
+      // the witness needs two INDEPENDENT fits by definition; they are
+      // independent Spark jobs, so submit them from two threads — local[32]
+      // (and any real cluster) runs both job DAGs concurrently, halving
+      // the wall cost of the determinism check
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fits = Await.result(
+        Future.sequence(Seq(Future(fit()), Future(fit()))),
+        scala.concurrent.duration.Duration.Inf)
+      val p1 = fits(0).transform(df).select(col("vec_id"), col("label"),
         col("prediction").as("p1"))
-      val p2 = fit().transform(df).select(col("vec_id"),
+      val p2 = fits(1).transform(df).select(col("vec_id"),
         col("prediction").as("p2"))
       p1.join(p2, "vec_id")
         .select(col("vec_id"), col("label"),
@@ -132,7 +159,10 @@ object MlQueriesImpl {
     * lineitem table (~600k rows at sf0.1) — the treeAggregate histogram
     * path whose per-level traffic is independent of row count. Output is
     * a 3-row summary so the bench measures training, not result
-    * materialization. Rows-only (no SQL oracle can train a GBT). */
+    * materialization — now driver-checked: per-group row counts replay
+    * in SQL, and the learning invariant (training MSE beats the best
+    * constant predictor) plus per-row prediction finiteness ride along
+    * as boolean witnesses the oracle replays as literals. */
   val trainPredictScale = Q(
     "q_ml_train_predict_scale",
     (s, dir) => {
@@ -144,13 +174,26 @@ object MlQueriesImpl {
       val model = new XgboostRegressor()
         .setFeaturesCol("features").setLabelCol("label")
         .setNumWorkers(8).setNEstimators(5).setMaxDepth(5).fit(li)
-      model.transform(li)
+      val scored = model.transform(li)
+      val w = scored.agg(
+          (avg(col("label") * col("label"))
+            - avg(col("label")) * avg(col("label"))).as("var_label"),
+          avg((col("label") - col("prediction"))
+            * (col("label") - col("prediction"))).as("mse_model"))
+        .select((col("mse_model") < col("var_label")).as("model_beats_mean"))
+      scored
         .groupBy(col("l_returnflag"))
-        .agg(round(avg(col("prediction")), 2).as("avg_pred"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          max(isnan(col("prediction")) || col("prediction").isNull)
+            .as("any_pred_bad"))
+        .crossJoin(broadcast(w))
+        .select(col("l_returnflag"), col("n"),
+          (!col("any_pred_bad")).as("preds_ok"), col("model_beats_mean"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""SELECT l_returnflag, count(*) AS n, true AS preds_ok,
+        true AS model_beats_mean
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** C2+C8 faithful path, driver-checked: gang-scheduled barrier
     * training (socket-collective histogram allreduce, partition 0 =
@@ -165,10 +208,17 @@ object MlQueriesImpl {
       def reg() = new XgboostRegressor()
         .setFeaturesCol("embedding").setLabelCol("label")
         .setNumWorkers(2).setNEstimators(10).setMaxDepth(4)
-      val bar = reg().setUseBarrierMode(true).fit(df)
+      // both sides of the parity check are independent jobs (the barrier
+      // gang needs 2 of local[32]'s slots, the treeAggregate path any) —
+      // fit them concurrently from two threads
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (barF, aggF) = (Future(reg().setUseBarrierMode(true).fit(df)),
+        Future(reg().fit(df)))
+      val bar = Await.result(barF, scala.concurrent.duration.Duration.Inf)
         .transform(df).select(col("vec_id"), col("label"),
           col("prediction").as("p_bar"))
-      val agg = reg().fit(df)
+      val agg = Await.result(aggF, scala.concurrent.duration.Duration.Inf)
         .transform(df).select(col("vec_id"), col("prediction").as("p_agg"))
       bar.join(agg, "vec_id")
         .select(col("vec_id"), col("label"),

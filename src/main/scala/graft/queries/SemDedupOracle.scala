@@ -1,0 +1,53 @@
+package graft.queries
+
+/** DuckDB replay of [[graft.operators.Similarity.semanticDedupPinned]]
+  * over the planted-twin embeddings corpus (same planting arithmetic as
+  * `q_dedup_embedding_lsh`: ids < 40 re-keyed +100000, first coordinate
+  * +0.5 — cos ≈ 0.99 twins the semantic screen must find).
+  *
+  * Shares [[IvfOracle.pinnedCentroids]] — the same frozen coarse
+  * quantizer serves ANN probes and semantic dedup, exactly how a
+  * production index reuses one offline-trained quantizer. Because the
+  * centroids are double literals on BOTH sides, cell assignment
+  * (argmax raw dot, first-index tie-break), the unit-dot centrality,
+  * the UNROUNDED in-cell threshold compare, and the keep rule all
+  * replay bit-exactly — hash-checked, not recall-pinned.
+  */
+object SemDedupOracle {
+  private def arr(p: Array[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  def sql(minCos: Double): String = {
+    val cents = IvfOracle.pinnedCentroids
+    val ds = cents.map(c => s"list_dot_product(v, ${arr(c)})")
+      .mkString("[\n          ", ",\n          ", "]")
+    val uds = cents.map(c => s"list_dot_product(uv, ${arr(c)})")
+      .mkString("[\n          ", ",\n          ", "]")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      e AS (SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 100000, list_concat([v[1] + 0.5], v[2:]) AS v
+            FROM e0 WHERE vec_id < 40),
+      u AS (SELECT vec_id, v,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+        FROM e),
+      d AS (SELECT vec_id, uv, $ds AS ds, $uds AS uds FROM u),
+      cc AS (SELECT vec_id, uv,
+          list_position(ds, list_max(ds)) - 1 AS cell,
+          uds[list_position(ds, list_max(ds))] AS ccos FROM d),
+      p AS (SELECT x.vec_id AS a, x.ccos AS accos, y.vec_id AS b, y.ccos AS bccos
+        FROM cc x JOIN cc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE list_dot_product(x.uv, y.uv) >= $minCos),
+      nb AS (SELECT a AS vid, accos AS ccos, b AS nvid, bccos AS nccos FROM p
+             UNION ALL
+             SELECT b, bccos, a, accos FROM p),
+      vd AS (SELECT vid, count(*) AS n_dups,
+          bool_or(ccos > nccos OR (ccos = nccos AND vid > nvid)) AS removed
+        FROM nb GROUP BY vid)
+      SELECT cc.vec_id, cc.cell, round(cc.ccos, 6) AS centroid_cos,
+        coalesce(vd.n_dups, 0) AS n_dups,
+        NOT coalesce(vd.removed, false) AS keep
+      FROM cc LEFT JOIN vd ON vd.vid = cc.vec_id
+      ORDER BY cc.vec_id"""
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed semantics of [[Similarity.semanticDedupPinned]] on 2-d
+  * vectors against axis-aligned unit centroids, where every cell
+  * assignment, cosine, and centrality value is checkable by hand. */
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private val axes = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+
+  private def run(rows: Seq[(Long, Seq[Double])], minCos: Double) =
+    Similarity.semanticDedupPinned(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", axes, minCos)
+      .orderBy("vid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getBoolean(4)))
+
+  test("drops the more-central member of every in-cell pair above the threshold") {
+    // cell 0: a=(10,1) ccos .99504, b=(8,1.2) ccos .98894, d=(9,-1) ccos .99388
+    //   pairwise cosines: (a,b)=.9988 (a,d)=.9780 (b,d)=.9665 — all ≥ .95
+    //   a has less-central nbr b → removed; d has less-central nbr b →
+    //   removed; b's nbrs are BOTH more central → b survives for the cell
+    // cell 1: c=(0.5,5) alone → kept, no dups
+    val got = run(Seq(
+      1L -> Seq(10.0, 1.0), 2L -> Seq(8.0, 1.2),
+      3L -> Seq(0.5, 5.0), 4L -> Seq(9.0, -1.0)), 0.95)
+    assert(got === Seq(
+      (1L, 0, 2L, false), (2L, 0, 2L, true),
+      (3L, 1, 0L, true), (4L, 0, 2L, false)))
+  }
+
+  test("fp-equal centrality ties break toward keeping the smaller id") {
+    val got = run(Seq(10L -> Seq(3.0, 4.0), 11L -> Seq(3.0, 4.0)), 0.95)
+    assert(got === Seq((10L, 1, 1L, true), (11L, 1, 1L, false)))
+  }
+
+  test("same-cell pairs below the threshold are not duplicates") {
+    // (10,0) and (7,6) both land in cell 0 but cos = .7593 < .95
+    val got = run(Seq(1L -> Seq(10.0, 0.0), 2L -> Seq(7.0, 6.0)), 0.95)
+    assert(got === Seq((1L, 0, 0L, true), (2L, 0, 0L, true)))
+  }
+
+  test("cross-cell near-duplicates are by design not compared") {
+    // (5,4.9) cell 0 and (4.9,5) cell 1: cos ≈ .9998 but different cells
+    val got = run(Seq(1L -> Seq(5.0, 4.9), 2L -> Seq(4.9, 5.0)), 0.95)
+    assert(got === Seq((1L, 0, 0L, true), (2L, 1, 0L, true)))
+  }
+}
