@@ -174,21 +174,28 @@ object MlQueriesImpl {
       val model = new XgboostRegressor()
         .setFeaturesCol("features").setLabelCol("label")
         .setNumWorkers(8).setNEstimators(5).setMaxDepth(5).fit(li)
-      val scored = model.transform(li)
-      val w = scored.agg(
-          (avg(col("label") * col("label"))
-            - avg(col("label")) * avg(col("label"))).as("var_label"),
-          avg((col("label") - col("prediction"))
-            * (col("label") - col("prediction"))).as("mse_model"))
-        .select((col("mse_model") < col("var_label")).as("model_beats_mean"))
-      scored
+      // ONE scoring pass: the group aggregate carries the moment sums,
+      // and the global learning witness (SSE < total label variance)
+      // folds over the 3 GROUP rows with a whole-frame window — never a
+      // second pass over the 600k-row fact (a twice-referenced `scored`
+      // here re-scored the full table: 2.8 → 3.1 s measured)
+      val grouped = model.transform(li)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
+          sum(col("label")).as("sl"),
+          sum(col("label") * col("label")).as("sl2"),
+          sum((col("label") - col("prediction"))
+            * (col("label") - col("prediction"))).as("sse"),
           max(isnan(col("prediction")) || col("prediction").isNull)
             .as("any_pred_bad"))
-        .crossJoin(broadcast(w))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue) // 3 group rows — single partition is the point
+      def tot(c: org.apache.spark.sql.Column) = sum(c).over(wAll)
+      grouped
         .select(col("l_returnflag"), col("n"),
-          (!col("any_pred_bad")).as("preds_ok"), col("model_beats_mean"))
+          (!col("any_pred_bad")).as("preds_ok"),
+          (tot(col("sse")) < tot(col("sl2"))
+            - tot(col("sl")) * tot(col("sl")) / tot(col("n"))).as("model_beats_mean"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag, count(*) AS n, true AS preds_ok,
