@@ -80,6 +80,29 @@ object Curation {
     df.where(pmod(col(idCol), lit(100)) < pct)
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): weighted
+    * sampling WITHOUT replacement by priority q_i = w_i / u_i with
+    * u_i ~ U(0,1]; the k highest priorities form the sample, giving
+    * unbiased subset-sum estimates under quality/length weights — the
+    * principled way to take a quality-weighted corpus subsample.
+    *
+    * u_i is a bounded-factor integer hash of the id mapped into
+    * (0, 1] — no rand() (reproducible across runs, engines, and
+    * partitionings) and no ln()/pow() (the Efraimidis–Spirakis
+    * exponential-key form would hang the cross-engine replay on
+    * transcendental ULPs; w·c/h is one multiply and one divide of
+    * integer-derived doubles, so the priority ORDER is bit-stable).
+    * Top-k via orderBy+limit ⇒ TakeOrderedAndProject: per-partition
+    * heaps then one k-row merge, no global sort at any scale. */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    val uNum = (col(idCol) * 2654435761L + 12345L) % 1000003L + 1L
+    val priority = weight.cast("double") * lit(1000004.0) / uNum.cast("double")
+    df.select(col(idCol), weight.as("wt"), priority.as("pr"))
+      .orderBy(col("pr").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Content-addressed deterministic train/val split: the split key is
     * the md5 of the TEXT, not the row id, so exact duplicates always land
     * in the SAME split — the property that stops train/val contamination

@@ -407,6 +407,30 @@ object CurationQueriesImpl {
       FROM r WHERE rk <= ceil(n_stratum * 0.2)
       ORDER BY lang, rk"""))
 
+  /** Quality-weighted corpus subsample via priority sampling
+    * ([[Curation.prioritySample]]; weight = token count + 1, the
+    * length-proportional weighting a token-budgeted subsample uses).
+    * The top-k cut and the display order both ride the UNROUNDED
+    * priority (bit-stable integer-derived arithmetic on both engines);
+    * only the emitted column rounds. */
+  val prioritySampleQ = Q(
+    "q_priority_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.prioritySample(d, "doc_id",
+          (size(graft.functions.TextFunctions.tokens(col("text"))) + 1)
+            .cast("long"), 100)
+        .select(col("doc_id"), col("wt"), round(col("pr"), 4).as("priority"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) + 1 AS BIGINT) AS wt
+        FROM documents),
+      p AS (SELECT doc_id, wt,
+          wt * 1000004.0 / CAST((doc_id * 2654435761 + 12345) % 1000003 + 1 AS DOUBLE) AS pr
+        FROM w)
+      SELECT doc_id, wt, round(pr, 4) AS priority
+      FROM p ORDER BY pr DESC, doc_id LIMIT 100"""))
+
   /** Temperature-reweighted corpus mixing (alpha = 0.5): the standard
     * multilingual/multi-source rebalancing — sampling weight proportional
     * to p_i^alpha, which upweights small sources relative to their
@@ -661,6 +685,6 @@ object CurationQueriesImpl {
   def all: Seq[Q] = Seq(normalizedDedup, embedOutliers, corpusMix, topTerms,
     tfidfTerms, decontaminate, splitTrainVal, packSequences, domainCapQ,
     softDedup, vocabOov, imputeMissing, lengthBuckets, corpusShuffle,
-    stratifiedSample, temperatureMix, tokenEntropy, filterFunnel,
+    stratifiedSample, prioritySampleQ, temperatureMix, tokenEntropy, filterFunnel,
     negativePairs, intraDocDedup, spanCorruptQ)
 }

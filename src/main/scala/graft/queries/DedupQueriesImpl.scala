@@ -513,6 +513,37 @@ object DedupQueriesImpl {
       FROM st JOIN k ON k.cluster_rep = st.cluster_rep AND k.rn = 1
       ORDER BY st.cluster_rep"""))
 
+  /** Leakage-free train/val split: the split key is the NEAR-dup
+    * component representative (the staged [[nearDupComponents]] view),
+    * so near-duplicates can never straddle train and val — the residual
+    * contamination channel a content-hash split (`q_split_train_val`)
+    * leaves open (copies differing by whitespace or minor edits hash
+    * apart and land on both sides). Singleton docs key by their own id.
+    *
+    * Scale shape: the component table holds ONLY dup-cluster members
+    * (a few hundred rows for 5k docs; sub-percent of any real corpus),
+    * so the assignment is a broadcast left join riding the doc scan —
+    * map-side at any corpus size, and the component build itself is the
+    * shared staging table the dedup pass already materialized. */
+  val splitLeakFree = Q(
+    "q_split_leakage_free",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val comp = nearDupComponents(s, dir)
+      docs.join(broadcast(comp), col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("grp"))
+        .select(col("doc_id"), col("grp"),
+          when((col("grp") * 2654435761L + 99991L) % 97 < 78, "train")
+            .otherwise("val").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(componentsCteSql + """
+      SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS grp,
+        CASE WHEN (coalesce(c.cluster_rep, d.doc_id) * 2654435761 + 99991) % 97 < 78
+          THEN 'train' ELSE 'val' END AS split
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+      ORDER BY d.doc_id"""))
+
   /** Cross-document duplicate-gram coverage: per document, the fraction
     * of its DISTINCT 3-grams that occur in at least one OTHER document —
     * the substring-level dedup diagnostic (the C4/RefinedWeb-style signal
@@ -555,5 +586,5 @@ object DedupQueriesImpl {
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
     ngramJaccard, prefixJoin, containment, corpusOverlap, incremental,
     embedding, embeddingLsh, semantic, curation, clusters, canonical,
-    dupGramCoverage)
+    splitLeakFree, dupGramCoverage)
 }

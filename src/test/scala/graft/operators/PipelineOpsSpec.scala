@@ -542,6 +542,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("prioritySample: top-k by w/u priority, deterministic and replayable") {
+    val rows = (0L until 50L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val got = Curation.prioritySample(rows, "id", col("w"), 10).collect()
+    // replay the exact arithmetic
+    val expected = (0L until 50L).map { i =>
+      val w = i % 7 + 1
+      val u = (i * 2654435761L + 12345L) % 1000003L + 1L
+      (i, w, w.toDouble * 1000004.0 / u.toDouble)
+    }.sortBy { case (id, _, pr) => (-pr, id) }.take(10)
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      === expected.map { case (id, w, pr) => (id, w.toLong, pr) })
+    // without replacement: ids are distinct
+    assert(got.map(_.getLong(0)).distinct.length === 10)
+  }
+
+  test("prioritySample: a zero-weight row can never out-rank a positive one") {
+    val rows = Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("id", "w")
+    val got = Curation.prioritySample(rows, "id", col("w"), 1).collect()
+    assert(got.head.getLong(0) === 2L)
+  }
+
   test("span corruption: sentinel substitution reconstructs the original text") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
