@@ -272,4 +272,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the medians/MADs must broadcast back, not shuffle the fact:\n" + p.take(1200))
   }
+
+  test("q_dedup_semantic: in-cell pairs come from an equi-join on the cell id " +
+      "— never a cartesian or nested loop") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "SemDeDup's whole point is the cell-bounded equi-join:\n" + p.take(1500))
+  }
+
+  test("q_priority_sample: the top-k cut is TakeOrderedAndProject, not a " +
+      "global sort") {
+    val p = plan("q_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected per-partition top-k heaps:\n" + p.take(1200))
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && !l.contains("TakeOrdered")),
+      "a full Sort node means the limit stopped fusing:\n" + p.take(1200))
+  }
+
+  test("q_split_leakage_free: the component table broadcasts onto the doc scan") {
+    val p = plan("q_split_leakage_free")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dup-member table must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the doc table must never row-shuffle for the split:\n" + p.take(1200))
+  }
 }
