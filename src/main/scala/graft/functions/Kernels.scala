@@ -364,6 +364,46 @@ object Kernels {
     }
     dot / (math.sqrt(aa) * math.sqrt(bb))
   }
+
+  // ---- content-defined chunking ------------------------------------------
+
+  /** One-pass content-defined chunking: a chunk ends AFTER every anchor
+    * token (fnv64(token) ≡ 0 mod divisor). Per chunk, emits
+    * struct(clen, fp) where fp = fnv64 of the chunk's tokens joined by
+    * a single space — computed INCREMENTALLY over the chars (separator
+    * included), so no chunk string is ever materialized. The HOF
+    * composition of the same math (filter/sequence/slice + per-token
+    * kernel calls) ran interpreted per element: measured 95 s at sf0.1
+    * vs this kernel's sub-second scan. */
+  def cdcChunks(text: UTF8String, divisor: Int): ArrayData = {
+    val tk = toks(text)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val seed = 0xcbf29ce484222325L
+    var h = seed
+    var clen = 0
+    var i = 0
+    while (i < tk.length) {
+      val t = tk(i)
+      var j = if (clen > 0) -1 else 0 // -1 = emit the joiner space first
+      while (j < t.length) {
+        val c = if (j < 0) ' ' else t.charAt(j)
+        h ^= (c & 0xffL); h *= 0x100000001b3L
+        if (c > 0xff) { h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L }
+        j += 1
+      }
+      clen += 1
+      if (java.lang.Math.floorMod(fnv64(t), divisor.toLong) == 0L) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](clen, h))
+        h = seed; clen = 0
+      }
+      i += 1
+    }
+    if (clen > 0)
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](clen, h))
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Catalyst wrappers: `nullSafeEval` for the interpreted path and a
@@ -436,6 +476,19 @@ object KernelExpressions {
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.functions.Kernels.nfcNormalize($c);")
     override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+  }
+
+  case class CdcChunks(child: Expression, divisor: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("clen", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.cdcChunks(v.asInstanceOf[UTF8String], divisor)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.cdcChunks($c, $divisor);")
+    override protected def withNewChildInternal(c: Expression): CdcChunks =
       copy(child = c)
   }
 
@@ -547,6 +600,13 @@ object KernelExpressions {
 
   def word_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
+
+  /** array<struct<clen,fp>> of content-defined chunks (anchor rule:
+    * fnv64(token) ≡ 0 mod divisor; fp = fnv64 of space-joined chunk). */
+  def cdc_chunks(text: Column, divisor: Int): Column = {
+    require(divisor > 1, s"divisor must be > 1, got $divisor")
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), divisor))
+  }
 
   /** ALL n-grams with repeats (occurrence view, for pair counting). */
   def word_ngrams_all(text: Column, n: Int): Column =

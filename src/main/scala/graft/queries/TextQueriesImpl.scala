@@ -164,6 +164,62 @@ object TextQueriesImpl {
         md5(list_aggregate(t[chunk_idx*32 + 1 : chunk_idx*32 + 40], 'string_agg', ' ')) AS chunk_md5
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** Content-defined chunking + sub-document dup audit
+    * ([[Curation.contentDefinedChunks]], divisor 8 → ~8-token expected
+    * chunks; the synthetic corpus has a 31-word vocabulary, of which two
+    * words anchor at mod 8 — mod 16 anchors nothing): per doc, how many of its content-defined chunks also occur
+    * in at least one OTHER document — the passage-level boilerplate
+    * signal that is robust to insertions (boundaries re-sync at the next
+    * anchor token, so a shared passage fingerprints identically at any
+    * offset). Chunking itself is per-row array math with zero shuffle;
+    * only the compact (doc, fp) chunk rows shuffle — once for the
+    * fingerprint document-frequency aggregate, once back onto the doc
+    * rollup. Oracle replays the per-token FNV anchors, the segment
+    * slicing, and the chunk fingerprints in DuckDB HUGEINT arithmetic
+    * ([[HashSqlParts]]). */
+  val chunkCdc = Q(
+    "q_chunk_cdc",
+    (s, dir) => {
+      val rows = graft.operators.Curation.contentDefinedChunks(
+        Tables.documents(s, dir), "doc_id", "text", 8)
+      val dfreq = rows.groupBy(col("fp"))
+        .agg(countDistinct(col("doc")).as("ndocs"))
+      rows.join(dfreq, "fp")
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          max(col("chunk_len")).as("max_chunk_len"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import HashSqlParts._
+      val anchor = s"((CAST(${toSigned("hu")} AS BIGINT) % 8) + 8) % 8 = 0"
+      s"""WITH ${tokenHashCtes},
+      bp AS (SELECT doc_id, list_sort(list(pos)) AS bpos FROM thr
+             WHERE $anchor GROUP BY doc_id),
+      seg AS (SELECT t.doc_id, t.tk, len(t.tk) AS n,
+          coalesce(b.bpos, CAST([] AS BIGINT[])) AS bpos
+        FROM toks0 t LEFT JOIN bp b USING (doc_id)),
+      bounds AS (SELECT doc_id, tk,
+          list_concat([CAST(1 AS BIGINT)], list_transform(bpos, p -> p + 1)) AS starts,
+          list_concat(bpos, [CAST(n AS BIGINT)]) AS ends
+        FROM seg),
+      cl AS (SELECT doc_id,
+          [tk[starts[j]:ends[j]] for j in range(1, len(starts) + 1)
+            if ends[j] >= starts[j]] AS chs
+        FROM bounds),
+      cr AS (SELECT doc_id, unnest(chs) AS ctoks FROM cl),
+      cj AS (SELECT doc_id, len(ctoks) AS clen,
+          list_aggregate(ctoks, 'string_agg', ' ') AS t FROM cr),
+      cfp AS (SELECT doc_id, clen, $fnvFold AS hu FROM cj),
+      dfreq AS (SELECT hu, count(DISTINCT doc_id) AS ndocs FROM cfp GROUP BY hu)
+      SELECT cfp.doc_id, count(*) AS n_chunks,
+        max(clen) AS max_chunk_len,
+        CAST(sum(CASE WHEN dfreq.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+      FROM cfp JOIN dfreq USING (hu)
+      GROUP BY cfp.doc_id ORDER BY cfp.doc_id"""
+    })
+
   /** Language ID (stopword-profile heuristic) scored against the table's
     * lang column. Oracle: the same argmax-of-stopword-hits heuristic in
     * DuckDB SQL (ties go to the alphabetically-first language, matching
@@ -411,6 +467,6 @@ object TextQueriesImpl {
       FROM aug ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
-    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, bigramMining, bigramLm,
-    unicodeNfc, variantShred)
+    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, chunkCdc, bigramMining,
+    bigramLm, unicodeNfc, variantShred)
 }
