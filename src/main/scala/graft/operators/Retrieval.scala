@@ -130,6 +130,107 @@ object Retrieval {
        |  FROM d, tot)""".stripMargin
   }
 
+  /** Batched multi-query BM25 + token-budget context assembly — the RAG
+    * pipeline's final step. ONE corpus scan scores EVERY query (the
+    * per-doc term counts for the union of all query terms come from a
+    * single TermCounts kernel pass; per-query scores are then pure
+    * column arithmetic over the same row), where the naive loop costs
+    * one scan per query — the difference between 1× and |queries|× the
+    * 100 TB scan. Per query: rank the top-k docs, then keep the rank
+    * prefix whose cumulative token count stays within `budgetTokens`
+    * (the greedy context packing every retrieval-augmented prompt
+    * builder runs).
+    *
+    * Plan: scan → kernel projection → 1-row totals broadcast → explode
+    * of the |queries|-entry score array → ONE window shuffle on qid.
+    * Scores round to 4 dp BEFORE ranking (ties to the smaller doc id) —
+    * the same contract as [[bm25TopK]], so the oracle's replay is
+    * order-exact. Output: (qid, rank, doc, n_tok, cum_tok). */
+  def bm25ContextAssembly(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      budgetTokens: Long): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one query, each with at least one term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val perDoc = termCountsPerDoc(docs, idCol, textCol, allTerms)
+    val totalCols =
+      count(lit(1)).as("n") +: sum(col("dl")).as("sum_dl") +:
+        allTerms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(dfCol(t)))
+    val totals = perDoc.agg(totalCols.head, totalCols.tail: _*)
+    val j = perDoc.crossJoin(broadcast(totals))
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    def termScore(t: String): Column = {
+      val tf = col(tfCol(t))
+      val df = col(dfCol(t))
+      val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      idf * ((tf * lit(K1 + 1)) /
+        (tf + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / avgdl))))
+    }
+    val qScores = array(queries.map { case (qid, ts) =>
+      struct(lit(qid).as("qid"),
+        round(ts.map(termScore).reduceLeft(_ + _), 4).as("score"))
+    }: _*)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol))
+    val cw = Window.partitionBy(col("qid")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    j.select(col(idCol), col("dl"), explode(qScores).as("qs"))
+      .select(col("qs.qid").as("qid"), col(idCol), col("dl"),
+        col("qs.score").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .withColumn("cum_tok", sum(col("dl")).over(cw))
+      .where(col("cum_tok") <= budgetTokens)
+      .select(col("qid"), col("rank"), col(idCol),
+        col("dl").as("n_tok"), col("cum_tok"))
+  }
+
+  /** Oracle replay of [[bm25ContextAssembly]], kept next to the Scala so
+    * the score text stays in sync term by term (same left-fold order per
+    * query, same round-before-rank contract). */
+  def bm25ContextOracleSql(docsRel: String, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      budgetTokens: Long): String = {
+    val allTerms = queries.flatMap(_._2).distinct
+    val tfDefs = allTerms.map(t =>
+      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '\\s+'),
+         |      t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}""".stripMargin).mkString(",\n    ")
+    val dfDefs = allTerms.map(t =>
+      s"CAST(sum(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${dfCol(t)}")
+      .mkString(",\n    ")
+    def scoreText(ts: Seq[String]): String = ts.map { t =>
+      s"""((CAST(n AS DOUBLE) - ${dfCol(t)} + 0.5) / (${dfCol(t)} + 0.5))
+         | * ((${tfCol(t)} * ${K1 + 1}) / (${tfCol(t)} + $K1 * (${1 - B} + $B * (dl / (CAST(sum_dl AS DOUBLE) / n)))))""".stripMargin
+    }.mkString("\n    + ")
+    val scSelects = queries.map { case (qid, ts) =>
+      s"""SELECT '$qid' AS qid, $idCol, dl, round(
+         |    ${scoreText(ts)}, 4) AS score
+         |  FROM d, tot""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT $idCol,
+       |    CAST(len(regexp_split_to_array(trim($textCol), '\\s+')) AS BIGINT) AS dl,
+       |    $tfDefs
+       |  FROM $docsRel),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfDefs
+       |  FROM d),
+       |sc AS (
+       |  $scSelects),
+       |r AS (
+       |  SELECT qid, $idCol, dl, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, $idCol) AS rank
+       |  FROM sc),
+       |c AS (
+       |  SELECT qid, rank, $idCol, dl,
+       |    CAST(sum(dl) OVER (PARTITION BY qid ORDER BY rank) AS BIGINT) AS cum_tok
+       |  FROM r WHERE rank <= $k)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, $idCol, dl AS n_tok, cum_tok
+       |FROM c WHERE cum_tok <= $budgetTokens
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Inverted-index posting statistics: one row per distinct token with
     * document frequency, total term frequency, posting-range bounds and a
     * posting checksum (sum of distinct doc ids — pins WHICH docs hold the

@@ -30,6 +30,26 @@ object RetrievalQueriesImpl {
         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
         |SELECT rank, doc_id, score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin))
 
+  /** Batched retrieval + context packing ([[Retrieval.bm25ContextAssembly]]):
+    * three queries share ONE corpus scan (union-of-terms kernel pass,
+    * per-query scores as column arithmetic), each takes its BM25 top-10
+    * and keeps the rank prefix fitting a 250-token context budget — the
+    * RAG prompt-assembly step, batched the way a 100 TB serving pipeline
+    * must batch it (scan cost amortized across the query set). */
+  private val ctxQueries = Seq(
+    "qa" -> Seq("spark", "join"),
+    "qb" -> Seq("window", "dup"),
+    "qc" -> Seq("spark", "window", "dup"))
+
+  val ragContext = Q(
+    "q_rag_context_budget",
+    (s, dir) =>
+      Retrieval.bm25ContextAssembly(Tables.documents(s, dir), "doc_id", "text",
+          ctxQueries, 10, 250L)
+        .orderBy(col("qid"), col("rank")),
+    Some(Retrieval.bm25ContextOracleSql("documents", "doc_id", "text",
+      ctxQueries, 10, 250L)))
+
   /** Posting-list statistics for every distinct token: df, tf, posting
     * bounds and a sum-of-doc-ids checksum that pins WHICH documents carry
     * each token. */
@@ -500,7 +520,7 @@ object RetrievalQueriesImpl {
         round(CAST(sum(wv) AS DOUBLE), 4) AS score
       FROM w GROUP BY user_id ORDER BY score DESC, user_id LIMIT 20"""))
 
-  def all: Seq[Q] = Seq(bm25TopK, invertedIndex, cooccurLift, rankFusion,
+  def all: Seq[Q] = Seq(bm25TopK, ragContext, invertedIndex, cooccurLift, rankFusion,
     sessionizeBatch, eventFunnel, retention, dau, anomaly, sessionFunnelQ,
     eventTransitions, rollingActive, gapHistogram, decayScore)
 }
