@@ -182,4 +182,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Sessions.transitionMatrix(ev, "user_id", "us", "event_id", "event_type")
       .count() === 0L)
   }
+
+  test("bm25ContextAssembly: per-query ranking, inclusive budget boundary cut") {
+    val d = Seq(
+      (1L, "x x x a"),   // dl 4, tf_a 1
+      (2L, "a a y"),     // dl 3, tf_a 2 — top for qa
+      (3L, "b b b b b"), // dl 5, tf_b 5 — top for qb
+      (4L, "a b")        // dl 2, shorter doc outranks doc 1 for qa
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25ContextAssembly(d, "doc_id", "text",
+        Seq("qa" -> Seq("a"), "qb" -> Seq("b")), k = 3, budgetTokens = 7L)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(got === Seq(
+      // qa: doc2 (cum 3), doc4 (cum 5); doc1 would push cum to 9 > 7 — cut
+      ("qa", 1, 2L, 3L), ("qa", 2, 4L, 5L),
+      // qb: doc3 (cum 5), doc4 (cum 7 = budget — inclusive boundary keeps it)
+      ("qb", 1, 3L, 5L), ("qb", 2, 4L, 7L)))
+  }
 }
