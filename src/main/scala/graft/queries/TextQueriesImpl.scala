@@ -220,6 +220,44 @@ object TextQueriesImpl {
       GROUP BY cfp.doc_id ORDER BY cfp.doc_id"""
     })
 
+  /** Corpus diversity: distinct-n ratios (distinct / total n-grams for
+    * n = 1, 2, 3) — the standard generation-diversity / memorization
+    * diagnostic (low distinct-2/3 means the corpus repeats itself; the
+    * training-data mirror of the distinct-n metric used on model
+    * samples). One pass per n over the codegen'd occurrence-view n-gram
+    * kernel; the shuffle carries (n, gram) with map-side partial
+    * aggregation, and the output is 3 rows regardless of corpus size. */
+  val distinctNgrams = Q(
+    "q_distinct_ngrams",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def grams(n: Int) = docs.select(lit(n).as("n"),
+        explode(graft.functions.KernelExpressions.word_ngrams_all(col("text"), n))
+          .as("gram"))
+      grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("gram")).as("distinct_grams"))
+        .select(col("n"), col("total_grams"), col("distinct_grams"),
+          round(col("distinct_grams") / col("total_grams"), 6).as("distinct_ratio"))
+        .orderBy(col("n"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      g AS (
+        SELECT 1 AS n, unnest([list_aggregate(t[i:i], 'string_agg', ' ')
+            for i in range(1, len(t) + 1)]) AS gram FROM toks
+        UNION ALL
+        SELECT 2, unnest([list_aggregate(t[i:i+1], 'string_agg', ' ')
+            for i in range(1, greatest(len(t) - 1, 1) + 1)]) FROM toks
+        UNION ALL
+        SELECT 3, unnest([list_aggregate(t[i:i+2], 'string_agg', ' ')
+            for i in range(1, greatest(len(t) - 2, 1) + 1)]) FROM toks)
+      SELECT n, count(*) AS total_grams,
+        CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+        round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS distinct_ratio
+      FROM g GROUP BY n ORDER BY n"""))
+
   /** Language ID (stopword-profile heuristic) scored against the table's
     * lang column. Oracle: the same argmax-of-stopword-hits heuristic in
     * DuckDB SQL (ties go to the alphabetically-first language, matching
@@ -467,6 +505,6 @@ object TextQueriesImpl {
       FROM aug ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
-    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, chunkCdc, bigramMining,
+    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, chunkCdc, distinctNgrams, bigramMining,
     bigramLm, unicodeNfc, variantShred)
 }
