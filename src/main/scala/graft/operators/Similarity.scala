@@ -323,7 +323,9 @@ object Similarity {
       .agg(count(lit(1)).as("n_dups"),
         max((col("ccos") > col("nccos")) ||
           (col("ccos") === col("nccos") && col("vid") > col("nvid"))).as("removed"))
-    keyed.join(verdict, Seq("vid"), "left")
+    // verdict holds only docs that HAVE a near-dup (sub-percent of a real
+    // corpus) — broadcast it so the full doc side never shuffles on id
+    keyed.join(broadcast(verdict), Seq("vid"), "left")
       .select(col("vid"), col("cell"),
         round(col("ccos"), 6).as("centroid_cos"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
