@@ -14,10 +14,10 @@ object SparkEntry {
 
   private def registered: Seq[Q] =
     graft.queries.Relational.all ++
-    graft.queries.MlQueries.all ++
-    graft.queries.TextQueries.all ++
-    graft.queries.DedupQueries.all ++
-    graft.queries.SimilarityQueries.all ++
+    graft.queries.MlQueriesImpl.all ++
+    graft.queries.TextQueriesImpl.all ++
+    graft.queries.DedupQueriesImpl.all ++
+    graft.queries.SimilarityQueriesImpl.all ++
     graft.queries.MiscQueriesImpl.all ++
     graft.queries.CurationQueriesImpl.all ++
     graft.queries.JoinQueriesImpl.all ++

@@ -290,6 +290,33 @@ object Similarity {
     * is strictly LESS central (smaller unit-dot to the cell centroid;
     * fp-exact ties broken toward keeping the smaller id).
     */
+  /** Online-quantizer tier of [[semanticDedupPinned]] for a FRESH corpus
+    * with no offline quantizer yet: fit KMeans on a bounded sample (same
+    * [[IvfFitSampleCap]] policy as [[ivfTopK]] — the fit never scans the
+    * full corpus twice), unit-normalize the centroids, and run the same
+    * cell-bounded pair logic. No SQL replay exists for Lloyd's
+    * iterations, so this tier is spec-pinned (parity vs the pinned tier
+    * on its own centroids) while `q_dedup_semantic` hash-checks the
+    * shared pipeline via literals. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minCos: Double, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val withVec = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("fvec"))
+    val n = withVec.count()
+    val fitDf =
+      if (n <= IvfFitSampleCap) withVec
+      else withVec.sample(withReplacement = false, IvfFitSampleCap.toDouble / n, seed)
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fvec")
+      .setPredictionCol("cell").setMaxIter(5).setInitMode("random")
+    val centroids = km.fit(fitDf).clusterCenters.map { v =>
+      val a = v.toArray
+      val norm = math.sqrt(a.map(x => x * x).sum)
+      if (norm > 0) a.map(_ / norm) else a
+    }
+    semanticDedupPinned(corpus, idCol, vecCol, centroids, minCos)
+  }
+
   def semanticDedupPinned(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], minCos: Double): DataFrame = {
     require(centroids.nonEmpty, "need at least one pinned centroid")

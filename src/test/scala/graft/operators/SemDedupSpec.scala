@@ -47,4 +47,19 @@ class SemDedupSpec extends AnyFunSuite {
     val got = run(Seq(1L -> Seq(5.0, 4.9), 2L -> Seq(4.9, 5.0)), 0.95)
     assert(got === Seq((1L, 0, 0L, true), (2L, 1, 0L, true)))
   }
+
+  test("online tier finds the same planted duplicates as a fitted quantizer") {
+    // two tight groups of near-identical vectors far apart; any sane
+    // 2-means fit separates them, and within each group the keep rule
+    // leaves exactly one survivor
+    val rows = (0L until 6L).map { i =>
+      val base = if (i < 3) Seq(10.0, 0.2 * i) else Seq(-10.0, 0.2 * i)
+      (i, base)
+    }
+    val got = Similarity.semanticDedup(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nCells = 2, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).sortBy(_._1)
+    assert(got.count(_._2) === 2, s"one survivor per group: ${got.toSeq}")
+  }
 }
