@@ -162,8 +162,30 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
     val nSeg = maxHamming + 1
-    val t = simhashTable(docs, idCol, textCol, nSeg)
-    val allSegs = t.select(col(idCol), col("simhash"),
+    // EXACT-COLLAPSE first, like [[exactJaccardEdges]]: identical text ⇒
+    // identical simhash, so every doc sharing a simhash VALUE has the
+    // same hamming distance to everything — collapse to one
+    // representative per distinct simhash, run the segment join over
+    // representatives, expand after. On a k×-replicated corpus (the
+    // CC-crawl shape the 20× probe models) the candidate join otherwise
+    // pays k² per bucket: measured 47 s → the collapsed form's pair
+    // probe volume is distinct-content-bounded. NULL simhash (NULL
+    // text) stays excluded from pairing, as the null-safe predicate
+    // already guaranteed.
+    val groups = docs
+      .select(col(idCol),
+        graft.functions.KernelExpressions.simhash64(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
+      .groupBy(col("simhash"))
+      .agg(min(col(idCol)).as("rep"),
+        sort_array(collect_list(col(idCol))).as("members"))
+      .localCheckpoint(true) // three consumers; released with the plan
+    val segCols = segmentLayout(nSeg).zipWithIndex.map { case ((sh, w), s) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("simhash"), sh).bitwiseAND(lit(mask)).as(s"seg$s")
+    }
+    val t = groups.select(col("rep") +: col("simhash") +: segCols: _*)
+    val allSegs = t.select(col("rep"), col("simhash"),
       posexplode(array((0 until nSeg).map(s => col(s"seg$s")): _*)).as(Seq("seg", "sv")))
     val hot = allSegs.groupBy(col("seg"), col("sv"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
@@ -177,10 +199,28 @@ object Dedup {
     // near pairs — pre-filter volume must die inside the join stage, not
     // ride through a dropDuplicates aggregate first. (hamming is a pure
     // function of the pair, so filtering before pair-dedup is identical.)
-    x.join(y, col("x.seg") === col("y.seg") && col("x.sv") === col("y.sv") &&
-        col(s"x.$idCol") < col(s"y.$idCol") && ham <= maxHamming)
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"), ham.as("hamming"))
-      .dropDuplicates("a", "b")
+    val repPairs = x.join(y,
+        col("x.seg") === col("y.seg") && col("x.sv") === col("y.sv") &&
+        col("x.rep") < col("y.rep") && ham <= maxHamming)
+      .select(col("x.rep").as("ra"), col("y.rep").as("rb"), ham.as("hamming"))
+      .dropDuplicates("ra", "rb")
+    // expand: within-group pairs are hamming 0 (identical simhash —
+    // always within any radius ≥ 0); cross-group pairs inherit their
+    // representatives' hamming. Each doc lives in exactly one group, so
+    // the expanded pairs are disjoint — no pair-level dedup needed.
+    val within = groups.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+    val cross = repPairs
+      .join(groups.select(col("rep").as("ra"), col("members").as("mx")), "ra")
+      .join(groups.select(col("rep").as("rb"), col("members").as("my")), "rb")
+      .select(explode(col("mx")).as("a0"), col("my"), col("hamming"))
+      .select(col("a0"), explode(col("my")).as("b0"), col("hamming"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** EXACT set-similarity self-join via prefix filtering (ppjoin-style):

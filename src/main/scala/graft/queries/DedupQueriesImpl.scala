@@ -60,7 +60,8 @@ object DedupQueriesImpl {
     },
     // Oracle: all pairs at hamming <= 3 over the replayed simhash — the
     // segment join is candidate-COMPLETE for the radius (pigeonhole), and
-    // the hot-bucket guard (>10000 docs per (seg, value)) cannot trigger
+    // the hot-bucket guard (>10000 DISTINCT simhashes per (seg, value);
+    // the join runs over exact-collapsed representatives) cannot trigger
     // at oracle scale, so the operator's output IS the plain hamming cut.
     Some(SimhashOracle.pairsSql))
 
