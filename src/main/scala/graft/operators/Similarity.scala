@@ -317,23 +317,63 @@ object Similarity {
     semanticDedupPinned(corpus, idCol, vecCol, centroids, minCos)
   }
 
-  def semanticDedupPinned(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], minCos: Double): DataFrame = {
-    require(centroids.nonEmpty, "need at least one pinned centroid")
-    // struct(dot, -cell): array_max → highest raw dot, ties to SMALLEST
-    // cell id (raw-dot argmax ≡ cosine argmax: unit centroids, positive row norm)
+  /** (vid, uvec, cell) under the frozen quantizer: struct(dot, -cell)
+    * array_max → highest raw dot, ties to SMALLEST cell id (raw-dot
+    * argmax ≡ cosine argmax: unit centroids, positive row norm). */
+  private def assignPinned(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
     def entries(v: Column): Column =
       array(centroids.zipWithIndex.map { case (cen, i) =>
         struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
       }: _*)
     def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
     val cell = (-array_max(entries(rawV(col(vecCol)))).getField("nc")).as("cell")
+    df.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("uvec"), cell)
+  }
+
+  /** Incremental semantic dedup: screen a NEW batch against an existing
+    * corpus (and against itself) under the frozen quantizer — the
+    * nightly-ingest shape. Per batch doc: the smallest-id corpus doc it
+    * duplicates (same cell, cosine ≥ minCos), the smallest-id EARLIER
+    * batch doc it duplicates, and the combined is_dup verdict — the
+    * embedding-space mirror of [[Dedup.incrementalDedup]]'s contract.
+    *
+    * Scale shape: the CORPUS never self-joins — cost is
+    * |batch|·E[cell occupancy] + |batch|²-within-cell, and both
+    * verdict aggregates are batch-sized broadcasts back onto the batch
+    * rows. The corpus side's cell assignment is a pure per-row
+    * expression over the same literals serving ANN and full dedup. */
+  def semanticDedupIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Double]],
+      minCos: Double): DataFrame = {
+    require(centroids.nonEmpty, "need at least one pinned centroid")
+    val c = assignPinned(corpus, idCol, vecCol, centroids)
+    val b = assignPinned(batch, idCol, vecCol, centroids)
+    val vsCorpus = b.alias("b").join(c.alias("c"),
+        col("b.cell") === col("c.cell") &&
+        array_dot(col("b.uvec"), col("c.uvec")) >= minCos)
+      .groupBy(col("b.vid").as("vid"))
+      .agg(min(col("c.vid")).as("dup_of_corpus"))
+    val vsBatch = b.alias("x").join(b.alias("y"),
+        col("x.cell") === col("y.cell") && col("y.vid") < col("x.vid") &&
+        array_dot(col("x.uvec"), col("y.uvec")) >= minCos)
+      .groupBy(col("x.vid").as("vid"))
+      .agg(min(col("y.vid")).as("dup_of_batch"))
+    b.select(col("vid"), col("cell"))
+      .join(broadcast(vsCorpus), Seq("vid"), "left")
+      .join(broadcast(vsBatch), Seq("vid"), "left")
+      .select(col("vid"), col("cell"), col("dup_of_corpus"), col("dup_of_batch"),
+        (col("dup_of_corpus").isNotNull || col("dup_of_batch").isNotNull).as("is_dup"))
+  }
+
+  def semanticDedupPinned(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], minCos: Double): DataFrame = {
+    require(centroids.nonEmpty, "need at least one pinned centroid")
     // centrality = unit-vector dot to the OWN cell's centroid (centroid
     // literals are unit-normalized at pin time, so this IS the cosine)
     val uds = array(centroids.map(cen =>
       array_dot(col("uvec"), typedLit(cen.toSeq))): _*)
-    val keyed = corpus
-      .select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("uvec"), cell)
+    val keyed = assignPinned(corpus, idCol, vecCol, centroids)
       .withColumn("ccos", element_at(uds, col("cell") + 1))
     val pairs = keyed.alias("x").join(keyed.alias("y"),
         col("x.cell") === col("y.cell") && col("x.vid") < col("y.vid"))

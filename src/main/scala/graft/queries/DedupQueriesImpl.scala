@@ -305,6 +305,27 @@ object DedupQueriesImpl {
     },
     Some(SemDedupOracle.sql(minCos = 0.8)))
 
+  /** Incremental semantic dedup: the planted twins arrive as a NEW batch
+    * screened against the raw corpus (and themselves) under the shared
+    * frozen quantizer — the nightly-ingest path where the corpus never
+    * self-joins; only batch-sized verdicts shuffle. */
+  val semanticIncremental = Q(
+    "q_dedup_semantic_incremental",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val batch = e.where(col("vec_id") < 40).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.5d)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      graft.operators.Similarity.semanticDedupIncremental(
+          e, batch, "vec_id", "embedding", IvfOracle.pinnedCentroids, 0.8)
+        .withColumnRenamed("vid", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+    Some(SemDedupOracle.incrementalSql(minCos = 0.8)))
+
   /** The full near-dup pipeline: MinHash/LSH candidates → EXACT n-gram
     * Jaccard verification of only those pairs (never all-pairs). This is
     * the composition that runs at 100 TB: candidate generation shuffles
@@ -586,6 +607,6 @@ object DedupQueriesImpl {
 
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
     ngramJaccard, prefixJoin, containment, corpusOverlap, incremental,
-    embedding, embeddingLsh, semantic, curation, clusters, canonical,
+    embedding, embeddingLsh, semantic, semanticIncremental, curation, clusters, canonical,
     splitLeakFree, dupGramCoverage)
 }

@@ -50,4 +50,41 @@ object SemDedupOracle {
       FROM cc LEFT JOIN vd ON vd.vid = cc.vec_id
       ORDER BY cc.vec_id"""
   }
+
+  /** Replay of [[graft.operators.Similarity.semanticDedupIncremental]]
+    * with the raw embeddings as the corpus and the planted twins as the
+    * incoming batch. */
+  def incrementalSql(minCos: Double): String = {
+    val cents = IvfOracle.pinnedCentroids
+    val ds = cents.map(c => s"list_dot_product(v, ${arr(c)})")
+      .mkString("[\n          ", ",\n          ", "]")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      corp0 AS (SELECT vec_id, v FROM e0),
+      bat0 AS (SELECT vec_id + 100000 AS vec_id,
+          list_concat([v[1] + 0.5], v[2:]) AS v
+        FROM e0 WHERE vec_id < 40),
+      corp AS (SELECT vec_id, uv, list_position(ds, list_max(ds)) - 1 AS cell
+        FROM (SELECT vec_id,
+            list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv,
+            $ds AS ds
+          FROM corp0)),
+      bat AS (SELECT vec_id, uv, list_position(ds, list_max(ds)) - 1 AS cell
+        FROM (SELECT vec_id,
+            list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv,
+            $ds AS ds
+          FROM bat0)),
+      pc AS (SELECT b.vec_id AS vid, min(c.vec_id) AS dup_of_corpus
+        FROM bat b JOIN corp c ON b.cell = c.cell
+          AND list_dot_product(b.uv, c.uv) >= $minCos
+        GROUP BY b.vec_id),
+      pb AS (SELECT x.vec_id AS vid, min(y.vec_id) AS dup_of_batch
+        FROM bat x JOIN bat y ON x.cell = y.cell AND y.vec_id < x.vec_id
+          AND list_dot_product(x.uv, y.uv) >= $minCos
+        GROUP BY x.vec_id)
+      SELECT b.vec_id, b.cell, pc.dup_of_corpus, pb.dup_of_batch,
+        (pc.dup_of_corpus IS NOT NULL OR pb.dup_of_batch IS NOT NULL) AS is_dup
+      FROM bat b LEFT JOIN pc ON pc.vid = b.vec_id
+                 LEFT JOIN pb ON pb.vid = b.vec_id
+      ORDER BY b.vec_id"""
+  }
 }

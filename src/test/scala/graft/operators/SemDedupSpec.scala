@@ -48,6 +48,23 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got === Seq((1L, 0, 0L, true), (2L, 1, 0L, true)))
   }
 
+  test("incremental: batch docs dedup against corpus and earlier batch ids") {
+    val corpus = Seq(1L -> Seq(10.0, 1.0), 2L -> Seq(0.5, 5.0))
+    val batch = Seq(
+      100L -> Seq(10.0, 1.01), // ≈ corpus 1, same cell → dup_of_corpus 1
+      101L -> Seq(10.0, 1.02), // ≈ corpus 1 AND batch 100 → both verdicts
+      102L -> Seq(5.0, -4.0))  // cell 0 but far from everything → novel
+    val got = Similarity.semanticDedupIncremental(
+        corpus.toDF("vec_id", "embedding"), batch.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", axes, 0.99)
+      .orderBy("vid").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got === Seq(
+      (100L, 1L, -1L, true), (101L, 1L, 100L, true), (102L, -1L, -1L, false)))
+  }
+
   test("online tier finds the same planted duplicates as a fitted quantizer") {
     // two tight groups of near-identical vectors far apart; any sane
     // 2-means fit separates them, and within each group the keep rule
