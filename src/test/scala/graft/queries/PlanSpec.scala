@@ -289,6 +289,13 @@ class PlanSpec extends AnyFunSuite {
       "a full Sort node means the limit stopped fusing:\n" + p.take(1200))
   }
 
+  test("q_dedup_semantic_incremental: batch-vs-corpus pairs are cell equi-joins; " +
+      "verdicts broadcast back") {
+    val p = plan("q_dedup_semantic_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the corpus must never cross-join the batch:\n" + p.take(1500))
+  }
+
   test("q_split_leakage_free: the component table broadcasts onto the doc scan") {
     val p = plan("q_split_leakage_free")
     assert(p.contains("BroadcastHashJoin"),
