@@ -131,6 +131,28 @@ object Curation {
       .limit(k)
   }
 
+  /** Exact AUC (Mann–Whitney U with midrank tie credit) in the SCALABLE
+    * level-based form: rows reduce to their distinct score levels with
+    * per-level positive/negative counts (one map-side-combinable
+    * shuffle), then U = Σ_level p_l · (cum_neg_below + n_l/2) folds over
+    * the tiny level table — the only window runs over levels, never the
+    * corpus. Returns one row: (n_pos, n_neg, auc). AUC is NULL when
+    * either class is empty (0/0). */
+  def exactAuc(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val lv = df.select(score.as("sc"), positive.cast("long").as("pos"))
+      .groupBy(col("sc"))
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("n"))
+    val below = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // U counts (pos, neg) pairs where the positive scores HIGHER, with
+    // half credit on score ties
+    lv.withColumn("cn", coalesce(sum(col("n")).over(below), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("p").cast("double") * (col("cn") + col("n") / lit(2.0))).as("u"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
   /** Content-addressed deterministic train/val split: the split key is
     * the md5 of the TEXT, not the row id, so exact duplicates always land
     * in the SAME split — the property that stops train/val contamination

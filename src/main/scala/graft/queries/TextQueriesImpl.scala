@@ -220,6 +220,39 @@ object TextQueriesImpl {
       GROUP BY cfp.doc_id ORDER BY cfp.doc_id"""
     })
 
+  /** Exact AUC of the token-count PROXY against the stored n_chars
+    * ground truth (positive class: n_chars > 300) — the validate-the-
+    * proxy-before-trusting-it eval a screening pipeline runs before
+    * replacing an expensive signal with a cheap one. Integer scores
+    * make the tie handling (midrank ½ credit) load-bearing, which is
+    * exactly what the level-based form computes exactly. Computed in the SCALABLE exact form:
+    * the Mann–Whitney U statistic over SCORE LEVELS, not rows — scores
+    * group to their distinct (rounded) values with per-level pos/neg
+    * counts (ONE map-side-combinable shuffle over ≤10⁴ levels), then
+    * U = Σ_level n_l·(cumpos_below + p_l/2) folds over the tiny level
+    * table (the only window runs over levels, never the corpus).
+    * Tie-handling is the standard midrank ½ credit. */
+  val scoreAuc = Q(
+    "q_score_auc",
+    (s, dir) =>
+      graft.operators.Curation.exactAuc(Tables.documents(s, dir),
+        size(TextFunctions.tokens(col("text"))), col("n_chars") > 300),
+    Some(s"""WITH b AS (
+        SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS sc,
+          CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      lv AS (SELECT sc, CAST(sum(pos) AS BIGINT) AS p,
+          CAST(sum(1 - pos) AS BIGINT) AS n
+        FROM b GROUP BY sc),
+      c AS (SELECT sc, p, n,
+          coalesce(CAST(sum(n) OVER (ORDER BY sc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cn
+        FROM lv)
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+        round(sum(CAST(p AS DOUBLE) * (cn + n / 2.0))
+          / (CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT)), 6) AS auc
+      FROM c"""))
+
   /** Corpus diversity: distinct-n ratios (distinct / total n-grams for
     * n = 1, 2, 3) — the standard generation-diversity / memorization
     * diagnostic (low distinct-2/3 means the corpus repeats itself; the
@@ -505,6 +538,6 @@ object TextQueriesImpl {
       FROM aug ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
-    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, chunkCdc, distinctNgrams, bigramMining,
+    fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, chunkCdc, distinctNgrams, scoreAuc, bigramMining,
     bigramLm, unicodeNfc, variantShred)
 }

@@ -557,6 +557,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).distinct.length === 10)
   }
 
+  test("exactAuc: hand case with a score tie gets midrank half credit") {
+    // pairs: pos@2>neg@1 (+1), pos@2=neg@2 (+0.5), pos@3>neg@1 (+1),
+    // pos@3>neg@2 (+1) → U=3.5, P=N=2 → AUC 0.875
+    val rows = Seq((1, false), (2, true), (2, false), (3, true)).toDF("s", "y")
+    val r = Curation.exactAuc(rows, col("s"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 0.875)))
+  }
+
+  test("exactAuc: perfect and inverted separations hit 1.0 and 0.0") {
+    val perfect = Seq((1, false), (2, false), (3, true), (4, true)).toDF("s", "y")
+    assert(Curation.exactAuc(perfect, col("s"), col("y"))
+      .collect().head.getDouble(2) === 1.0)
+    val inverted = Seq((1, true), (2, true), (3, false), (4, false)).toDF("s", "y")
+    assert(Curation.exactAuc(inverted, col("s"), col("y"))
+      .collect().head.getDouble(2) === 0.0)
+  }
+
   test("prioritySample: a zero-weight row can never out-rank a positive one") {
     val rows = Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("id", "w")
     val got = Curation.prioritySample(rows, "id", col("w"), 1).collect()
