@@ -64,6 +64,32 @@ object Constraints {
     * ulp differences. Plan shape: two scan+group passes (one per side),
     * a full-outer join of ~nBins rows, and a broadcast of the two totals.
     */
+  /** Exact two-sample Kolmogorov–Smirnov statistic in the level-based
+    * form (the numeric-distribution cousin of [[histogramDrift]], with
+    * no binning choice to defend): rows reduce to distinct VALUE levels
+    * with per-sample counts (one map-side-combinable shuffle), then
+    * D = max over levels of |cumA/nA − cumB/nB| folds over the tiny
+    * level table — the only windows run over levels, never the rows.
+    * Arithmetic is integer cumsums with ONE division pair per level, so
+    * both engines compute identical doubles. Returns one row:
+    * (n_a, n_b, ks). */
+  def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lv = df.select(value.as("v"), inA.cast("long").as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val upto = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lv.select(
+        sum(col("ca")).over(upto).as("cuma"), sum(col("cb")).over(upto).as("cumb"),
+        sum(col("ca")).over(whole).as("ta"), sum(col("cb")).over(whole).as("tb"))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        round(max(abs(col("cuma").cast("double") / col("ta")
+          - col("cumb").cast("double") / col("tb"))), 6).as("ks"))
+  }
+
   def histogramDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       binWidth: Double, nBins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -379,6 +379,33 @@ object SourceQueriesImpl {
     * contributions against the pooled expectation. Chi-square, not PSI:
     * rational arithmetic only, so the oracle replay is bit-exact (PSI's
     * ln is math-library-dependent). */
+  /** Exact two-sample KS statistic between the pre-1997 and 1997+ order
+    * price distributions ([[graft.operators.Constraints.ksStatistic]]) —
+    * the binning-free companion to the chi-square screen below: no bin
+    * width to defend, integer cumsums with one division pair per
+    * distinct price level, windows over LEVELS only. */
+  val ksDrift = Q(
+    "q_ks_drift",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir).where(col("o_totalprice").isNotNull)
+      graft.operators.Constraints.ksStatistic(ord,
+        col("o_totalprice"), year(col("o_orderdate")) < 1997)
+    },
+    Some("""WITH b AS (SELECT o_totalprice AS v,
+          CASE WHEN year(o_orderdate) < 1997 THEN 1 ELSE 0 END AS a
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      lv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+          CAST(sum(1 - a) AS BIGINT) AS cb FROM b GROUP BY v),
+      c AS (SELECT v,
+          CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+          CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+          CAST(sum(ca) OVER () AS BIGINT) AS ta,
+          CAST(sum(cb) OVER () AS BIGINT) AS tb
+        FROM lv)
+      SELECT max(ta) AS n_a, max(tb) AS n_b,
+        round(max(abs(CAST(cuma AS DOUBLE) / ta - CAST(cumb AS DOUBLE) / tb)), 6) AS ks
+      FROM c"""))
+
   val driftDetect = Q(
     "q_drift_detect",
     (s, dir) => {
@@ -444,5 +471,6 @@ object SourceQueriesImpl {
 
   def all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     partitionedPrune, upsertMerge, customSource, libsvmRoundtrip, schemaMerge,
-    scd2History, snapshotDiff, qualityConstraints, driftDetect, sinkCustomWrite)
+    scd2History, snapshotDiff, qualityConstraints, driftDetect, ksDrift,
+    sinkCustomWrite)
 }
