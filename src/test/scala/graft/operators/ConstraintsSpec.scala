@@ -86,6 +86,21 @@ class ConstraintsSpec extends AnyFunSuite {
     quiet.foreach(c => assert(c === 0.0)) // untouched bins match exactly
   }
 
+  test("ksStatistic: disjoint supports hit D = 1, shared support is exact by hand") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val disjoint = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("v", "a")
+    val r1 = Constraints.ksStatistic(disjoint, col("v"), col("a")).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) === ((2L, 2L, 1.0)))
+    // A={1,3}, B={2,3}: CDFs at levels 1,2,3 → A .5/.5/1, B 0/.5/1 →
+    // D = .5 at level 1 (the level-3 tie contributes 0)
+    val mixed = Seq((1.0, true), (3.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a")
+    val r2 = Constraints.ksStatistic(mixed, col("v"), col("a")).collect().head
+    assert(r2.getDouble(2) === 0.5)
+  }
+
   test("all conditional checks compile into a single scan") {
     val plan = Constraints.evaluate(dirty, Seq(
         Constraints.notNull("k"),
