@@ -66,6 +66,44 @@ object SimilarityQueriesImpl {
   private val projPlanes =
     graft.operators.Similarity.gaussianPlanes(dim = 64, rows = 8, seed = 7L)
 
+  /** Per-dimension corpus statistics over the embedding matrix — the
+    * anisotropy / collapse diagnostic an embedding rollout checks before
+    * indexing (a dimension with near-zero variance wastes index bits; a
+    * dominant-mean dimension calls for centering before cosine). One
+    * posexplode + ONE (dim)-keyed aggregation with map-side partials —
+    * 64 groups regardless of corpus size; moments from explicit sums
+    * (the formula text is identical in both engines, same q1_agg-family
+    * double-sum precedent). */
+  val embedDimStats = Q(
+    "q_embed_dim_stats",
+    (s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d0", "x")))
+        .select((col("d0") + 1).as("dim"), col("x"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          round(min(col("x")), 6).as("lo"), round(max(col("x")), 6).as("hi"))
+        .select(col("dim"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 6)
+            .as("var_pop"),
+          col("lo"), col("hi"))
+        .orderBy(col("dim"))
+    },
+    Some("""WITH x AS (
+        SELECT u.dim, CAST(embedding[u.dim] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, 65)) AS u(dim)),
+      m AS (SELECT dim, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+          round(min(x), 6) AS lo, round(max(x), 6) AS hi
+        FROM x GROUP BY dim)
+      SELECT CAST(dim AS INT) AS dim, n,
+        round(sx / n, 6) AS mean,
+        round((sxx - sx * sx / n) / n, 6) AS var_pop,
+        lo, hi
+      FROM m ORDER BY dim"""))
+
   /** Random-projection (Johnson-Lindenstrauss) dimensionality reduction
     * 64 -> 8, per-row and shuffle-free — the cheap pre-step before ANN
     * indexing at 100 TB (the projected vectors are what gets bucketed /
@@ -121,5 +159,5 @@ object SimilarityQueriesImpl {
         END AS recon_cos
       FROM c ORDER BY vec_id"""))
 
-  def all: Seq[Q] = Seq(bruteForce, lsh, ivf, embedProject, embedQuantize)
+  def all: Seq[Q] = Seq(bruteForce, lsh, ivf, embedProject, embedDimStats, embedQuantize)
 }
