@@ -136,3 +136,38 @@ class EmbeddingNormalizer(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): EmbeddingNormalizer = defaultCopy(extra)
 }
 object EmbeddingNormalizer extends DefaultParamsReadable[EmbeddingNormalizer]
+
+/** SemDeDup semantic dedup as a pipeline stage: fits nothing (the coarse
+  * quantizer is the frozen production asset — pass its centroids), drops
+  * every row [[Similarity.semanticDedupPinned]] marks `keep = false`
+  * (the more-central member of each over-threshold in-cell pair). */
+class SemanticDeduper(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
+  def this() = this(Identifiable.randomUID("SemanticDeduper"))
+  final val idCol = new Param[String](this, "idCol", "vector id column")
+  final val vecCol = new Param[String](this, "vecCol", "embedding column")
+  final val minCos = new DoubleParam(this, "minCos",
+    "cosine threshold for an in-cell duplicate pair")
+  setDefault(idCol -> "vec_id", vecCol -> "embedding", minCos -> 0.95)
+  def setIdCol(v: String): this.type = set(idCol, v)
+  def setVecCol(v: String): this.type = set(vecCol, v)
+  def setMinCos(v: Double): this.type = set(minCos, v)
+
+  /** Centroids are a runtime asset (like a broadcast model), not a
+    * string Param — set before transform. */
+  @transient private var centroids: Array[Array[Double]] = _
+  def setCentroids(c: Array[Array[Double]]): this.type = { centroids = c; this }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(centroids != null && centroids.nonEmpty,
+      "SemanticDeduper needs pinned centroids (setCentroids)")
+    val df = ds.toDF
+    val drop = Similarity.semanticDedupPinned(df, $(idCol), $(vecCol),
+        centroids, $(minCos))
+      .where(!col("keep")).select(col("vid").as($(idCol)))
+    df.join(drop, Seq($(idCol)), "left_anti")
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): SemanticDeduper = defaultCopy(extra)
+}
+object SemanticDeduper extends DefaultParamsReadable[SemanticDeduper]

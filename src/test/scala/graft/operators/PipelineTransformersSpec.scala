@@ -60,4 +60,18 @@ class PipelineTransformersSpec extends AnyFunSuite {
       .select("unit_embedding").collect()(0).getSeq[Double](0)
     assert(math.abs(out(0) - 0.6) < 1e-9 && math.abs(out(1) - 0.8) < 1e-9)
   }
+
+  test("SemanticDeduper drops the more-central member of each near-dup pair") {
+    // same geometry as SemDedupSpec's first case: in cell 0 only doc 2
+    // survives; the lone cell-1 doc 3 is untouched
+    val vecs = Seq(
+      (1L, Seq(10.0, 1.0)), (2L, Seq(8.0, 1.2)),
+      (3L, Seq(0.5, 5.0)), (4L, Seq(9.0, -1.0))
+    ).toDF("vec_id", "embedding")
+    val out = new SemanticDeduper().setMinCos(0.95)
+      .setCentroids(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+      .transform(vecs)
+    assert(out.collect().map(_.getAs[Long]("vec_id")).toSet === Set(2L, 3L))
+    assert(out.columns.toSeq === vecs.columns.toSeq) // schema passes through
+  }
 }
