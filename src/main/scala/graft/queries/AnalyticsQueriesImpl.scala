@@ -733,7 +733,55 @@ object AnalyticsQueriesImpl {
         round(CAST(sum(spend) AS DOUBLE), 2) AS total
       FROM b GROUP BY decile ORDER BY decile"""))
 
+  /** Pairwise Pearson correlations over the lineitem numeric columns —
+    * the profiling pass (feature redundancy / leakage screen) before
+    * model features are chosen. ONE scan computes every moment
+    * (n, per-column sums and squares, per-pair cross sums — all
+    * map-side combinable); the 6 correlations are pure scalar
+    * arithmetic on the 1-row aggregate, spelled from explicit sums
+    * identically in both engines (no engine corr() whose internal
+    * update order could differ). */
+  val numericCorr = Q(
+    "q_numeric_corr",
+    (s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables.lineitem(s, dir)
+      val moments =
+        count(lit(1)).cast("double").as("n") +:
+        (cols.map(c => sum(col(c)).as(s"s_$c")) ++
+          cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            sum(col(a) * col(b)).as(s"sp_${a}_$b") }.toSeq)
+      def corr(a: String, b: String) = round(
+        (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+            * (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+      li.agg(moments.head, moments.tail: _*)
+        .select(col("n").cast("long").as("n") +:
+          cols.combinations(2).map { case Seq(a, b) =>
+            corr(a, b).as(s"corr_${a.drop(2)}_${b.drop(2)}") }.toSeq: _*)
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val corrs = cols.combinations(2).map { case Seq(a, b) =>
+        s"""round((n * sp_${a}_$b - s_$a * s_$b) /
+           |  sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)), 6)
+           |  AS corr_${a.drop(2)}_${b.drop(2)}""".stripMargin
+      }.mkString(",\n        ")
+      val sums = (cols.map(c => s"sum($c) AS s_$c") ++
+        cols.map(c => s"sum($c * $c) AS ss_$c") ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          s"sum($a * $b) AS sp_${a}_$b" }).mkString(",\n          ")
+      s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          $sums
+        FROM lineitem)
+      SELECT CAST(n AS BIGINT) AS n,
+        $corrs
+      FROM m"""
+    })
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
     windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine,
-    ivmAgg, listAgg, cohortLtv, winsorize, ntileSpend, ntileSpendScale, madOutliers)
+    ivmAgg, listAgg, cohortLtv, winsorize, ntileSpend, ntileSpendScale, madOutliers,
+    numericCorr)
 }
