@@ -104,6 +104,38 @@ object SimilarityQueriesImpl {
         lo, hi
       FROM m ORDER BY dim"""))
 
+  /** Label-noise screen by neighbor agreement (confident-learning-lite):
+    * EVERY vector queries the pinned IVF index for its top-5 neighbors
+    * and is scored by how many share its label — the mislabeled-example
+    * audit run before training. The index bounds candidate volume
+    * (|corpus| · nProbe/nCells per query instead of all-pairs); at
+    * production scale nCells grows with the corpus, so the screen stays
+    * near-linear. The fixture's labels are independent of geometry, so
+    * agreement hovers near 1/|classes| — the screen machinery, cut
+    * ordering, and zero-neighbor handling are what the oracle pins. */
+  val labelConsistency = Q(
+    "q_label_consistency",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val nb = Similarity.ivfTopKPinned(e, e, "vec_id", "embedding", 5,
+        IvfOracle.pinnedCentroids, nProbe = 2)
+      val lab = e.select(col("vec_id"), col("label"))
+      val ag = nb
+        .join(lab.select(col("vec_id").as("vid"), col("label").as("nlab")), "vid")
+        .join(lab.select(col("vec_id").as("qid"), col("label").as("qlab")), "qid")
+        .groupBy(col("qid").as("vec_id"))
+        .agg(count(lit(1)).as("n_nbrs"),
+          sum(when(col("nlab") === col("qlab"), 1L).otherwise(0L)).as("n_same"))
+      lab.join(ag, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+          coalesce(col("n_same"), lit(0L)).as("n_same"),
+          when(coalesce(col("n_nbrs"), lit(0L)) > 0,
+            round(col("n_same") / col("n_nbrs"), 4)).as("agree"))
+        .orderBy(col("vec_id"))
+    },
+    Some(IvfOracle.labelConsistencySql(k = 5, nProbe = 2)))
+
   /** Random-projection (Johnson-Lindenstrauss) dimensionality reduction
     * 64 -> 8, per-row and shuffle-free — the cheap pre-step before ANN
     * indexing at 100 TB (the projected vectors are what gets bucketed /
@@ -159,5 +191,6 @@ object SimilarityQueriesImpl {
         END AS recon_cos
       FROM c ORDER BY vec_id"""))
 
-  def all: Seq[Q] = Seq(bruteForce, lsh, ivf, embedProject, embedDimStats, embedQuantize)
+  def all: Seq[Q] = Seq(bruteForce, lsh, ivf, labelConsistency, embedProject,
+    embedDimStats, embedQuantize)
 }
