@@ -780,8 +780,53 @@ object AnalyticsQueriesImpl {
       FROM m"""
     })
 
+  /** A/B experiment readout: users split deterministically by id hash
+    * (no rand() — reproducible across runs and engines, and the split
+    * is a pure scan-level expression), purchase values compared via
+    * Welch's t (unequal variances — the robust default). ONE grouped
+    * aggregate computes both arms' moments (map-side combinable); the
+    * t statistic is scalar arithmetic on the 2-row result, spelled from
+    * explicit sums identically in both engines. */
+  val abWelch = Q(
+    "q_ab_welch",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+      val arm = when((col("user_id") * 2654435761L + 7L) % 100 < 50, "A")
+        .otherwise("B")
+      val g = ev.groupBy(arm.as("arm"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("value")).as("sv"), sum(col("value") * col("value")).as("svv"))
+        .select(col("arm"), col("n"), (col("sv") / col("n")).as("mean"),
+          ((col("svv") - col("sv") * col("sv") / col("n"))
+            / (col("n") - 1)).as("var_s"))
+      val a = g.where(col("arm") === "A").select(col("n").as("n_a"),
+        col("mean").as("mean_a"), col("var_s").as("var_a"))
+      val b = g.where(col("arm") === "B").select(col("n").as("n_b"),
+        col("mean").as("mean_b"), col("var_s").as("var_b"))
+      a.crossJoin(broadcast(b))
+        .select(col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+          round((col("mean_a") - col("mean_b"))
+            / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+            .as("t_welch"))
+    },
+    Some("""WITH p AS (
+        SELECT CASE WHEN (user_id * 2654435761 + 7) % 100 < 50
+            THEN 'A' ELSE 'B' END AS arm, value
+        FROM events WHERE event_type = 'purchase'),
+      g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n, sum(value) AS sv,
+          sum(value * value) AS svv
+        FROM p GROUP BY arm),
+      m AS (SELECT arm, n, sv / n AS mean,
+          (svv - sv * sv / n) / (n - 1) AS var_s FROM g)
+      SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+        round((a.mean - b.mean) / sqrt(a.var_s / a.n + b.var_s / b.n), 6) AS t_welch
+      FROM (SELECT * FROM m WHERE arm = 'A') a,
+           (SELECT * FROM m WHERE arm = 'B') b"""))
+
   def all: Seq[Q] = Seq(rollup, windowRank, approxSketch, approxFreq, topkAgg, pivot, setOps,
     windowRolling, cube, groupQuantiles, tableStats, featureBinning, dateSpine,
     ivmAgg, listAgg, cohortLtv, winsorize, ntileSpend, ntileSpendScale, madOutliers,
-    numericCorr)
+    numericCorr, abWelch)
 }
