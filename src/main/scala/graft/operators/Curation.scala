@@ -124,7 +124,7 @@ object Curation {
     * heaps then one k-row merge, no global sort at any scale. */
   def prioritySample(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
-    val uNum = (col(idCol) * 2654435761L + 12345L) % 1000003L + 1L
+    val uNum = pmod(col(idCol) * 2654435761L + 12345L, lit(1000003L)) + 1L
     val priority = weight.cast("double") * lit(1000004.0) / uNum.cast("double")
     df.select(col(idCol), weight.as("wt"), priority.as("pr"))
       .orderBy(col("pr").desc, col(idCol))

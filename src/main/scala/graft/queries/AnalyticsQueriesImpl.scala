@@ -791,7 +791,7 @@ object AnalyticsQueriesImpl {
     "q_ab_welch",
     (s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
-      val arm = when((col("user_id") * 2654435761L + 7L) % 100 < 50, "A")
+      val arm = when(pmod(col("user_id") * 2654435761L + 7L, lit(100)) < 50, "A")
         .otherwise("B")
       val g = ev.groupBy(arm.as("arm"))
         .agg(count(lit(1)).cast("double").as("n"),
@@ -811,7 +811,7 @@ object AnalyticsQueriesImpl {
             .as("t_welch"))
     },
     Some("""WITH p AS (
-        SELECT CASE WHEN (user_id * 2654435761 + 7) % 100 < 50
+        SELECT CASE WHEN ((user_id * 2654435761 + 7) % 100 + 100) % 100 < 50
             THEN 'A' ELSE 'B' END AS arm, value
         FROM events WHERE event_type = 'purchase'),
       g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n, sum(value) AS sv,

@@ -426,7 +426,7 @@ object CurationQueriesImpl {
           CAST(len(regexp_split_to_array(trim(text), '\s+')) + 1 AS BIGINT) AS wt
         FROM documents),
       p AS (SELECT doc_id, wt,
-          wt * 1000004.0 / CAST((doc_id * 2654435761 + 12345) % 1000003 + 1 AS DOUBLE) AS pr
+          wt * 1000004.0 / CAST(((doc_id * 2654435761 + 12345) % 1000003 + 1000003) % 1000003 + 1 AS DOUBLE) AS pr
         FROM w)
       SELECT doc_id, wt, round(pr, 4) AS priority
       FROM p ORDER BY pr DESC, doc_id LIMIT 100"""))

@@ -555,13 +555,13 @@ object DedupQueriesImpl {
       docs.join(broadcast(comp), col("doc_id") === col("node"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("grp"))
         .select(col("doc_id"), col("grp"),
-          when((col("grp") * 2654435761L + 99991L) % 97 < 78, "train")
+          when(pmod(col("grp") * 2654435761L + 99991L, lit(97)) < 78, "train")
             .otherwise("val").as("split"))
         .orderBy(col("doc_id"))
     },
     Some(componentsCteSql + """
       SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS grp,
-        CASE WHEN (coalesce(c.cluster_rep, d.doc_id) * 2654435761 + 99991) % 97 < 78
+        CASE WHEN ((coalesce(c.cluster_rep, d.doc_id) * 2654435761 + 99991) % 97 + 97) % 97 < 78
           THEN 'train' ELSE 'val' END AS split
       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
       ORDER BY d.doc_id"""))
