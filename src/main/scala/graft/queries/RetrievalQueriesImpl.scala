@@ -127,6 +127,34 @@ object RetrievalQueriesImpl {
         |SELECT rank, doc_id, rank_a, rank_b, fused FROM top
         |WHERE rank <= 10 ORDER BY rank""".stripMargin))
 
+  /** Activity seasonality: the (day-of-week × hour) event matrix — the
+    * traffic-shape profile capacity planning and anomaly baselines read.
+    * Day-of-week and hour come from PURE integer arithmetic on epoch
+    * micros (epoch day 0 = Thursday; Sunday = 0 ⇒ dow = (day+4) mod 7) —
+    * no engine calendar functions whose week-start conventions differ,
+    * so the replay is trivial. ONE partial-aggregable pass; ≤168 output
+    * rows at any scale. */
+  val eventSeasonality = Q(
+    "q_event_seasonality",
+    (s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val us = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      ev0.select(us.as("us"), col("value"))
+        .select(pmod(expr("us div 86400000000") + 4, lit(7)).as("dow"),
+          expr("(us % 86400000000) div 3600000000").as("hour"), col("value"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("dow"), col("hour"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+      b AS (SELECT ((us // 86400000000 + 4) % 7 + 7) % 7 AS dow,
+          (us % 86400000000) // 3600000000 AS hour, value FROM e)
+      SELECT dow, hour, count(*) AS n, round(avg(value), 4) AS avg_value
+      FROM b GROUP BY dow, hour ORDER BY dow, hour"""))
+
   /** Batch gap-sessionization of the event stream (30-minute gap), rolled
     * up per user. Timestamps are integral epoch-microseconds throughout,
     * so gaps and durations are exact in both engines. */
@@ -520,7 +548,7 @@ object RetrievalQueriesImpl {
         round(CAST(sum(wv) AS DOUBLE), 4) AS score
       FROM w GROUP BY user_id ORDER BY score DESC, user_id LIMIT 20"""))
 
-  def all: Seq[Q] = Seq(bm25TopK, ragContext, invertedIndex, cooccurLift, rankFusion,
+  def all: Seq[Q] = Seq(bm25TopK, ragContext, invertedIndex, cooccurLift, rankFusion, eventSeasonality,
     sessionizeBatch, eventFunnel, retention, dau, anomaly, sessionFunnelQ,
     eventTransitions, rollingActive, gapHistogram, decayScore)
 }
