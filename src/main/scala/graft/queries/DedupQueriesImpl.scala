@@ -566,6 +566,48 @@ object DedupQueriesImpl {
       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Per-source duplication health report: for each source, how many of
+    * its docs are exact duplicates (text occurs elsewhere in the corpus)
+    * and how many sit in a NEAR-dup cluster — the dashboard that decides
+    * which ingestion source needs fixing. Exact membership rides the
+    * digest shuffle; near-dup membership is a broadcast semi-join of the
+    * staged component view (dup members only); one grouped pass each. */
+  val dupRateBySource = Q(
+    "q_dedup_rate_by_source",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dupFps = docs.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("c")).where(col("c") > 1).select(col("fp"))
+      val exactDup = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(dupFps, Seq("fp"), "left_semi").select(col("doc_id"))
+      val nearDup = nearDupComponents(s, dir).select(col("node").as("doc_id"))
+      docs.select(col("source"), col("doc_id"))
+        .join(broadcast(exactDup.withColumn("is_exact", lit(1L))), Seq("doc_id"), "left")
+        .join(broadcast(nearDup.withColumn("is_near", lit(1L))), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+          sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"))
+        .select(col("source"), col("n_docs"), col("n_exact_dup"), col("n_near_dup"),
+          round(col("n_exact_dup") / col("n_docs").cast("double"), 4).as("exact_rate"),
+          round(col("n_near_dup") / col("n_docs").cast("double"), 4).as("near_rate"))
+        .orderBy(col("source"))
+    },
+    Some(componentsCteSql + """,
+      fps AS (SELECT md5(text) AS fp FROM documents GROUP BY md5(text) HAVING count(*) > 1),
+      ex AS (SELECT doc_id FROM documents WHERE md5(text) IN (SELECT fp FROM fps))
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        CAST(sum(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+        round(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 4) AS exact_rate,
+        round(sum(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 4) AS near_rate
+      FROM documents d
+      LEFT JOIN ex e ON e.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.node = d.doc_id
+      GROUP BY d.source ORDER BY d.source"""))
+
   /** Cross-document duplicate-gram coverage: per document, the fraction
     * of its DISTINCT 3-grams that occur in at least one OTHER document —
     * the substring-level dedup diagnostic (the C4/RefinedWeb-style signal
@@ -608,5 +650,5 @@ object DedupQueriesImpl {
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
     ngramJaccard, prefixJoin, containment, corpusOverlap, incremental,
     embedding, embeddingLsh, semantic, semanticIncremental, curation, clusters, canonical,
-    splitLeakFree, dupGramCoverage)
+    splitLeakFree, dupRateBySource, dupGramCoverage)
 }
