@@ -52,18 +52,6 @@ object Constraints {
     withUnique.withColumn("passed", col("violations") === 0L)
   }
 
-  /** Distribution-drift detection between two dataset versions: fixed-
-    * width histogram both sides, then the per-bin chi-square contribution
-    * `(observed - expected)^2 / expected` against the pooled no-drift
-    * expectation. The monitoring check that catches a silently shifted
-    * feature before it reaches training.
-    *
-    * Chi-square instead of the usual PSI/KL deliberately: every term is
-    * +,-,*,/ over exact counts (one IEEE rounding per op, same result in
-    * any engine), where PSI's `ln` would hang correctness on math-library
-    * ulp differences. Plan shape: two scan+group passes (one per side),
-    * a full-outer join of ~nBins rows, and a broadcast of the two totals.
-    */
   /** Exact two-sample Kolmogorov–Smirnov statistic in the level-based
     * form (the numeric-distribution cousin of [[histogramDrift]], with
     * no binning choice to defend): rows reduce to distinct VALUE levels
@@ -86,10 +74,25 @@ object Constraints {
         sum(col("ca")).over(upto).as("cuma"), sum(col("cb")).over(upto).as("cumb"),
         sum(col("ca")).over(whole).as("ta"), sum(col("cb")).over(whole).as("tb"))
       .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
-        round(max(abs(col("cuma").cast("double") / col("ta")
-          - col("cumb").cast("double") / col("tb"))), 6).as("ks"))
+        // the divide guard must sit INSIDE the aggregate: ANSI mode
+        // raises on the per-row division before any outer when() runs
+        round(max(when(col("ta") > 0 && col("tb") > 0,
+          abs(col("cuma").cast("double") / col("ta")
+            - col("cumb").cast("double") / col("tb")))), 6).as("ks"))
   }
 
+  /** Distribution-drift detection between two dataset versions: fixed-
+    * width histogram both sides, then the per-bin chi-square contribution
+    * `(observed - expected)^2 / expected` against the pooled no-drift
+    * expectation. The monitoring check that catches a silently shifted
+    * feature before it reaches training.
+    *
+    * Chi-square instead of the usual PSI/KL deliberately: every term is
+    * +,-,*,/ over exact counts (one IEEE rounding per op, same result in
+    * any engine), where PSI's `ln` would hang correctness on math-library
+    * ulp differences. Plan shape: two scan+group passes (one per side),
+    * a full-outer join of ~nBins rows, and a broadcast of the two totals.
+    */
   def histogramDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       binWidth: Double, nBins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

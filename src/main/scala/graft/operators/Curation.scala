@@ -150,7 +150,8 @@ object Curation {
       .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
         sum(col("p").cast("double") * (col("cn") + col("n") / lit(2.0))).as("u"))
       .select(col("n_pos"), col("n_neg"),
-        round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u") / (col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 
   /** Content-addressed deterministic train/val split: the split key is

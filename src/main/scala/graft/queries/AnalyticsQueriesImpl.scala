@@ -797,7 +797,7 @@ object AnalyticsQueriesImpl {
         .agg(count(lit(1)).cast("double").as("n"),
           sum(col("value")).as("sv"), sum(col("value") * col("value")).as("svv"))
         .select(col("arm"), col("n"), (col("sv") / col("n")).as("mean"),
-          ((col("svv") - col("sv") * col("sv") / col("n"))
+          when(col("n") > 1, (col("svv") - col("sv") * col("sv") / col("n"))
             / (col("n") - 1)).as("var_s"))
       val a = g.where(col("arm") === "A").select(col("n").as("n_a"),
         col("mean").as("mean_a"), col("var_s").as("var_a"))

@@ -101,6 +101,14 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) === 0.5)
   }
 
+  test("ksStatistic: an empty side yields NULL ks, never a division error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val oneSided = Seq((1.0, true), (2.0, true)).toDF("v", "a")
+    val r = Constraints.ksStatistic(oneSided, col("v"), col("a")).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L && r.isNullAt(2))
+  }
+
   test("all conditional checks compile into a single scan") {
     val plan = Constraints.evaluate(dirty, Seq(
         Constraints.notNull("k"),

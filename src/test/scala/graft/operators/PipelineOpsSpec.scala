@@ -565,6 +565,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 0.875)))
   }
 
+  test("exactAuc: an empty class yields NULL auc, never a crash or a 0/0 lie") {
+    val onlyPos = Seq((1, true), (2, true)).toDF("s", "y")
+    val r = Curation.exactAuc(onlyPos, col("s"), col("y")).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L && r.isNullAt(2))
+  }
+
+  test("prioritySample: empty input returns an empty, correctly-shaped frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "w")
+    val out = Curation.prioritySample(empty, "id", col("w"), 5)
+    assert(out.columns.toSeq === Seq("id", "wt", "pr") && out.count() === 0L)
+  }
+
+  test("contentDefinedChunks: NULL and whitespace-only docs produce no chunks") {
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, "   "), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Curation.contentDefinedChunks(d, "doc_id", "text", 8).collect()
+    assert(out.map(_.getLong(0)).distinct.toSeq === Seq(3L))
+  }
+
   test("exactAuc: perfect and inverted separations hit 1.0 and 0.0") {
     val perfect = Seq((1, false), (2, false), (3, true), (4, true)).toDF("s", "y")
     assert(Curation.exactAuc(perfect, col("s"), col("y"))
