@@ -191,7 +191,13 @@ object Dedup {
     * differing bits out of 64 is not a near-duplicate regime).
     * Same hot-bucket guard as the MinHash bands: a (seg, value) bucket of
     * B docs is B²/2 candidates, and buckets that hot (e.g. the all-zero
-    * segments of near-empty docs) are exact-dedup territory. */
+    * segments of near-empty docs) are exact-dedup territory.
+    * `maxBucket`'s UNIT is distinct simhash VALUES per (seg, value)
+    * bucket, not docs — exact-collapse runs first, so replication never
+    * trips the guard, and hamming-0 (identical-hash) pairs are emitted
+    * unconditionally even when every shared segment bucket is hot.
+    * Callers tuning the old docs-per-bucket threshold get strictly
+    * higher recall under the same number. */
   def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucket: Int = MaxBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,

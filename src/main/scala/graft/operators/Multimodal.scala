@@ -174,14 +174,24 @@ object Multimodal {
     def durationMs: Long =
       if (timescale <= 0) 0L else duration * 1000L / timescale
     def sampleCount: Int = if (sampleSizes == null) 0 else sampleSizes.length
-    /** (offset, length) of sample `i` — consecutive samples in one chunk,
-      * the layout `stsc` declares for the single-chunk files we mux. */
-    def sampleRange(i: Int): (Int, Int) = {
-      var off = chunkOffset
+    /** Prefix-summed sample offsets in long arithmetic (entry i = start
+      * of sample i; entry n = end of the last sample), computed once —
+      * sampling n frames is O(1) per lookup instead of O(i), and the
+      * sum can't overflow Int on adversarial stsz entries. */
+    @transient private lazy val sampleOffsets: Array[Long] = {
+      val n = sampleCount
+      val off = new Array[Long](n + 1)
+      off(0) = chunkOffset.toLong
       var j = 0
-      while (j < i) { off += sampleSizes(j); j += 1 }
-      (off, sampleSizes(i))
+      while (j < n) { off(j + 1) = off(j) + sampleSizes(j); j += 1 }
+      off
     }
+    /** (offset, length) of sample `i` — consecutive samples in one chunk,
+      * the layout `stsc` declares for the single-chunk files we mux.
+      * Offsets fit in Int because [[VideoCodec.parse]] only keeps a
+      * sample table whose full extent it validated against the file
+      * length. */
+    def sampleRange(i: Int): (Int, Int) = (sampleOffsets(i).toInt, sampleSizes(i))
   }
 
   /** Real ISO-BMFF (MP4) container-header codec: box-tree walking over
@@ -342,6 +352,21 @@ object Multimodal {
           o += size.toInt
         }
       } catch { case _: IndexOutOfBoundsException => return null }
+      // Validate the sample table against the FILE before trusting it:
+      // a truncated or malformed file (moov intact, mdat short, garbage
+      // stsz entries) must flow through the bounds-safe mdat-slice
+      // fallback, not kill the task slicing past the array. Long
+      // arithmetic so hostile sizes can't wrap the check itself.
+      if (sampleSizes != null) {
+        var ok = chunkOff >= 0
+        var ext = chunkOff.toLong
+        var i = 0
+        while (ok && i < sampleSizes.length) {
+          if (sampleSizes(i) < 0) ok = false else ext += sampleSizes(i)
+          i += 1
+        }
+        if (!ok || ext > bytes.length) { sampleSizes = null; chunkOff = -1 }
+      }
       if (brand == null || duration < 0) null
       else Mp4Header(brand, w, h, timescale, duration, mdatOff, mdatLen,
         codec, sampleSizes, chunkOff)
@@ -553,7 +578,20 @@ object Multimodal {
   def decodeFeatures(df: DataFrame, contentCol: String): DataFrame = {
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType), nullable = false))
     val contentIdx = df.schema.fieldIndex(contentCol)
-    val metaIdx = df.schema.fieldNames.indexOf("meta")
+    // Only take the typed fast path when the "meta" column really is a
+    // struct with a StringType "kind" field (looked up by name, not
+    // ordinal): a caller DataFrame with an unrelated column that merely
+    // shares the name must fall through to the cascade, not CCE.
+    val (metaIdx, kindIdx) = {
+      val mi = df.schema.fieldNames.indexOf("meta")
+      if (mi < 0) (-1, -1)
+      else df.schema(mi).dataType match {
+        case st: StructType =>
+          val ki = st.fieldNames.indexOf("kind")
+          if (ki >= 0 && st(ki).dataType == StringType) (mi, ki) else (-1, -1)
+        case _ => (-1, -1)
+      }
+    }
     implicit val enc = Encoders.row(outSchema)
     df.mapPartitions { rows =>
       val codec = new ImageCodec // one init per partition/task
@@ -582,7 +620,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](contentIdx)
           val kind =
             if (metaIdx < 0) null
-            else { val m = r.getStruct(metaIdx); if (m == null) null else m.getString(0) }
+            else { val m = r.getStruct(metaIdx); if (m == null) null else m.getString(kindIdx) }
           kind match {
             case "image" =>
               val img = codec.decode(bytes)
@@ -868,22 +906,18 @@ object Multimodal {
     // a fixture regenerated in place must invalidate it, same hazard as
     // a streaming checkpoint over a rewritten source file
     val key = graft.Fixtures.key(sfDir, "documents.parquet")
-    val path = s"/tmp/graft_media/v$MediaGenVersion/$key"
-    val done = new java.io.File(s"$path/_SUCCESS")
-    if (!done.isFile) synchronized {
-      if (!done.isFile)
-        // Write PRE-PARTITIONED to core count: media bytes compress far
-        // below maxPartitionBytes (13 MB at sf0.1 → ONE scan partition),
-        // so an unsplit cache would serialize the CPU-heavy decode/resize
-        // mapPartitions onto a single core. Paying the split once at
-        // write time gives every downstream decode full parallelism with
-        // no per-query shuffle — the same reason a 100 TB media lake is
-        // laid out in decode-sized files rather than scan-sized ones.
-        syntheticMediaTable(docs)
-          .repartition(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(path)
+    val path = s"${graft.Staging.dir("media")}/v$MediaGenVersion/$key"
+    // Write PRE-PARTITIONED to core count: media bytes compress far
+    // below maxPartitionBytes (13 MB at sf0.1 → ONE scan partition),
+    // so an unsplit cache would serialize the CPU-heavy decode/resize
+    // mapPartitions onto a single core. Paying the split once at
+    // write time gives every downstream decode full parallelism with
+    // no per-query shuffle — the same reason a 100 TB media lake is
+    // laid out in decode-sized files rather than scan-sized ones.
+    graft.Staging.publishParquet(spark, path) {
+      syntheticMediaTable(docs)
+        .repartition(spark.sparkContext.defaultParallelism)
     }
-    spark.read.parquet(path)
   }
 
   /** Builds a multimodal table from the documents table. IMAGE rows carry

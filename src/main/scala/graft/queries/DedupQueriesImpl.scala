@@ -444,17 +444,13 @@ object DedupQueriesImpl {
     // downstream decision pass (stats, canonical pick, drop list)
     // shares.
     val key = graft.Fixtures.key(dir, "documents.parquet")
-    val path = s"/tmp/graft_edges/v$ComponentsGenVersion/$key/dedup_components"
-    val done = new java.io.File(s"$path/_SUCCESS")
-    if (!done.isFile) synchronized {
-      if (!done.isFile) {
-        val docs = Tables.documents(s, dir)
-        val edges = Dedup.exactJaccardEdges(docs, "doc_id", "text", 3, 0.35)
-        graft.operators.Components.connectedComponents(edges, "u", "v")
-          .write.mode("overwrite").parquet(path)
-      }
+    val path =
+      s"${graft.Staging.dir("edges")}/v$ComponentsGenVersion/$key/dedup_components"
+    graft.Staging.publishParquet(s, path) {
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.exactJaccardEdges(docs, "doc_id", "text", 3, 0.35)
+      graft.operators.Components.connectedComponents(edges, "u", "v")
     }
-    s.read.parquet(path)
   }
 
   val clusters = Q(

@@ -38,12 +38,8 @@ object GraphQueriesImpl {
   private def stagedView(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
     val key = graft.Fixtures.key(dir, "lineitem.parquet")
-    val path = s"/tmp/graft_edges/v$EdgeGenVersion/$key/$name"
-    val done = new java.io.File(s"$path/_SUCCESS")
-    if (!done.isFile) synchronized {
-      if (!done.isFile) build.write.mode("overwrite").parquet(path)
-    }
-    s.read.parquet(path)
+    graft.Staging.publishParquet(s,
+      s"${graft.Staging.dir("edges")}/v$EdgeGenVersion/$key/$name")(build)
   }
 
   /** Distinct (order, part) baskets — duplicate line items collapsed. */

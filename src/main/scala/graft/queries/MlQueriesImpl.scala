@@ -60,7 +60,8 @@ object MlQueriesImpl {
   val parquetRoundtrip = Q(
     "q_s14_parquet_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-s14").toString + "/model"
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.Staging.dir("s14")), "rt").toString + "/model"
       s.createDataFrame(Seq(Tuple1("graft-model-roundtrip"))).toDF("model_json")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).select(col("model_json").as("tag"))

@@ -13,7 +13,7 @@ import graft.Tables
   */
 object SourceQueriesImpl {
 
-  private val sinkRoot = "/tmp/graft_sink"
+  private val sinkRoot = graft.Staging.dir("sink")
 
   /** CSV sink+source (header, explicit schema on read). */
   val csvRoundtrip = Q(

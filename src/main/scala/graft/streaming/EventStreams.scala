@@ -141,8 +141,8 @@ object EventStreams {
       // (Assumes one JVM per (sfDir) at a time, which is how the driver
       // and the local loop run.)
       val key = fixtureKey(sfDir)
-      val outDir = s"/tmp/graft_stream_sink/$key/out"
-      val ckDir = s"/tmp/graft_stream_sink/$key/ck"
+      val outDir = s"${graft.Staging.dir("stream_sink")}/$key/out"
+      val ckDir = s"${graft.Staging.dir("stream_sink")}/$key/ck"
       val stream = readEvents(spark, sfDir)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -187,7 +187,7 @@ object EventStreams {
     * is one key shuffle per batch, sized by the batch not the history. */
   def mergeToSnapshot(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val root = new java.io.File(s"/tmp/graft_stream_merge/$key")
+    val root = new java.io.File(s"${graft.Staging.dir("stream_merge")}/$key")
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete()
@@ -310,8 +310,8 @@ object EventStreams {
     // exactly there). The file sink keeps rows executor-side; same
     // exactly-once fixed-dir pattern as the window sink.
     val key = fixtureKey(sfDir)
-    val outDir = s"/tmp/$dirPrefix/$key/out"
-    val ckDir = s"/tmp/$dirPrefix/$key/ck"
+    val outDir = s"${graft.Staging.dir(dirPrefix)}/$key/out"
+    val ckDir = s"${graft.Staging.dir(dirPrefix)}/$key/ck"
     val q = joined
       .select(col("c_user").as("user_id"), col("c_id"), col("p_id"),
         round(col("value"), 2).as("purchase_value"))
