@@ -153,14 +153,20 @@ class SemanticDeduper(override val uid: String) extends Transformer
   def setVecCol(v: String): this.type = set(vecCol, v)
   def setMinCos(v: Double): this.type = set(minCos, v)
 
-  /** Centroids are a runtime asset (like a broadcast model), not a
-    * string Param — set before transform. */
-  @transient private var centroids: Array[Array[Double]] = _
-  def setCentroids(c: Array[Array[Double]]): this.type = { centroids = c; this }
+  /** The pinned quantizer centroids are part of the stage's state and
+    * must survive save/load like any fitted asset — they live in a
+    * string Param (`Double.toString` round-trips exactly, so a persisted
+    * stage reproduces cell assignment bit-for-bit). */
+  final val centroidsEnc = new Param[String](this, "centroidsEnc",
+    "pinned quantizer centroids, rows ';'-separated, values ','-separated")
+  setDefault(centroidsEnc -> "")
+  def setCentroids(c: Array[Array[Double]]): this.type =
+    set(centroidsEnc, c.map(_.mkString(",")).mkString(";"))
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    require(centroids != null && centroids.nonEmpty,
+    require($(centroidsEnc).nonEmpty,
       "SemanticDeduper needs pinned centroids (setCentroids)")
+    val centroids = $(centroidsEnc).split(';').map(_.split(',').map(_.toDouble))
     val df = ds.toDF
     val drop = Similarity.semanticDedupPinned(df, $(idCol), $(vecCol),
         centroids, $(minCos))

@@ -373,7 +373,9 @@ object DedupQueriesImpl {
         round(avg(size(graft.functions.TextFunctions.tokens(col("text")))), 4).as("avg_tokens"),
         round(avg(col("quality")), 4).as("avg_quality"))
     },
-    Some("""WITH t AS (
+    Some(curationOracleSql))
+
+  private lazy val curationOracleSql = """WITH t AS (
         SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
         FROM documents),
       h AS (SELECT doc_id, text, toks,
@@ -409,7 +411,7 @@ object DedupQueriesImpl {
       SELECT count(*) AS n_docs,
         round(avg(len(toks)), 4) AS avg_tokens,
         round(avg(quality), 4) AS avg_quality
-      FROM dedup"""))
+      FROM dedup"""
 
   /** Near-dup CLUSTERS: similarity pairs are not transitive, so dedup
     * must keep one doc per connected component of the similarity graph.
@@ -643,8 +645,87 @@ object DedupQueriesImpl {
         round(CAST(n_dup AS DOUBLE) / n_grams, 4) AS dup_ratio
       FROM cov ORDER BY doc_id"""))
 
+  /** Pipeline PERSISTENCE round-trip — the reference's save/load
+    * contract (model.py:95-233) exercised on the extension stages. Both
+    * curation pipelines are saved and re-loaded, and the LOADED
+    * pipelines must reproduce the in-memory runs exactly:
+    *
+    *  - documents: `Pipeline(LanguageTagger → TextQualityScorer →
+    *    SQLTransformer(en + quality filter) → ExactDeduper)` — compared
+    *    on the same rounded corpus-stat aggregate the curation query
+    *    pins, which the oracle replays in full;
+    *  - embeddings: `SemanticDeduper` with pinned centroids (now a
+    *    persisted Param, so cell assignment survives save/load
+    *    bit-for-bit) over the planted-twin corpus — compared on the
+    *    kept-id count and sum, replayed through `SemDedupOracle`.
+    *
+    * Equality witnesses ride as booleans; a stage whose params or assets
+    * fail to persist diverges the loaded run and fails the driver hash. */
+  val pipelinePersist = Q(
+    "q_pipeline_persist",
+    (s, dir) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.feature.SQLTransformer
+      import graft.operators.{ExactDeduper, LanguageTagger, SemanticDeduper, TextQualityScorer}
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = e.where(col("vec_id") < 40).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.5d)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      val corpus = e.unionByName(planted)
+
+      val docPipe = new Pipeline().setStages(Array(
+        new LanguageTagger(), new TextQualityScorer(),
+        new SQLTransformer().setStatement(
+          "SELECT * FROM __THIS__ WHERE lang_pred = 'en' AND quality >= 0.3"),
+        new ExactDeduper()))
+      val semPipe = new Pipeline().setStages(Array(
+        new SemanticDeduper().setMinCos(0.8)
+          .setCentroids(IvfOracle.pinnedCentroids)))
+
+      val root = graft.Staging.dir("pipeline_persist")
+      val docPath = s"$root/doc_${graft.Fixtures.key(dir, "documents.parquet")}"
+      val semPath = s"$root/sem_${graft.Fixtures.key(dir, "embeddings.parquet")}"
+      val docModel = docPipe.fit(docs)
+      val semModel = semPipe.fit(corpus)
+      docModel.write.overwrite().save(docPath)
+      semModel.write.overwrite().save(semPath)
+      val docLoaded = org.apache.spark.ml.PipelineModel.load(docPath)
+      val semLoaded = org.apache.spark.ml.PipelineModel.load(semPath)
+
+      def docAgg(out: org.apache.spark.sql.DataFrame) = out.agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(size(graft.functions.TextFunctions.tokens(col("text")))), 4).as("avg_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      def semAgg(out: org.apache.spark.sql.DataFrame) = out.agg(
+        count(lit(1)).as("sem_n_kept"),
+        sum(col("vec_id")).as("sem_sum_ids"))
+
+      val Array(dFresh) = docAgg(docModel.transform(docs)).collect()
+      val Array(dLoad) = docAgg(docLoaded.transform(docs)).collect()
+      val Array(sFresh) = semAgg(semModel.transform(corpus)).collect()
+      val Array(sLoad) = semAgg(semLoaded.transform(corpus)).collect()
+      s.createDataFrame(Seq((
+          dFresh.getLong(0), dFresh.getDouble(1), dFresh.getDouble(2),
+          dFresh == dLoad,
+          sFresh.getLong(0), sFresh.getLong(1),
+          sFresh == sLoad)))
+        .toDF("n_docs", "avg_tokens", "avg_quality", "doc_persist_ok",
+          "sem_n_kept", "sem_sum_ids", "sem_persist_ok")
+    },
+    Some(s"""SELECT d.n_docs, d.avg_tokens, d.avg_quality,
+        true AS doc_persist_ok, s.sem_n_kept, s.sem_sum_ids,
+        true AS sem_persist_ok
+      FROM ($curationOracleSql) d
+      CROSS JOIN (
+        SELECT count(*) AS sem_n_kept, CAST(sum(vec_id) AS BIGINT) AS sem_sum_ids
+        FROM (${SemDedupOracle.sql(minCos = 0.8)}) WHERE keep) s"""))
+
   def all: Seq[Q] = Seq(exact, minhash, minhashVerified, simhash, simhashPairs,
     ngramJaccard, prefixJoin, containment, corpusOverlap, incremental,
     embedding, embeddingLsh, semantic, semanticIncremental, curation, clusters, canonical,
-    splitLeakFree, dupRateBySource, dupGramCoverage)
+    splitLeakFree, dupRateBySource, dupGramCoverage, pipelinePersist)
 }

@@ -266,7 +266,132 @@ object MlQueriesImpl {
         true AS prob_sum_ok, true AS argmax_ok
       FROM embeddings ORDER BY vec_id"""))
 
+  /** C5 under the oracle gate: EXTERNAL-STORAGE training (rows spilled
+    * to libsvm text on executor-local disk, read back into the matrix —
+    * the reference's `use_external_storage` path,
+    * xgboost_cluster_test.py:201-282) must produce the SAME model as the
+    * in-memory conversion. At spill precision 17 every double survives
+    * the text round-trip exactly (%.17g is double round-trip precision),
+    * so the matrices — and therefore the deterministic fits — are
+    * identical; the per-row parity witness pins it at 1e-6 like the
+    * barrier query. Both fits run concurrently as independent jobs. */
+  val trainPredictExt = Q(
+    "q_ml_train_predict_ext",
+    (s, dir) => {
+      val df = Tables.embeddings(s, dir)
+      def reg() = new XgboostRegressor()
+        .setFeaturesCol("embedding").setLabelCol("label")
+        .setNEstimators(10).setMaxDepth(4)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (extF, memF) = (
+        Future(reg().setUseExternalStorage(true)
+          .setExternalStoragePrecision(17).fit(df)),
+        Future(reg().fit(df)))
+      val ext = Await.result(extF, scala.concurrent.duration.Duration.Inf)
+        .transform(df).select(col("vec_id"), col("label"),
+          col("prediction").as("p_ext"))
+      val mem = Await.result(memF, scala.concurrent.duration.Duration.Inf)
+        .transform(df).select(col("vec_id"), col("prediction").as("p_mem"))
+      ext.join(mem, "vec_id")
+        .select(col("vec_id"), col("label"),
+          (abs(col("p_ext") - col("p_mem")) < 1e-6).as("ext_parity_ok"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, label, true AS ext_parity_ok
+      FROM embeddings ORDER BY vec_id"""))
+
+  /** Early stopping, driver-checked via REPLAYABLE invariants of the
+    * direction-aware stop rule (reference xgboost_local_test.py:547-614):
+    * with an rmse eval set (lower-is-better) and patience 3, (a) training
+    * stops before the requested rounds, (b) when it stops, exactly
+    * best_iteration + patience + 1 rounds exist — the stop fires the
+    * moment the window is exhausted, (c) the recorded best_score is
+    * ACHIEVED by default predict (which truncates to best_iteration + 1,
+    * the sklearn drop-the-overfit-tail semantics): re-scoring the eval
+    * rows reproduces it, and (d) best_score is the MINIMUM — the
+    * full-ensemble rmse is no better. A direction bug (maximizing rmse),
+    * an off-by-one in the window, or a truncation regression flips a
+    * witness and fails the driver hash. */
+  val earlyStop = Q(
+    "q_ml_early_stop",
+    (s, dir) => {
+      val df = Tables.embeddings(s, dir)
+        .withColumn("is_val", pmod(col("vec_id"), lit(5)) === 0)
+      val requested = 50
+      val patience = 3
+      val model = new XgboostRegressor()
+        .setFeaturesCol("embedding").setLabelCol("label")
+        .setValidationIndicatorCol("is_val")
+        .setNEstimators(requested).setMaxDepth(4)
+        .setEvalMetric("rmse").setEarlyStoppingRounds(patience)
+        .fit(df)
+      val rounds = model.booster.trees.length // numGroups = 1
+      val bi = model.booster.bestIteration.get
+      val bs = model.booster.bestScore.get
+      val valRows = df.where(col("is_val"))
+      // default transform truncates to bi+1 rounds; treeLimit=rounds
+      // forces the full ensemble for the is-minimum witness
+      val rmseBest = model.transform(valRows)
+        .agg(sqrt(avg(pow(col("prediction") - col("label"), 2))))
+        .head().getDouble(0)
+      val rmseFull = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setTreeLimit(rounds).transform(valRows)
+        .agg(sqrt(avg(pow(col("prediction") - col("label"), 2))))
+        .head().getDouble(0)
+      s.createDataFrame(Seq(Tuple5(
+          requested,
+          rounds < requested,
+          rounds == bi + patience + 1,
+          math.abs(rmseBest - bs) < 1e-5 * math.max(1.0, bs),
+          rmseFull >= bs - 1e-9)))
+        .toDF("n_requested", "stopped_early", "stop_window_exact",
+          "best_score_achieved", "best_is_min")
+    },
+    Some("""SELECT 50 AS n_requested, true AS stopped_early,
+      true AS stop_window_exact, true AS best_score_achieved,
+      true AS best_is_min"""))
+
+  /** Warm start (`xgb_model` init, reference xgboost_local_test.py:502-517),
+    * driver-checked: continuing from a 5-round booster must (a) keep the
+    * init trees VERBATIM at the head of the ensemble — truncating the
+    * warm model to 5 rounds reproduces the init model's predictions
+    * per-row — and (b) offset best_iteration by the init round count
+    * (xgboost counts warm-start rounds), so with an eval set it is never
+    * below 5. Witnesses ride per-row so the driver hash re-checks both
+    * every round. */
+  val warmStart = Q(
+    "q_ml_warm_start",
+    (s, dir) => {
+      val df = Tables.embeddings(s, dir)
+        .withColumn("is_val", pmod(col("vec_id"), lit(5)) === 0)
+      def reg() = new XgboostRegressor()
+        .setFeaturesCol("embedding").setLabelCol("label").setMaxDepth(4)
+      val init = reg().setNEstimators(5).fit(df)
+      val warm = reg().setNEstimators(20)
+        .setXgbModel(init.booster)
+        .setValidationIndicatorCol("is_val")
+        .setEvalMetric("rmse").setEarlyStoppingRounds(3)
+        .fit(df)
+      val offsetOk = warm.booster.bestIteration.get >= 5
+      val continuedOk = warm.booster.trees.length > 5
+      val pInit = init.transform(df)
+        .select(col("vec_id"), col("label"), col("prediction").as("p_init"))
+      val pHead = warm.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setTreeLimit(5).transform(df)
+        .select(col("vec_id"), col("prediction").as("p_head"))
+      pInit.join(pHead, "vec_id")
+        .select(col("vec_id"), col("label"),
+          (abs(col("p_init") - col("p_head")) < 1e-7).as("head_matches_init"),
+          lit(offsetOk).as("best_iter_offset_ok"),
+          lit(continuedOk).as("continued_ok"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, label, true AS head_matches_init,
+      true AS best_iter_offset_ok, true AS continued_ok
+      FROM embeddings ORDER BY vec_id"""))
+
   def all: Seq[Q] = Seq(vectorRoundtrip, barrierAllGather, parquetRoundtrip,
     confIntrospection, trainPredictReg, trainPredictDist, trainPredictBarrier,
-    trainPredictScale, trainPredictCls)
+    trainPredictScale, trainPredictCls, trainPredictExt, earlyStop, warmStart)
 }

@@ -74,4 +74,19 @@ class PipelineTransformersSpec extends AnyFunSuite {
     assert(out.collect().map(_.getAs[Long]("vec_id")).toSet === Set(2L, 3L))
     assert(out.columns.toSeq === vecs.columns.toSeq) // schema passes through
   }
+
+  test("SemanticDeduper centroids survive save/load (persisted Param)") {
+    val vecs = Seq(
+      (1L, Seq(10.0, 1.0)), (2L, Seq(8.0, 1.2)),
+      (3L, Seq(0.5, 5.0)), (4L, Seq(9.0, -1.0))
+    ).toDF("vec_id", "embedding")
+    val stage = new SemanticDeduper().setMinCos(0.95)
+      .setCentroids(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semded").toString
+    stage.write.overwrite().save(dir)
+    val loaded = SemanticDeduper.load(dir)
+    val fresh = stage.transform(vecs).collect().map(_.getLong(0)).toSet
+    val replay = loaded.transform(vecs).collect().map(_.getLong(0)).toSet
+    assert(replay === fresh && fresh === Set(2L, 3L))
+  }
 }
