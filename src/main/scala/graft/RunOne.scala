@@ -22,7 +22,7 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
-    if (args.contains("show")) fn(spark, sfDir).show(20, truncate = false)
+    if (args.contains("show")) fn(spark, sfDir).show(60, truncate = false)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -64,7 +64,8 @@ object Staging {
     * therefore the whole dataset — is complete. A directory present
     * WITHOUT `_SUCCESS` is a crashed in-place write from an older
     * layout; it is discarded. */
-  def publishParquet(s: SparkSession, path: String)(build: => DataFrame): DataFrame = {
+  def publishParquet(s: SparkSession, path: String,
+      partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val target = new java.io.File(path)
     val done = new java.io.File(target, "_SUCCESS")
     if (!done.isFile) synchronized {
@@ -73,7 +74,8 @@ object Staging {
         parent.mkdirs()
         val tmp = new java.io.File(parent,
           s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
-        build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        build.write.mode("overwrite").partitionBy(partitionBy: _*)
+          .parquet(tmp.getAbsolutePath)
         if (!tmp.renameTo(target)) {
           if (done.isFile) {
             // another JVM published while we were building — theirs wins

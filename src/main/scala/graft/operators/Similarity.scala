@@ -239,9 +239,18 @@ object Similarity {
     */
   def ivfTopKPinned(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4): DataFrame =
+    ivfProbe(ivfIndex(corpus, idCol, vecCol, centroids), queries, idCol,
+      vecCol, k, centroids, nProbe)
+
+  /** BUILD side of the pinned-quantizer IVF index: one pass over the
+    * corpus assigning each vector to its cell and unit-normalizing —
+    * `(vid, cvec, cell)`, the table a deployment PERSISTS (partitioned
+    * by `cell`) and serves many query batches from. Index build is paid
+    * once; [[ivfProbe]] never re-scans raw corpus vectors. */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one pinned centroid")
-    val nCells = centroids.length
     // struct(dot, -cell): array_max → highest dot, ties to SMALLEST cell
     def entries(v: Column): Column =
       array(centroids.zipWithIndex.map { case (cen, i) =>
@@ -249,9 +258,26 @@ object Similarity {
       }: _*)
     def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
     val cell = (-array_max(entries(rawV(col(vecCol)))).getField("nc")).as("cell")
-    val c = corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"), cell)
+    corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"), cell)
+  }
+
+  /** SERVE side: probe a built (or reloaded) [[ivfIndex]] table. Each
+    * query ranks its nProbe best cells per-row (no window, no shuffle on
+    * the query side) and broadcasts onto the index; when the index is a
+    * cell-partitioned parquet table, the broadcast join's dynamic
+    * partition pruning skips every unprobed cell's files — the 100 TB
+    * serving shape where a probe touches nProbe/nCells of the data. */
+  def ivfProbe(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "need at least one pinned centroid")
+    def entries(v: Column): Column =
+      array(centroids.zipWithIndex.map { case (cen, i) =>
+        struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
+      }: _*)
+    def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
     // per-row probe list: sort entries descending (d desc, nc desc ⇒ cell
-    // asc on ties), slice nProbe — no window, no shuffle on the query side
+    // asc on ties), slice nProbe
     val probeCells = transform(
       slice(reverse(array_sort(entries(rawV(col(vecCol))))), 1, nProbe),
       e => -e.getField("nc"))
@@ -261,7 +287,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     // each vid lives in exactly one cell and probe cells are distinct,
     // so (qid, vid) candidates are already unique — no dedup needed
-    c.join(broadcast(q), Seq("cell"))
+    index.join(broadcast(q), Seq("cell"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))

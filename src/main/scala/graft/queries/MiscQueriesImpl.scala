@@ -254,7 +254,20 @@ object MiscQueriesImpl {
       UNION ALL SELECT * FROM unmatched
       ORDER BY user_id, c_id, p_id NULLS FIRST"""))
 
+  /** Streaming semantic dedup ([[EventStreams.semanticDedupStream]]):
+    * the nightly-ingest CDC loop — 4 arriving micro-batches screened
+    * against the frozen quantizer's evolving corpus state (base ∪
+    * accepted-so-far), so a doc accepted in batch 0 catches its near-dup
+    * in batch 2. Oracle: the unrolled 4-stage batch replay
+    * ([[SemDedupOracle.streamSql]]) — every verdict, including the
+    * cross-batch state hits, replays bit-exactly. */
+  val streamSemanticDedup = Q(
+    "q_stream_semantic_dedup",
+    (s, dir) => EventStreams.semanticDedupStream(s, dir,
+      IvfOracle.pinnedCentroids, 0.8),
+    Some(SemDedupOracle.streamSql(minCos = 0.8)))
+
   def all: Seq[Q] = Seq(streamWindow, streamWindowSink, streamSessionize, streamDedup,
-    streamJoin, streamLeftJoin, streamStatic, streamMerge, multimodalDecode,
-    multimodalPipeline, videoFrames)
+    streamJoin, streamLeftJoin, streamStatic, streamMerge, streamSemanticDedup,
+    multimodalDecode, multimodalPipeline, videoFrames)
 }

@@ -252,6 +252,114 @@ object EventStreams {
       .orderBy(col("bucket"))
   }
 
+  /** STREAMING semantic dedup — the nightly-ingest CDC loop composed
+    * from [[graft.operators.Similarity.semanticDedupIncremental]]: each
+    * micro-batch of arriving embeddings is screened against the frozen
+    * quantizer's corpus STATE (base corpus ∪ all docs accepted by
+    * earlier batches), verdicts land in an append sink, and the accepted
+    * docs are merged into the next state snapshot — so a doc accepted in
+    * batch 0 catches its near-dup arriving in batch 2, the verdict only
+    * the CDC composition produces. The corpus never self-joins; per
+    * batch, cost is |batch|·E[cell occupancy] like the one-shot
+    * incremental tier, and state evolution is snapshot-versioned exactly
+    * like [[mergeToSnapshot]] (at scale: a table format with commit
+    * atomicity instead of versioned dirs).
+    *
+    * The arriving stream is a 4-file parquet source (maxFilesPerTrigger
+    * = 1, mtimes forced so arrival order is deterministic) planted with
+    * replayable arithmetic: batch 0 = negated corpus vectors (novel →
+    * accepted), batch 1 = classic +0.5 twins (dup of base corpus),
+    * batch 2 = echoes of batch 0's novels (dup of ACCEPTED state —
+    * cross-batch), batch 3 = reversed vectors plus same-batch echoes
+    * (novel + within-batch dup). Oracle: the unrolled batch replay in
+    * [[graft.queries.SemDedupOracle.streamSql]]. */
+  def semanticDedupStream(spark: SparkSession, sfDir: String,
+      centroids: Array[Array[Double]], minCos: Double): DataFrame = withStatePartitions(spark, 8) {
+    val key = graft.Fixtures.key(sfDir, "embeddings.parquet")
+    val root = new java.io.File(s"${graft.Staging.dir("stream_semded")}/$key")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    // rebuilt fresh each run, like the merge sink: the in-flight state
+    // pointer is run-local, so determinism comes from rebuilding
+    if (root.exists()) deleteRec(root)
+    val inDir = new java.io.File(root, "in")
+    val ckDir = s"$root/ck"
+    val outDir = s"$root/out"
+    val stateDir = s"$root/state"
+    inDir.mkdirs()
+
+    val docSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    e.select(col("vec_id"), col("embedding")).write.parquet(s"$stateDir/v0")
+
+    // plant the four arrival batches (same arithmetic as the oracle)
+    val v = col("embedding")
+    val rev = reverse(v)
+    val batches: Seq[DataFrame] = Seq(
+      e.where(col("vec_id") < 10).select((col("vec_id") + 200000L).as("vec_id"),
+        transform(v, x => -x).as("embedding")),
+      e.where(col("vec_id") < 10).select((col("vec_id") + 200010L).as("vec_id"),
+        concat(array(element_at(v, 1) + lit(0.5d)), slice(v, 2, 63)).as("embedding")),
+      e.where(col("vec_id") < 10).select((col("vec_id") + 200020L).as("vec_id"),
+        concat(array(-element_at(v, 1) + lit(0.05d)),
+          transform(slice(v, 2, 63), x => -x)).as("embedding")),
+      e.where(col("vec_id") < 5).select((col("vec_id") + 200030L).as("vec_id"),
+        rev.as("embedding"))
+        .unionByName(e.where(col("vec_id") < 5)
+          .select((col("vec_id") + 200035L).as("vec_id"),
+            concat(array(element_at(rev, 1) + lit(0.05d)),
+              slice(rev, 2, 63)).as("embedding"))))
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = new java.io.File(root, s"stage$i")
+      b.coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"batch$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // forced, strictly increasing mtimes: the file source processes
+      // oldest-first, so arrival order — and the batch replay — is
+      // deterministic
+      dst.setLastModified(t0 + i * 2000L)
+      deleteRec(tmp)
+    }
+
+    val current = new java.util.concurrent.atomic.AtomicReference[String](s"$stateDir/v0")
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val corpusNow = spark.read.schema(docSchema).parquet(current.get)
+        val verdicts = graft.operators.Similarity.semanticDedupIncremental(
+            corpusNow, batch, "vec_id", "embedding", centroids, minCos)
+          .withColumn("batch_id", lit(batchId).cast("int"))
+          .localCheckpoint(true) // two consumers: sink append + accept merge
+        verdicts.write.mode("append").parquet(outDir)
+        val accepted = batch.join(
+          verdicts.where(!col("is_dup")).select(col("vid").as("vec_id")), "vec_id")
+        val next = s"$stateDir/v${batchId + 1}"
+        corpusNow.unionByName(accepted.select(col("vec_id"), col("embedding")))
+          .write.parquet(next)
+        current.set(next)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.read.parquet(outDir)
+      .select(col("vid").as("vec_id"), col("batch_id"), col("cell"),
+        col("dup_of_corpus"), col("dup_of_batch"), col("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Streaming exact-dedup: first arrival per (user_id, event_type) via
     * dropDuplicates under a watermark — the streaming face of the dedup
     * operator family. Only the key columns are emitted, so the result is
