@@ -11,14 +11,18 @@ l_suppkey, o_custkey, user_id) are NOT shifted, so dimension joins stay
 valid and the derived co-purchase graph keeps |V| while its fact-side
 pair volume grows 20x. Dimensions are symlinked unchanged.
 
-Usage: python3 dev/make_sfbig.py [srcDir] [outDir]
+Usage: python3 dev/make_sfbig.py [srcDir] [outDir] [reps]
+
+reps=100 builds the 100x probe (/tmp/sfbig100: 60 M lineitem rows,
+500 k docs, 200 k vectors) — same shifted-block protocol, one decade
+past the standing 20x probe.
 """
 import os, sys, shutil
 import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
-REPS = 20
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 
 shutil.rmtree(out, ignore_errors=True)
 os.makedirs(out)
