@@ -51,7 +51,13 @@ object Plans {
     "q_ks_drift"         -> "level-based exact KS — integer cumsums over value levels",
     "q_label_consistency" -> "index-bounded neighbor screen — candidates are nProbe/nCells of the corpus",
     "q_numeric_corr"     -> "every pairwise moment in ONE map-side-combinable aggregate row",
-    "q_ab_welch"         -> "deterministic hash arm split; one grouped moment pass")
+    "q_ab_welch"         -> "deterministic hash arm split; one grouped moment pass",
+    "q_sim_topk_ivf"     -> "staged cell-partitioned index scan under DYNAMIC PARTITION PRUNING — serve never re-assigns corpus vectors",
+    "q_ml_train_predict_ext" -> "external-storage fit happens during construction; the served face is the scored scan",
+    "q_ml_early_stop"    -> "fit + best-round truncation happen during construction; the served face is the 1-row witness",
+    "q_ml_warm_start"    -> "continued fit happens during construction; the served face is the scored scan",
+    "q_pipeline_persist" -> "save/load round-trip runs eagerly; the result is the collected 1-row witness (LocalTableScan)",
+    "q_stream_semantic_dedup" -> "CDC loop runs eagerly (append-only state deltas); the result face reads the verdict sink")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One shared scratch root for every query that writes — sink
   * round-trips, streaming checkpoints, staged materialized views, model
@@ -29,7 +30,10 @@ object Staging {
 
   /** Resolved once per JVM. Precedence: env `GRAFT_STAGING_DIR`, system
     * property `graft.staging.dir`, `/dev/shm/graft` when writable (tmpfs
-    * — RAM speed, cleared on reboot), else `/tmp/graft`. */
+    * — RAM speed, cleared on reboot), else `/tmp/graft`. The chosen root
+    * is validated EAGERLY (created + writability probe) so a bad
+    * override fails here with a clear message instead of surfacing later
+    * as an opaque parquet-commit error. */
   lazy val root: String = {
     val chosen = sys.env.get("GRAFT_STAGING_DIR")
       .orElse(sys.props.get("graft.staging.dir"))
@@ -37,7 +41,11 @@ object Staging {
         val shm = new java.io.File("/dev/shm")
         if (shm.isDirectory && shm.canWrite) "/dev/shm/graft" else "/tmp/graft"
       }
-    new java.io.File(chosen).mkdirs()
+    val f = new java.io.File(chosen)
+    f.mkdirs()
+    require(f.isDirectory && f.canWrite,
+      s"staging root is not a writable directory: $chosen " +
+        "(set GRAFT_STAGING_DIR / -Dgraft.staging.dir to a writable path)")
     chosen
   }
 
@@ -49,10 +57,44 @@ object Staging {
     d.getAbsolutePath
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** A process-unique scratch directory under the staging root — for
+    * artifacts that are written and read back WITHIN one query run
+    * (model save/load round-trips). Unlike [[publishParquet]] paths,
+    * these are never shared across JVMs, so two processes on the same
+    * fixture can never interleave a save with a load. Caller deletes
+    * via [[deleteRecursively]] when done. */
+  def scratchDir(prefix: String): java.io.File = {
+    val d = new java.io.File(dir("scratch"),
+      s"$prefix-${java.util.UUID.randomUUID}")
+    d.mkdirs()
+    d
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
     f.delete()
+  }
+
+  /** Name of the schema sidecar written inside every published
+    * directory. Leading underscore → invisible to Spark's data-file
+    * listing (same convention as `_SUCCESS`/`_metadata`). It makes an
+    * EMPTY publish readable: zero input rows write a parquet directory
+    * with no data files, and a plain `read.parquet` on that throws
+    * `UNABLE_TO_INFER_SCHEMA` — exactly the shape a partition-pruned or
+    * filtered-to-nothing corpus hands the staging layer at scale. */
+  private val SchemaSidecar = "_graft_schema.json"
+
+  private def writeSidecar(dir: java.io.File, schema: StructType): Unit =
+    java.nio.file.Files.write(new java.io.File(dir, SchemaSidecar).toPath,
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readSidecar(dir: java.io.File): Option[StructType] = {
+    val f = new java.io.File(dir, SchemaSidecar)
+    if (!f.isFile) None
+    else Some(DataType.fromJson(new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
   }
 
   /** Write-once parquet staging with ATOMIC publish. First caller per
@@ -63,28 +105,41 @@ object Staging {
     * rename, so `path/_SUCCESS` existing implies the rename — and
     * therefore the whole dataset — is complete. A directory present
     * WITHOUT `_SUCCESS` is a crashed in-place write from an older
-    * layout; it is discarded. */
+    * layout; it is renamed ASIDE (not deleted in place — deleting would
+    * race a concurrent JVM that published between our check and the
+    * delete) and discarded only after our own rename lands. The build's
+    * schema is persisted as a sidecar so the read-back is schema-exact
+    * even when the build produced zero rows (no data files). */
   def publishParquet(s: SparkSession, path: String,
       partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val target = new java.io.File(path)
     val done = new java.io.File(target, "_SUCCESS")
     if (!done.isFile) synchronized {
       if (!done.isFile) {
+        val df = build
         val parent = target.getParentFile
         parent.mkdirs()
         val tmp = new java.io.File(parent,
           s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
-        build.write.mode("overwrite").partitionBy(partitionBy: _*)
+        df.write.mode("overwrite").partitionBy(partitionBy: _*)
           .parquet(tmp.getAbsolutePath)
+        writeSidecar(tmp, df.schema)
         if (!tmp.renameTo(target)) {
+          // rename blocked: either another JVM published first, or a
+          // stale incomplete directory occupies the path. Re-check
+          // _SUCCESS IMMEDIATELY before acting so a concurrent publish
+          // that landed since the outer check is never clobbered.
           if (done.isFile) {
-            // another JVM published while we were building — theirs wins
             deleteRecursively(tmp)
           } else {
-            // stale incomplete directory blocks the rename: replace it
-            deleteRecursively(target)
-            if (!tmp.renameTo(target)) {
+            val aside = new java.io.File(parent,
+              s".${target.getName}.stale-${java.util.UUID.randomUUID}")
+            target.renameTo(aside) // stale junk out of the way, not deleted
+            if (tmp.renameTo(target)) {
+              deleteRecursively(aside)
+            } else {
               deleteRecursively(tmp)
+              deleteRecursively(aside)
               require(done.isFile,
                 s"staging publish lost a race it could not recover at $path")
             }
@@ -92,6 +147,10 @@ object Staging {
         }
       }
     }
-    s.read.parquet(path)
+    readSidecar(target) match {
+      case Some(schema) => s.read.schema(schema).parquet(path)
+      // pre-sidecar published directory (older layout): infer as before
+      case None => s.read.parquet(path)
+    }
   }
 }

@@ -686,28 +686,54 @@ object DedupQueriesImpl {
         new SemanticDeduper().setMinCos(0.8)
           .setCentroids(IvfOracle.pinnedCentroids)))
 
-      val root = graft.Staging.dir("pipeline_persist")
-      val docPath = s"$root/doc_${graft.Fixtures.key(dir, "documents.parquet")}"
-      val semPath = s"$root/sem_${graft.Fixtures.key(dir, "embeddings.parquet")}"
-      val docModel = docPipe.fit(docs)
-      val semModel = semPipe.fit(corpus)
-      docModel.write.overwrite().save(docPath)
-      semModel.write.overwrite().save(semPath)
-      val docLoaded = org.apache.spark.ml.PipelineModel.load(docPath)
-      val semLoaded = org.apache.spark.ml.PipelineModel.load(semPath)
-
+      // Save/load paths are PROCESS-UNIQUE scratch (deleted on exit):
+      // the round-trip is written and read back within this one run, so
+      // two JVMs on the same fixture can never interleave a save with a
+      // load — unlike a fixed shared path, which had exactly that race.
+      val scratch = graft.Staging.scratchDir("pipeline_persist")
+      // COALESCE on the averaged/summed witnesses: on an empty corpus
+      // (partition-pruned read) the aggregates are NULL and the scalar
+      // extraction below would throw; on any non-empty corpus the
+      // coalesce is a no-op, so the oracle is unchanged.
       def docAgg(out: org.apache.spark.sql.DataFrame) = out.agg(
         count(lit(1)).as("n_docs"),
-        round(avg(size(graft.functions.TextFunctions.tokens(col("text")))), 4).as("avg_tokens"),
-        round(avg(col("quality")), 4).as("avg_quality"))
+        round(coalesce(avg(size(graft.functions.TextFunctions.tokens(col("text")))),
+          lit(0d)), 4).as("avg_tokens"),
+        round(coalesce(avg(col("quality")), lit(0d)), 4).as("avg_quality"))
       def semAgg(out: org.apache.spark.sql.DataFrame) = out.agg(
         count(lit(1)).as("sem_n_kept"),
-        sum(col("vec_id")).as("sem_sum_ids"))
+        coalesce(sum(col("vec_id")), lit(0L)).as("sem_sum_ids"))
 
-      val Array(dFresh) = docAgg(docModel.transform(docs)).collect()
-      val Array(dLoad) = docAgg(docLoaded.transform(docs)).collect()
-      val Array(sFresh) = semAgg(semModel.transform(corpus)).collect()
-      val Array(sLoad) = semAgg(semLoaded.transform(corpus)).collect()
+      // The doc and sem sides are independent (different pipelines,
+      // different corpora), and within a side the fresh/loaded transforms
+      // are independent too — run all four aggregate passes concurrently
+      // so the round-trip contract costs one pass of wall, not four.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (dFresh, dLoad, sFresh, sLoad) = try {
+        val docSide = Future {
+          val docModel = docPipe.fit(docs)
+          val docPath = s"$scratch/doc"
+          docModel.write.overwrite().save(docPath)
+          val docLoaded = org.apache.spark.ml.PipelineModel.load(docPath)
+          val both = Seq(docModel, docLoaded).map(m =>
+            Future(docAgg(m.transform(docs)).collect()(0)))
+          both.map(Await.result(_, Duration.Inf))
+        }
+        val semSide = Future {
+          val semModel = semPipe.fit(corpus)
+          val semPath = s"$scratch/sem"
+          semModel.write.overwrite().save(semPath)
+          val semLoaded = org.apache.spark.ml.PipelineModel.load(semPath)
+          val both = Seq(semModel, semLoaded).map(m =>
+            Future(semAgg(m.transform(corpus)).collect()(0)))
+          both.map(Await.result(_, Duration.Inf))
+        }
+        val Seq(df0, dl0) = Await.result(docSide, Duration.Inf)
+        val Seq(sf0, sl0) = Await.result(semSide, Duration.Inf)
+        (df0, dl0, sf0, sl0)
+      } finally graft.Staging.deleteRecursively(scratch)
       s.createDataFrame(Seq((
           dFresh.getLong(0), dFresh.getDouble(1), dFresh.getDouble(2),
           dFresh == dLoad,

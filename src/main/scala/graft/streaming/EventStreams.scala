@@ -257,13 +257,17 @@ object EventStreams {
     * micro-batch of arriving embeddings is screened against the frozen
     * quantizer's corpus STATE (base corpus ∪ all docs accepted by
     * earlier batches), verdicts land in an append sink, and the accepted
-    * docs are merged into the next state snapshot — so a doc accepted in
-    * batch 0 catches its near-dup arriving in batch 2, the verdict only
-    * the CDC composition produces. The corpus never self-joins; per
-    * batch, cost is |batch|·E[cell occupancy] like the one-shot
-    * incremental tier, and state evolution is snapshot-versioned exactly
-    * like [[mergeToSnapshot]] (at scale: a table format with commit
-    * atomicity instead of versioned dirs).
+    * docs are APPENDED as a per-batch delta under the state dir — so a
+    * doc accepted in batch 0 catches its near-dup arriving in batch 2,
+    * the verdict only the CDC composition produces. The corpus never
+    * self-joins; per batch, cost is |batch|·E[cell occupancy] like the
+    * one-shot incremental tier. State is append-only BY CONSTRUCTION —
+    * accepted docs are purely additive, so each batch writes O(accepted)
+    * delta rows and the state read is base + deltas; rewriting
+    * base ∪ accepted per batch (the [[mergeToSnapshot]] recipe, which
+    * MUTATES rows and genuinely needs a snapshot) would recopy the whole
+    * corpus every micro-batch — fatal at 100 TB. At scale the delta dirs
+    * map to append commits on a table format (atomic manifest swap).
     *
     * The arriving stream is a 4-file parquet source (maxFilesPerTrigger
     * = 1, mtimes forced so arrival order is deterministic) planted with
@@ -296,7 +300,7 @@ object EventStreams {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
-    e.select(col("vec_id"), col("embedding")).write.parquet(s"$stateDir/v0")
+    e.select(col("vec_id"), col("embedding")).write.parquet(s"$stateDir/base")
 
     // plant the four arrival batches (same arithmetic as the oracle)
     val v = col("embedding")
@@ -324,30 +328,38 @@ object EventStreams {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       // forced, strictly increasing mtimes: the file source processes
       // oldest-first, so arrival order — and the batch replay — is
-      // deterministic
-      dst.setLastModified(t0 + i * 2000L)
+      // deterministic. Fail LOUDLY if the filesystem refuses: silent
+      // failure would surface later as a confusing oracle mismatch.
+      require(dst.setLastModified(t0 + i * 2000L),
+        s"cannot set mtime on $dst — filesystem does not support " +
+          "setLastModified; deterministic arrival order is unavailable here")
       deleteRec(tmp)
     }
 
-    val current = new java.util.concurrent.atomic.AtomicReference[String](s"$stateDir/v0")
+    // append-only state: base corpus + one delta dir per batch. Reads
+    // use the explicit doc schema, so a delta whose batch accepted
+    // nothing (parquet dir with no data files) is still readable.
+    val statePaths = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    statePaths.add(s"$stateDir/base")
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.getAbsolutePath)
       .writeStream
       .option("checkpointLocation", ckDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val corpusNow = spark.read.schema(docSchema).parquet(current.get)
+        import scala.jdk.CollectionConverters._
+        val corpusNow = spark.read.schema(docSchema)
+          .parquet(statePaths.asScala.toSeq: _*)
         val verdicts = graft.operators.Similarity.semanticDedupIncremental(
             corpusNow, batch, "vec_id", "embedding", centroids, minCos)
           .withColumn("batch_id", lit(batchId).cast("int"))
-          .localCheckpoint(true) // two consumers: sink append + accept merge
+          .localCheckpoint(true) // two consumers: sink append + accept delta
         verdicts.write.mode("append").parquet(outDir)
         val accepted = batch.join(
           verdicts.where(!col("is_dup")).select(col("vid").as("vec_id")), "vec_id")
-        val next = s"$stateDir/v${batchId + 1}"
-        corpusNow.unionByName(accepted.select(col("vec_id"), col("embedding")))
-          .write.parquet(next)
-        current.set(next)
+        val delta = s"$stateDir/delta_$batchId"
+        accepted.select(col("vec_id"), col("embedding")).write.parquet(delta)
+        statePaths.add(delta)
         ()
       }
       .start()

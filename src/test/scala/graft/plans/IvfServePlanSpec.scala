@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.queries.IvfOracle
+
+/** The split build/serve IVF contract, exercised DIRECTLY (round-9's
+  * only coverage was through the composed query path):
+  *
+  *  1. build [[Similarity.ivfIndex]] into a cell-partitioned staging
+  *     table, reload it COLD, probe with [[Similarity.ivfProbe]] — the
+  *     result must equal the inline [[Similarity.ivfTopKPinned]] path
+  *     bit-for-bit;
+  *  2. the serve plan over the partitioned table must carry a DYNAMIC
+  *     PARTITION PRUNING filter on the index scan (the 100 TB property:
+  *     a probe touches nProbe/nCells of the files) and no assignment
+  *     pass over raw corpus vectors;
+  *  3. an EMPTY corpus publishes a readable index (the round-9
+  *     `UNABLE_TO_INFER_SCHEMA` regression: zero rows → no data files →
+  *     schema comes from the staging sidecar).
+  */
+class IvfServePlanSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def corpus = graft.Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding"))
+  private def queries = corpus.where(col("vec_id") < 10)
+  private val cents = IvfOracle.pinnedCentroids
+
+  /** The staged index for THIS spec: its own subdir so the spec never
+    * races or reuses the query path's staged table. */
+  private lazy val stagedIndex = {
+    val path = s"${graft.Staging.dir("ivf_spec")}/v1/${java.util.UUID.randomUUID}"
+    graft.Staging.publishParquet(spark, path, partitionBy = Seq("cell")) {
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", cents)
+    }
+  }
+
+  test("cold-reloaded staged index probes identically to the inline path") {
+    val inline = Similarity.ivfTopKPinned(corpus, queries, "vec_id",
+      "embedding", 5, cents).orderBy(col("qid"), col("rank")).collect()
+    val staged = Similarity.ivfProbe(stagedIndex, queries, "vec_id",
+      "embedding", 5, cents).orderBy(col("qid"), col("rank")).collect()
+    assert(inline.nonEmpty)
+    assert(staged.toSeq == inline.toSeq)
+  }
+
+  test("serve plan has dynamic partition pruning on the index scan, no assignment pass") {
+    val probe = Similarity.ivfProbe(stagedIndex, queries, "vec_id",
+      "embedding", 5, cents)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruningexpression"),
+      s"index scan lost its DPP filter:\n${plan.take(2000)}")
+    // exactly TWO parquet scans in the MAIN plan: the staged index and
+    // the query slice. A second embeddings scan there would be a
+    // re-assignment pass over raw corpus vectors — the build/serve
+    // split's whole point is that the serve path never pays it. (The
+    // DPP subquery section re-lists the query-side scan; that is the
+    // pruning filter build, not a corpus pass.)
+    val mainPlan = plan.split("Subquery:", 2)(0)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(mainPlan).size
+    assert(scans == 2,
+      s"expected 2 parquet scans (staged index + queries), got $scans:\n${plan.take(2000)}")
+  }
+
+  test("empty corpus publishes a readable, schema-exact index (r9 regression)") {
+    val path = s"${graft.Staging.dir("ivf_spec")}/empty/${java.util.UUID.randomUUID}"
+    val empty = graft.Staging.publishParquet(spark, path, partitionBy = Seq("cell")) {
+      Similarity.ivfIndex(corpus.limit(0), "vec_id", "embedding", cents)
+    }
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("vid", "cvec", "cell"))
+    val probed = Similarity.ivfProbe(empty, queries, "vec_id", "embedding", 5, cents)
+    assert(probed.count() == 0)
+  }
+}

@@ -296,6 +296,23 @@ class PlanSpec extends AnyFunSuite {
       "the corpus must never cross-join the batch:\n" + p.take(1500))
   }
 
+  test("q_sim_topk_ivf: the serve plan probes the STAGED index under dynamic " +
+      "partition pruning, with no assignment pass over raw corpus vectors") {
+    val p = plan("q_sim_topk_ivf")
+    assert(p.contains("dynamicpruningexpression"),
+      "the cell-partitioned index scan lost its DPP filter — a probe would " +
+        "read every cell's files:\n" + p.take(2000))
+    // exactly two parquet scans in the MAIN plan: the staged index + the
+    // query slice. A third would be a re-assignment pass over raw corpus
+    // vectors — the build/serve split's whole point is that serve never
+    // pays it. (The DPP subquery section re-lists the query-side scan;
+    // that's the pruning filter build, not a corpus pass.)
+    val mainPlan = p.split("Subquery:", 2)(0)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(mainPlan).size
+    assert(scans == 2,
+      s"expected 2 parquet scans (index + queries), got $scans:\n" + p.take(2000))
+  }
+
   test("q_split_leakage_free: the component table broadcasts onto the doc scan") {
     val p = plan("q_split_leakage_free")
     assert(p.contains("BroadcastHashJoin"),

@@ -25,6 +25,9 @@ class RobustnessSpec extends AnyFunSuite {
     "q_ml_train_predict_dist" -> "distributed fit on zero rows is undefined",
     "q_ml_train_predict_barrier" -> "barrier fit on zero rows is undefined",
     "q_ml_train_predict_scale" -> "distributed fit on zero rows is undefined",
+    "q_ml_train_predict_ext" -> "external-storage fit on zero rows is undefined (reference raises too)",
+    "q_ml_early_stop" -> "early stopping needs a non-empty validation set to score rounds",
+    "q_ml_warm_start" -> "warm-start fit on zero rows is undefined (no rounds to continue from)",
     "q_s9_collect_scalar" -> "driver-collected scalar's contract is a non-empty lookup",
     "q_drift_detect" -> "drift against an empty side is undefined; histogramDrift fails loudly by contract"
   )

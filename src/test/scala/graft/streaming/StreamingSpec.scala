@@ -57,8 +57,11 @@ class StreamingSpec extends AnyFunSuite {
     // DECIMAL merge chain: the end state is EXACTLY the one-pass result
     assert(merged.sameElements(batch))
     // the stream actually advanced the snapshot past the seeded v0
+    // (snap dirs live under the shared staging root since the r9 move)
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val versions = new java.io.File(s"/tmp/graft_stream_merge/$key/snap").list()
+    val versions =
+      new java.io.File(s"${graft.Staging.dir("stream_merge")}/$key/snap").list()
+    assert(versions != null, "merge-sink snap dir missing under the staging root")
     assert(versions.exists(_ != "v0"), s"no merged snapshot version: ${versions.mkString(",")}")
   }
 
