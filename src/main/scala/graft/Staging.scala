@@ -29,17 +29,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object Staging {
 
   /** Resolved once per JVM. Precedence: env `GRAFT_STAGING_DIR`, system
-    * property `graft.staging.dir`, `/dev/shm/graft` when writable (tmpfs
-    * — RAM speed, cleared on reboot), else `/tmp/graft`. The chosen root
-    * is validated EAGERLY (created + writability probe) so a bad
-    * override fails here with a clear message instead of surfacing later
-    * as an opaque parquet-commit error. */
+    * property `graft.staging.dir`, `/dev/shm/graft-<user>` when writable
+    * AND roomy (tmpfs — RAM speed, cleared on reboot; tmpfs defaults to
+    * half RAM, so large fixtures fall back to disk rather than ENOSPC
+    * mid-write), else `/tmp/graft-<user>`. The per-user suffix keeps the
+    * path unpredictable-enough in the world-writable parents while still
+    * shared across this user's JVMs (the cross-JVM publish contract).
+    * The chosen root is validated EAGERLY (created + writability probe)
+    * so a bad override fails here with a clear message instead of
+    * surfacing later as an opaque parquet-commit error. */
   lazy val root: String = {
+    val user = sys.props.getOrElse("user.name", "anon")
     val chosen = sys.env.get("GRAFT_STAGING_DIR")
       .orElse(sys.props.get("graft.staging.dir"))
       .getOrElse {
         val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.canWrite) "/dev/shm/graft" else "/tmp/graft"
+        val minFree = 8L * 1024 * 1024 * 1024
+        if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minFree)
+          s"/dev/shm/graft-$user"
+        else s"/tmp/graft-$user"
       }
     val f = new java.io.File(chosen)
     f.mkdirs()
