@@ -9,8 +9,39 @@ import org.apache.spark.sql.SparkSession
   * classes, and warms Spark's parquet/footer and broadcast machinery, so
   * the timed numbers measure steady-state query execution (what a
   * long-running 100 TB cluster job sees), not one-time JVM warmup.
+  *
+  * A NOISE SENTINEL brackets the timed suite: the same fixed
+  * single-threaded in-memory loop (no Spark, no I/O, no allocation) is
+  * timed immediately before and after the queries and emitted as
+  * `calib_pre_sec` / `calib_post_sec` in both JSON lines. The loop's
+  * cost is a property of one idle core, so on an uncontended box it is
+  * a near-constant (~0.4 s here; interpretation documented in
+  * BASELINE.md) — a calibration reading several times its historical
+  * value means the box was contended and the suite total is
+  * contaminated, not regressed. Round 10's driver bench recorded a 2.6×
+  * phantom regression that only a same-commit re-run could disprove;
+  * the sentinel makes that condition machine-readable in the record.
   */
 object Bench {
+  /** The fixed calibration workload: 4·10⁸ xorshift64 steps on one
+    * thread. The serial dependency chain makes the wall time track
+    * cycles actually delivered to this thread — exactly what box
+    * contention steals. The accumulator is observed so the loop cannot
+    * be dead-code-eliminated. */
+  private[graft] def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < 400000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    if (acc == 42L) print("") // observe acc: defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,6 +72,8 @@ object Bench {
       }
     }
 
+    val calibPre = calibrate()
+
     // best-of-2 per query: the box hosts other work, and the minimum of
     // repeated runs is the standard robust estimator of noise-free cost.
     // A failing query records an explicit "err" marker — a swallowed
@@ -68,11 +101,14 @@ object Bench {
       val ok = runs.collect { case Right(t) => t }
       name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
     }
+    val calibPost = calibrate()
+
     // A SPARK_GRAFT_ONLY probe is a PARTIAL run: mark both JSON lines
     // filtered:true and write the detail to a probe-specific file, so a
     // filtered total can never be misread as a full-suite number and a
     // probe never overwrites the full-suite BENCH_DETAIL.json.
-    val (fullLine, compactLine) = lines(results, sfDir, filtered = only.isDefined)
+    val (fullLine, compactLine) = lines(results, sfDir, filtered = only.isDefined,
+      calib = Some((calibPre, calibPost)))
     val detailPath =
       if (only.isDefined) "BENCH_DETAIL_PROBE.json" else "BENCH_DETAIL.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -111,7 +147,8 @@ object Bench {
     * regardless of suite size (BenchLineSpec pins this). */
   private[graft] def lines(
       results: Map[String, Either[String, Double]], sfDir: String,
-      filtered: Boolean = false): (String, String) = {
+      filtered: Boolean = false,
+      calib: Option[(Double, Double)] = None): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -125,8 +162,14 @@ object Bench {
     val total = results.values.collect { case Right(v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.size}"""
     val filteredField = if (filtered) ""","filtered":true""" else ""
+    // noise sentinel (see object doc): same fixed loop timed before and
+    // after the suite; goes in BOTH lines so the compact stdout record
+    // the driver keeps is self-diagnosing about box contention.
+    val calibField = calib.fold("") { case (pre, post) =>
+      s""","calib_pre_sec":${fmt(pre)},"calib_post_sec":${fmt(post)}"""
+    }
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
     // 500-byte queries map keeps the whole line ≤ ~750 B, so emitBlock's
@@ -141,7 +184,7 @@ object Bench {
     }
     val detail = if (filtered) "BENCH_DETAIL_PROBE.json" else "BENCH_DETAIL.json"
     val compactLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField$filteredField,"sf":"$sfDir","detail":"$detail"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField$filteredField$calibField,"sf":"$sfDir","detail":"$detail"}"""
     (fullLine, compactLine)
   }
 }

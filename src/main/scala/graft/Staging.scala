@@ -32,29 +32,59 @@ object Staging {
     * property `graft.staging.dir`, `/dev/shm/graft-<user>` when writable
     * AND roomy (tmpfs — RAM speed, cleared on reboot; tmpfs defaults to
     * half RAM, so large fixtures fall back to disk rather than ENOSPC
-    * mid-write), else `/tmp/graft-<user>`. The per-user suffix keeps the
-    * path unpredictable-enough in the world-writable parents while still
-    * shared across this user's JVMs (the cross-JVM publish contract).
-    * The chosen root is validated EAGERLY (created + writability probe)
-    * so a bad override fails here with a clear message instead of
-    * surfacing later as an opaque parquet-commit error. */
+    * mid-write), else `/tmp/graft-<user>`. The chosen root is validated
+    * EAGERLY (created + writability probe) so a bad override fails here
+    * with a clear message instead of surfacing later as an opaque
+    * parquet-commit error.
+    *
+    * The default fixed paths sit inside world-writable sticky parents
+    * (/dev/shm, /tmp) and are fully PREDICTABLE, so another local user
+    * can pre-create them mode 0777 — and staged parquet is later read
+    * back as trusted query results. Defense: after mkdirs, the
+    * directory must be OWNED by the current user (a pre-created foreign
+    * dir fails this — mkdirs on an existing dir doesn't change its
+    * owner) and is closed to group/world (0700). On an ownership
+    * mismatch the JVM falls back to a private `createTempDirectory`
+    * 0700 root: cross-JVM sharing is lost but no foreign-writable path
+    * is ever trusted. Explicit overrides are used as given — the
+    * operator who sets a path owns its permissions. */
   lazy val root: String = {
     val user = sys.props.getOrElse("user.name", "anon")
-    val chosen = sys.env.get("GRAFT_STAGING_DIR")
+    val override_ = sys.env.get("GRAFT_STAGING_DIR")
       .orElse(sys.props.get("graft.staging.dir"))
-      .getOrElse {
-        val shm = new java.io.File("/dev/shm")
-        val minFree = 8L * 1024 * 1024 * 1024
-        if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minFree)
-          s"/dev/shm/graft-$user"
-        else s"/tmp/graft-$user"
-      }
+    val chosen = override_.getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      val minFree = 8L * 1024 * 1024 * 1024
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minFree)
+        s"/dev/shm/graft-$user"
+      else s"/tmp/graft-$user"
+    }
     val f = new java.io.File(chosen)
     f.mkdirs()
     require(f.isDirectory && f.canWrite,
       s"staging root is not a writable directory: $chosen " +
         "(set GRAFT_STAGING_DIR / -Dgraft.staging.dir to a writable path)")
-    chosen
+    if (override_.isDefined) chosen
+    else {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.PosixFilePermissions
+      val p = Paths.get(chosen)
+      val owned =
+        try Files.getOwner(p).getName == user
+        catch { case _: UnsupportedOperationException => true } // non-POSIX fs
+      if (owned) {
+        try Files.setPosixFilePermissions(p,
+          PosixFilePermissions.fromString("rwx------"))
+        catch { case _: UnsupportedOperationException => () }
+        chosen
+      } else {
+        val priv = Files.createTempDirectory("graft-",
+          PosixFilePermissions.asFileAttribute(
+            PosixFilePermissions.fromString("rwx------")))
+        priv.toFile.deleteOnExit()
+        priv.toString
+      }
+    }
   }
 
   /** A subdirectory under the staging root, created eagerly so the
@@ -76,6 +106,37 @@ object Staging {
       s"$prefix-${java.util.UUID.randomUUID}")
     d.mkdirs()
     d
+  }
+
+  /** A per-JVM scratch NAMESPACE under the staging root — for scratch
+    * that a query wipes and rebuilds on every run (sink round-trip
+    * outputs, streaming state/checkpoints). These used to live at fixed
+    * shared paths, which made two JVMs benching the same query race
+    * delete-against-read: the round-10 100× full-suite run crashed in
+    * exactly that window (`q_sink_custom_write`'s clear-first step in
+    * one JVM emptied the `part-*.jsonl` glob another JVM was
+    * resolving). Keying by JVM pid + start-time makes concurrent
+    * processes disjoint while staying STABLE within a JVM (best-of-2
+    * bench reruns reuse one path instead of accumulating a dir per
+    * call); a shutdown hook removes the whole namespace so repeated
+    * runs don't strand scratch on tmpfs. Shared STAGED FIXTURES
+    * (read-only once built) stay under [[dir]] + [[publishParquet]],
+    * whose file lock makes cross-JVM sharing safe — the split is
+    * mutate-per-run ⇒ per-JVM, build-once-read-many ⇒ shared. */
+  lazy val jvmRoot: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val d = new java.io.File(dir("jvm"),
+      s"p${ProcessHandle.current().pid()}-t${rt.getStartTime}")
+    d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(d), "graft-scratch-cleanup"))
+    d.getAbsolutePath
+  }
+
+  def jvmDir(sub: String): String = {
+    val d = new java.io.File(jvmRoot, sub)
+    d.mkdirs()
+    d.getAbsolutePath
   }
 
   def deleteRecursively(f: java.io.File): Unit = {
@@ -111,11 +172,20 @@ object Staging {
     * cross-JVM race) reads the published directory. `_SUCCESS` inside a
     * published directory is written by Spark's committer before the
     * rename, so `path/_SUCCESS` existing implies the rename — and
-    * therefore the whole dataset — is complete. A directory present
-    * WITHOUT `_SUCCESS` is a crashed in-place write from an older
-    * layout; it is renamed ASIDE (not deleted in place — deleting would
-    * race a concurrent JVM that published between our check and the
-    * delete) and discarded only after our own rename lands. The build's
+    * therefore the whole dataset — is complete.
+    *
+    * Cross-JVM races are excluded by an OS FILE LOCK on
+    * `<parent>/.<name>.lock`, held for the whole check-build-rename
+    * sequence (in-JVM threads are serialized by the `synchronized`
+    * outside it — `FileLock` is not reentrant within a JVM). The
+    * earlier lock-free recovery re-checked `_SUCCESS` and renamed a
+    * stale directory aside, but had an unfixable TOCTOU window: a
+    * concurrent publish landing between the re-check and the rename
+    * would be swapped aside and deleted under that JVM's readers. Under
+    * the lock no concurrent publish can land at all, so a directory
+    * found at the path WITHOUT `_SUCCESS` is always a crashed in-place
+    * write from a pre-lock layout — never live data — and can safely be
+    * renamed aside and discarded after our rename lands. The build's
     * schema is persisted as a sidecar so the read-back is schema-exact
     * even when the build produced zero rows (no data files). */
   def publishParquet(s: SparkSession, path: String,
@@ -124,34 +194,38 @@ object Staging {
     val done = new java.io.File(target, "_SUCCESS")
     if (!done.isFile) synchronized {
       if (!done.isFile) {
-        val df = build
         val parent = target.getParentFile
         parent.mkdirs()
-        val tmp = new java.io.File(parent,
-          s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
-        df.write.mode("overwrite").partitionBy(partitionBy: _*)
-          .parquet(tmp.getAbsolutePath)
-        writeSidecar(tmp, df.schema)
-        if (!tmp.renameTo(target)) {
-          // rename blocked: either another JVM published first, or a
-          // stale incomplete directory occupies the path. Re-check
-          // _SUCCESS IMMEDIATELY before acting so a concurrent publish
-          // that landed since the outer check is never clobbered.
-          if (done.isFile) {
-            deleteRecursively(tmp)
-          } else {
-            val aside = new java.io.File(parent,
-              s".${target.getName}.stale-${java.util.UUID.randomUUID}")
-            target.renameTo(aside) // stale junk out of the way, not deleted
-            if (tmp.renameTo(target)) {
+        val lockCh = java.nio.channels.FileChannel.open(
+          new java.io.File(parent, s".${target.getName}.lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = lockCh.lock()
+        try {
+          // the winner of the lock race may have published while we
+          // queued: the locked re-check makes this JVM a plain reader
+          if (!done.isFile) {
+            val df = build
+            val tmp = new java.io.File(parent,
+              s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
+            df.write.mode("overwrite").partitionBy(partitionBy: _*)
+              .parquet(tmp.getAbsolutePath)
+            writeSidecar(tmp, df.schema)
+            if (!tmp.renameTo(target)) {
+              // occupied by a crashed pre-lock in-place write (no
+              // _SUCCESS; a complete publish is impossible here — every
+              // publisher holds the lock): move it aside, land ours.
+              val aside = new java.io.File(parent,
+                s".${target.getName}.stale-${java.util.UUID.randomUUID}")
+              target.renameTo(aside)
+              require(tmp.renameTo(target),
+                s"staging publish cannot rename into $path (filesystem refuses both direct and aside-cleared rename)")
               deleteRecursively(aside)
-            } else {
-              deleteRecursively(tmp)
-              deleteRecursively(aside)
-              require(done.isFile,
-                s"staging publish lost a race it could not recover at $path")
             }
           }
+        } finally {
+          lock.release()
+          lockCh.close()
         }
       }
     }

@@ -708,7 +708,18 @@ object DedupQueriesImpl {
       // different corpora), and within a side the fresh/loaded transforms
       // are independent too — run all four aggregate passes concurrently
       // so the round-trip contract costs one pass of wall, not four.
-      import scala.concurrent.{Await, Future}
+      // The inner Awaits run INSIDE Futures on the global pool, so each
+      // is explicitly wrapped in blocking{}: the global ForkJoinPool's
+      // managed-blocker protocol spawns a compensating thread for a
+      // declared block, which is what keeps N simultaneous pool-thread
+      // awaiters from parking every worker and deadlocking the futures
+      // they wait for. (Await.result itself routes through
+      // BlockContext.blockOn, but that is an implementation detail of
+      // the stdlib — the explicit marker makes the requirement visible
+      // and survives a refactor to e.g. Thread.sleep-style polling.)
+      // Safe at 2 outer + 4 inner futures on a 32-thread pool either
+      // way; the marker is for whoever copies this with wider fan-out.
+      import scala.concurrent.{blocking, Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val (dFresh, dLoad, sFresh, sLoad) = try {
@@ -719,7 +730,7 @@ object DedupQueriesImpl {
           val docLoaded = org.apache.spark.ml.PipelineModel.load(docPath)
           val both = Seq(docModel, docLoaded).map(m =>
             Future(docAgg(m.transform(docs)).collect()(0)))
-          both.map(Await.result(_, Duration.Inf))
+          both.map(f => blocking(Await.result(f, Duration.Inf)))
         }
         val semSide = Future {
           val semModel = semPipe.fit(corpus)
@@ -728,7 +739,7 @@ object DedupQueriesImpl {
           val semLoaded = org.apache.spark.ml.PipelineModel.load(semPath)
           val both = Seq(semModel, semLoaded).map(m =>
             Future(semAgg(m.transform(corpus)).collect()(0)))
-          both.map(Await.result(_, Duration.Inf))
+          both.map(f => blocking(Await.result(f, Duration.Inf)))
         }
         val Seq(df0, dl0) = Await.result(docSide, Duration.Inf)
         val Seq(sf0, sl0) = Await.result(semSide, Duration.Inf)

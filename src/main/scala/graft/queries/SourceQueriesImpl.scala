@@ -13,7 +13,10 @@ import graft.Tables
   */
 object SourceQueriesImpl {
 
-  private val sinkRoot = graft.Staging.dir("sink")
+  // per-JVM: every sink query clears-then-rewrites its output dir, so a
+  // shared fixed path let two concurrent bench JVMs race delete-vs-read
+  // (the round-10 100× run died resolving an emptied part-*.jsonl glob)
+  private lazy val sinkRoot = graft.Staging.jvmDir("sink")
 
   /** CSV sink+source (header, explicit schema on read). */
   val csvRoundtrip = Q(

@@ -187,7 +187,9 @@ object EventStreams {
     * is one key shuffle per batch, sized by the batch not the history. */
   def mergeToSnapshot(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val root = new java.io.File(s"${graft.Staging.dir("stream_merge")}/$key")
+    // jvmDir: wiped-per-run snapshots — see Staging.jvmRoot for why
+    // mutate-per-run scratch is process-unique
+    val root = new java.io.File(s"${graft.Staging.jvmDir("stream_merge")}/$key")
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete()
@@ -266,8 +268,13 @@ object EventStreams {
     * delta rows and the state read is base + deltas; rewriting
     * base ∪ accepted per batch (the [[mergeToSnapshot]] recipe, which
     * MUTATES rows and genuinely needs a snapshot) would recopy the whole
-    * corpus every micro-batch — fatal at 100 TB. At scale the delta dirs
-    * map to append commits on a table format (atomic manifest swap).
+    * corpus every micro-batch — fatal at 100 TB. Both the per-batch
+    * delta and the per-batch sink partition are written with overwrite
+    * keyed by batchId and discovered by listing, so a checkpoint-
+    * replayed batch (foreachBatch is at-least-once) reproduces itself
+    * instead of crashing or double-counting; at scale the delta dirs
+    * map to append commits on a table format (atomic manifest swap)
+    * with the same replay-idempotency contract.
     *
     * The arriving stream is a 4-file parquet source (maxFilesPerTrigger
     * = 1, mtimes forced so arrival order is deterministic) planted with
@@ -280,7 +287,9 @@ object EventStreams {
   def semanticDedupStream(spark: SparkSession, sfDir: String,
       centroids: Array[Array[Double]], minCos: Double): DataFrame = withStatePartitions(spark, 8) {
     val key = graft.Fixtures.key(sfDir, "embeddings.parquet")
-    val root = new java.io.File(s"${graft.Staging.dir("stream_semded")}/$key")
+    // jvmDir: wiped-per-run state — a shared path would let a second
+    // JVM's wipe race this one's base+delta reads (see Staging.jvmRoot)
+    val root = new java.io.File(s"${graft.Staging.jvmDir("stream_semded")}/$key")
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete()
@@ -336,30 +345,44 @@ object EventStreams {
       deleteRec(tmp)
     }
 
-    // append-only state: base corpus + one delta dir per batch. Reads
-    // use the explicit doc schema, so a delta whose batch accepted
-    // nothing (parquet dir with no data files) is still readable.
-    val statePaths = new java.util.concurrent.CopyOnWriteArrayList[String]()
-    statePaths.add(s"$stateDir/base")
+    // append-only state: base corpus + one delta dir per batch, written
+    // IDEMPOTENTLY (overwrite keyed by batchId) and DISCOVERED by
+    // listing at read time. foreachBatch is at-least-once on restart: a
+    // checkpoint-replayed batch b re-reads exactly base + delta_0..b-1
+    // (its own half-written delta_b from the failed attempt is excluded
+    // by the `< b` filter and then overwritten), so replay reproduces
+    // the original verdicts instead of crashing on an existing dir or
+    // double-counting state — no in-memory path list to lose on
+    // restart. Reads use the explicit doc schema, so a delta whose
+    // batch accepted nothing (parquet dir with no data files) is still
+    // readable.
+    def deltasBefore(b: Long): Seq[String] = {
+      val kids = new java.io.File(stateDir).listFiles()
+      if (kids == null) Nil
+      else kids.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("delta_"))
+        .map(f => (f.getName.stripPrefix("delta_").toLong, f.getAbsolutePath))
+        .filter(_._1 < b).sortBy(_._1).map(_._2)
+    }
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.getAbsolutePath)
       .writeStream
       .option("checkpointLocation", ckDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import scala.jdk.CollectionConverters._
         val corpusNow = spark.read.schema(docSchema)
-          .parquet(statePaths.asScala.toSeq: _*)
+          .parquet((s"$stateDir/base" +: deltasBefore(batchId)): _*)
         val verdicts = graft.operators.Similarity.semanticDedupIncremental(
             corpusNow, batch, "vec_id", "embedding", centroids, minCos)
-          .withColumn("batch_id", lit(batchId).cast("int"))
-          .localCheckpoint(true) // two consumers: sink append + accept delta
-        verdicts.write.mode("append").parquet(outDir)
+          .localCheckpoint(true) // two consumers: sink write + accept delta
+        // hive-style batch_id=<b> output dir: the sink write is also
+        // idempotent under replay (overwrite replaces only this batch's
+        // partition), and partition discovery restores batch_id on read
+        verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         val accepted = batch.join(
           verdicts.where(!col("is_dup")).select(col("vid").as("vec_id")), "vec_id")
-        val delta = s"$stateDir/delta_$batchId"
-        accepted.select(col("vec_id"), col("embedding")).write.parquet(delta)
-        statePaths.add(delta)
+        accepted.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$stateDir/delta_$batchId")
         ()
       }
       .start()

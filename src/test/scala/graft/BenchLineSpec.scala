@@ -59,6 +59,23 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("noise-sentinel calibration lands in both lines and keeps the size budget") {
+    val (full, compact) = Bench.lines(results(200), "/x", calib = Some((0.412, 1.337)))
+    for (l <- Seq(full, compact)) {
+      assert(l.contains("\"calib_pre_sec\":0.412"), l.take(200))
+      assert(l.contains("\"calib_post_sec\":1.337"), l.take(200))
+    }
+    assert(compact.length < 800, s"calib fields pushed compact line to ${compact.length} bytes")
+    // omitted when not measured (pure lines() callers like this spec)
+    val (fullNo, compactNo) = Bench.lines(results(3), "/x")
+    assert(!fullNo.contains("calib") && !compactNo.contains("calib"))
+    // the workload is fixed and sub-second-scale on an idle core: two
+    // back-to-back measurements on this box must agree within 3x — the
+    // same ratio test BASELINE.md prescribes for contamination flagging
+    val (a, b) = (Bench.calibrate(), Bench.calibrate())
+    assert(a > 0 && b > 0 && a / b < 3 && b / a < 3, s"calibration unstable: $a vs $b")
+  }
+
   test("full line carries every query and the error marker form") {
     val rs = results(73) + ("q_broken" -> (Left("Boom: it \"failed\"\nbadly"): Either[String, Double]))
     val (full, compact) = Bench.lines(rs, "/x")

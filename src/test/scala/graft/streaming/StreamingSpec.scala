@@ -57,10 +57,11 @@ class StreamingSpec extends AnyFunSuite {
     // DECIMAL merge chain: the end state is EXACTLY the one-pass result
     assert(merged.sameElements(batch))
     // the stream actually advanced the snapshot past the seeded v0
-    // (snap dirs live under the shared staging root since the r9 move)
+    // (snap dirs live under the per-JVM staging namespace since the
+    // r11 scratch isolation — stable within this JVM, so visible here)
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val versions =
-      new java.io.File(s"${graft.Staging.dir("stream_merge")}/$key/snap").list()
+      new java.io.File(s"${graft.Staging.jvmDir("stream_merge")}/$key/snap").list()
     assert(versions != null, "merge-sink snap dir missing under the staging root")
     assert(versions.exists(_ != "v0"), s"no merged snapshot version: ${versions.mkString(",")}")
   }
@@ -97,6 +98,47 @@ class StreamingSpec extends AnyFunSuite {
     // null rows exist (bounded input leaves plenty of unmatched clicks)
     assert(nulls.nonEmpty)
     assert(nulls.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
+  test("streaming semantic dedup: state is append-only — base + one delta per batch, " +
+      "no base file rewritten during the run") {
+    val out = EventStreams.semanticDedupStream(spark, sfDir,
+      graft.queries.IvfOracle.pinnedCentroids, 0.8)
+    assert(out.count() > 0)
+    // same state-root derivation as the implementation (jvmDir is
+    // stable within this JVM, so the spec sees the run's state)
+    val stateDir = new java.io.File(
+      s"${graft.Staging.jvmDir("stream_semded")}/${graft.Fixtures.key(sfDir, "embeddings.parquet")}/state")
+    val dirs = stateDir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("base", "delta_0", "delta_1", "delta_2", "delta_3")),
+      s"state layout is ${dirs.mkString(",")} — expected base + exactly one delta per batch")
+    // append-only BY CONSTRUCTION: base is written once before the
+    // stream starts and never touched again, so every file under base/
+    // must be strictly older than every file under the first delta (a
+    // per-batch rewrite of base — the O(corpus) anti-pattern — would
+    // leave base mtimes >= some delta's). This pins the O(Δ) claim the
+    // way PlanSpec pins the IVF DPP claim.
+    def mtimes(d: java.io.File): Seq[Long] = {
+      val fs = d.listFiles()
+      if (fs == null) Nil
+      else fs.toSeq.flatMap(f => if (f.isDirectory) mtimes(f) else Seq(f.lastModified))
+    }
+    val baseMax = mtimes(new java.io.File(stateDir, "base")).max
+    val deltaMins = (0 to 3).flatMap { b =>
+      val ms = mtimes(new java.io.File(stateDir, s"delta_$b"))
+      if (ms.isEmpty) None else Some(ms.min)
+    }
+    assert(deltaMins.nonEmpty)
+    assert(deltaMins.forall(baseMax <= _),
+      s"base was modified during the stream (base max mtime $baseMax vs delta mins $deltaMins)")
+    // every ACCEPTED row lives in a delta: state rows = base + accepted
+    val spark2 = spark
+    val baseN = spark2.read.parquet(s"$stateDir/base").count()
+    val acceptedN = out.where(!col("is_dup")).count()
+    val stateN = spark2.read.option("recursiveFileLookup", "true")
+      .parquet(stateDir.getAbsolutePath).count()
+    assert(stateN == baseN + acceptedN,
+      s"state rows $stateN != base $baseN + accepted $acceptedN — a delta holds non-accepted rows")
   }
 
   test("sessionization: session stats are consistent with raw events") {
