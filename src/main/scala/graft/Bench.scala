@@ -109,8 +109,7 @@ object Bench {
     // probe never overwrites the full-suite BENCH_DETAIL.json.
     val (fullLine, compactLine) = lines(results, sfDir, filtered = only.isDefined,
       calib = Some((calibPre, calibPost)))
-    val detailPath =
-      if (only.isDefined) "BENCH_DETAIL_PROBE.json" else "BENCH_DETAIL.json"
+    val detailPath = detailFile(only.isDefined, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(emitBlock(compactLine))
@@ -136,6 +135,19 @@ object Bench {
     // range for any sbt-trailer length from 0 to ~3.4 KB.
     Iterator.fill(7)(compactLine).mkString("\n" + pad + "\n")
   }
+
+  /** Detail-file naming: totals are only comparable within ONE fixture
+    * size, so only the driver's canonical per-round fixture
+    * (/root/testdata/sf0.1) writes the plain BENCH_DETAIL.json — a full
+    * run at any other scale (20×/100× probes, local sf0.001 smokes)
+    * goes to BENCH_DETAIL_<sanitized-sfdir>.json. Without this, a scale
+    * probe or smoke run silently replaced the committed sf0.1 record
+    * and its total read as a regression/speedup against a 100× smaller
+    * or larger fixture. */
+  private[graft] def detailFile(filtered: Boolean, sfDir: String): String =
+    if (filtered) "BENCH_DETAIL_PROBE.json"
+    else if (sfDir == "/root/testdata/sf0.1") "BENCH_DETAIL.json"
+    else "BENCH_DETAIL_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + ".json"
 
   /** The two output forms: the full per-query JSON line (goes to
     * BENCH_DETAIL.json) and the compact stdout line. The round driver
@@ -182,7 +194,7 @@ object Bench {
       val entry = s"\"" + k + "\":" + fmt(v)
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
-    val detail = if (filtered) "BENCH_DETAIL_PROBE.json" else "BENCH_DETAIL.json"
+    val detail = detailFile(filtered, sfDir)
     val compactLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField$filteredField$calibField,"sf":"$sfDir","detail":"$detail"}"""
     (fullLine, compactLine)

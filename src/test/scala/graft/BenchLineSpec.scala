@@ -37,7 +37,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(full.contains("\"filtered\":true"))
     assert(compact.contains("\"filtered\":true"))
     assert(compact.contains("\"detail\":\"BENCH_DETAIL_PROBE.json\""))
-    val (fullAll, compactAll) = Bench.lines(results(3), "/x")
+    val (fullAll, compactAll) = Bench.lines(results(3), "/root/testdata/sf0.1")
     assert(!fullAll.contains("filtered") && !compactAll.contains("filtered"))
     assert(compactAll.contains("\"detail\":\"BENCH_DETAIL.json\""))
   }
@@ -74,6 +74,16 @@ class BenchLineSpec extends AnyFunSuite {
     // same ratio test BASELINE.md prescribes for contamination flagging
     val (a, b) = (Bench.calibrate(), Bench.calibrate())
     assert(a > 0 && b > 0 && a / b < 3 && b / a < 3, s"calibration unstable: $a vs $b")
+  }
+
+  test("detail file is per-fixture: only canonical sf0.1 writes BENCH_DETAIL.json") {
+    assert(Bench.detailFile(filtered = false, "/root/testdata/sf0.1") == "BENCH_DETAIL.json")
+    assert(Bench.detailFile(filtered = true, "/root/testdata/sf0.1") == "BENCH_DETAIL_PROBE.json")
+    assert(Bench.detailFile(filtered = false, "/tmp/sfbig100") == "BENCH_DETAIL__tmp_sfbig100.json")
+    assert(Bench.detailFile(filtered = false, "/root/testdata/sf0.001") == "BENCH_DETAIL__root_testdata_sf0.001.json")
+    // the compact line names the same file it writes
+    val (_, compact) = Bench.lines(results(3), "/tmp/sfbig100")
+    assert(compact.contains("\"detail\":\"BENCH_DETAIL__tmp_sfbig100.json\""))
   }
 
   test("full line carries every query and the error marker form") {
