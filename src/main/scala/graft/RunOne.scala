@@ -25,7 +25,9 @@ object RunOne {
     if (args.contains("show")) fn(spark, sfDir).show(60, truncate = false)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // same full-result materialization as Bench — count() would let
+      // Catalyst prune unreferenced heavy subtrees and time a smaller plan
+      val n = Bench.materialize(fn(spark, sfDir))
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
     }
     spark.stop()

@@ -30,11 +30,18 @@ class ExactDeduper(override val uid: String) extends Transformer
   def setTextCol(v: String): this.type = set(textCol, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    val w = Window.partitionBy(col("_graft_fp")).orderBy(col($(idCol)))
-    ds.toDF.withColumn("_graft_fp", md5(col($(textCol))))
-      .withColumn("_graft_rn", row_number().over(w))
-      .where(col("_graft_rn") === 1)
-      .drop("_graft_fp", "_graft_rn")
+    val df = ds.toDF
+    // Only (digest, id) pairs shuffle — 24 B per row partial-aggregated
+    // map-side — and the winner-id set joins back semi-style (AQE picks a
+    // broadcast when the survivor set fits, the common case for a heavily
+    // duplicated corpus). The previous window-over-digest form moved every
+    // FULL row (text included) to its digest partition, an O(data) shuffle
+    // per transform pass. Assumes unique ids (the keep rule is min-id).
+    val keep = df
+      .select(md5(col($(textCol))).as("_graft_fp"), col($(idCol)))
+      .groupBy(col("_graft_fp")).agg(min(col($(idCol))).as("_graft_keep"))
+      .select(col("_graft_keep").as($(idCol)))
+    df.join(keep, Seq($(idCol)), "left_semi")
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): ExactDeduper = defaultCopy(extra)
@@ -99,15 +106,22 @@ class TextQualityScorer(override val uid: String) extends Transformer
   private val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    val toks = TextFunctions.tokens(col($(textCol)))
-    val nTok = size(toks).cast("double")
-    val stopHits = size(filter(toks, t => t.isin(stopList: _*))).cast("double")
+    // ONE codegen'd tokenize pass (TermCounts kernel: [n_tokens,
+    // stop-hit counts...]) instead of two interpreted split+filter HOF
+    // chains per row; token semantics are pinned to split(trim, "\s+"),
+    // so every derived value is bit-identical to the composed form
+    val tc = KernelExpressions.term_counts(col($(textCol)), stopList)
+    val nTok = element_at(col("__tc"), 1).cast("double")
+    val stopHits = stopList.indices
+      .map(i => element_at(col("__tc"), i + 2)).reduceLeft(_ + _).cast("double")
     val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
     ds.toDF
+      .withColumn("__tc", tc)
       .withColumn("stop_ratio", stopRatio)
       .withColumn("chars_per_token",
         when(nTok > 0, length(col($(textCol))).cast("double") / nTok).otherwise(0.0))
       .withColumn($(outputCol), least(nTok / lit(64.0), lit(1.0)) * (lit(1.0) - stopRatio))
+      .drop("__tc")
   }
   override def transformSchema(schema: StructType): StructType =
     schema.add("stop_ratio", DoubleType, nullable = false)

@@ -262,22 +262,33 @@ object Retrieval {
       vocab: Seq[String]): DataFrame = {
     require(vocab.size >= 2 && vocab.size == vocab.distinct.size,
       s"cooccurrenceLift needs >= 2 distinct vocabulary terms; got $vocab")
-    val toks = TextFunctions.tokens(col(textCol))
-    val presence = docs.select(col(idCol).as("doc"),
-      explode(array_distinct(filter(toks, t => t.isin(vocab: _*)))).as("tok"))
-    val counts = presence.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
-    val total = docs.agg(count(lit(1)).as("total"))
-    val pairs = presence.as("a")
-      .join(presence.as("b"),
-        col("a.doc") === col("b.doc") && col("a.tok") < col("b.tok"))
-      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
-      .agg(count(lit(1)).as("n_both"))
-    pairs
-      .join(broadcast(counts.withColumnRenamed("n_tok", "n_a")
-        .withColumnRenamed("tok", "tok_a")), "tok_a")
-      .join(broadcast(counts.withColumnRenamed("n_tok", "n_b")
-        .withColumnRenamed("tok", "tok_b")), "tok_b")
-      .crossJoin(broadcast(total))
+    // ONE codegen'd tokenize pass per row (TermCounts kernel → per-doc
+    // presence flags), then ONE partial-aggregable aggregate row: m
+    // per-term document counts + C(m,2) conditional pair counts, unpivoted
+    // to the (tok_a < tok_b) rows the lift join used to produce. Replaces
+    // THREE tokenize scans (per-term counts, join left side, join right
+    // side) and a doc-keyed shuffle self-join: at 100 TB the corpus is
+    // read once and nothing moves but map-side partials. The m² aggregate
+    // column count caps the vocabulary this form should serve (the fixed
+    // diagnostic vocabularies it exists for are ≤ a few dozen terms).
+    val sorted = vocab.sorted
+    val tc = graft.functions.KernelExpressions.term_counts(col(textCol), sorted)
+    val flags = docs.select(tc.as("tc")).select(
+      sorted.indices.map(i => (element_at(col("tc"), i + 2) > 0L).as(s"__p$i")): _*)
+    val pairIdx = for { i <- sorted.indices; j <- sorted.indices if i < j } yield (i, j)
+    val aggCols =
+      sorted.indices.map(i =>
+        sum(when(col(s"__p$i"), 1L).otherwise(0L)).as(s"__n$i")) ++
+      pairIdx.map { case (i, j) =>
+        sum(when(col(s"__p$i") && col(s"__p$j"), 1L).otherwise(0L)).as(s"__b${i}_$j") }
+    val row = flags.agg(count(lit(1)).as("total"), aggCols: _*)
+    val pairStructs = pairIdx.map { case (i, j) =>
+      struct(lit(sorted(i)).as("tok_a"), lit(sorted(j)).as("tok_b"),
+        col(s"__b${i}_$j").as("n_both"), col(s"__n$i").as("n_a"),
+        col(s"__n$j").as("n_b"), col("total").as("total"))
+    }
+    row.select(inline(array(pairStructs: _*)))
+      .where(col("n_both") > 0)
       .select(col("tok_a"), col("tok_b"), col("n_both"), col("n_a"), col("n_b"),
         round((col("n_both").cast("double") * col("total")) /
           (col("n_a").cast("double") * col("n_b")), 4).as("lift"))

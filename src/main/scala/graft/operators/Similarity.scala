@@ -301,8 +301,10 @@ object Similarity {
     * drop the more-central member — keeping low-centrality examples
     * preserves diversity, the paper's best-performing keep rule.
     *
-    * Scale shape: pair volume is Σ_c n_c² instead of N² — the cluster
-    * count grows with the corpus (k ∝ N holds E[n_c] constant, the paper
+    * Scale shape: pair volume is Σ_c (distinct vectors in c)² instead of
+    * N² — exact duplicates are collapsed to one representative BEFORE the
+    * in-cell join (see [[semanticDedupPinned]]), and the cluster count
+    * grows with the corpus (k ∝ N holds E[n_c] constant, the paper
     * uses k≈10⁴ for 10⁸ docs), the cell id is the ONE shuffle key in the
     * plan, and each cell's pairs are generated cell-locally. Assignment
     * is a pure per-row expression over the pinned centroids (same frozen-
@@ -347,14 +349,15 @@ object Similarity {
     * array_max → highest raw dot, ties to SMALLEST cell id (raw-dot
     * argmax ≡ cosine argmax: unit centroids, positive row norm). */
   private def assignPinned(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
+      centroids: Array[Array[Double]], passthrough: Seq[String] = Nil): DataFrame = {
     def entries(v: Column): Column =
       array(centroids.zipWithIndex.map { case (cen, i) =>
         struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
       }: _*)
     def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
     val cell = (-array_max(entries(rawV(col(vecCol)))).getField("nc")).as("cell")
-    df.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("uvec"), cell)
+    df.select(col(idCol).as("vid") +: unit_vector(col(vecCol)).as("uvec") +: cell +:
+      passthrough.map(col): _*)
   }
 
   /** Incremental semantic dedup: screen a NEW batch against an existing
@@ -399,6 +402,82 @@ object Similarity {
     // literals are unit-normalized at pin time, so this IS the cosine)
     val uds = array(centroids.map(cen =>
       array_dot(col("uvec"), typedLit(cen.toSeq))): _*)
+    // EXACT-COLLAPSE FIRST — the same move the three LSH dedup families
+    // make. Members with bit-identical embedding arrays share uvec, cell,
+    // centrality and every pairwise dot by construction, so the in-cell
+    // pair join only needs one REPRESENTATIVE per distinct vector:
+    // candidate volume is Σ_c (distinct vectors in cell c)² — invariant
+    // under corpus duplication — instead of Σ_c n_c², which grows
+    // quadratically with every exact copy (a 100×-replicated corpus pays
+    // 10 000× the pairs for the same information). One window shuffle on
+    // the raw vector attaches each member to its group (min-id
+    // representative `__gmin`, group size `__gsz`); everything group-
+    // level is then expanded back per member in closed form.
+    val w = Window.partitionBy(col(vecCol))
+    val members = corpus
+      .withColumn("__gmin", min(col(idCol)).over(w))
+      .withColumn("__gsz", count(lit(1)).over(w))
+    // identical members duplicate EACH OTHER iff the self-dot clears the
+    // threshold — true for any real unit vector (dot(u,u) ≈ 1), false for
+    // the zero vector (unit_vector(0) = 0) or a minCos pinned above the
+    // fp self-dot; gating keeps the collapsed form bit-equal to the
+    // member-level pair join on those edges
+    def selfdup: Column =
+      coalesce(array_dot(col("uvec"), col("uvec")) >= minCos, lit(false))
+    val reps = assignPinned(
+        members.where(col(idCol) === col("__gmin")), idCol, vecCol, centroids,
+        passthrough = Seq("__gsz"))
+      .withColumn("ccos", element_at(uds, col("cell") + 1))
+    val pairs = reps.alias("x").join(reps.alias("y"),
+        col("x.cell") === col("y.cell") && col("x.vid") < col("y.vid"))
+      .where(array_dot(col("x.uvec"), col("y.uvec")) >= minCos)
+      .select(col("x.vid").as("a"), col("x.ccos").as("accos"),
+        col("x.__gsz").as("asz"),
+        col("y.vid").as("b"), col("y.ccos").as("bccos"),
+        col("y.__gsz").as("bsz"))
+    // group-level verdict over both pair directions: the cross-group dup
+    // mass (Σ of neighbor-group sizes — every member of a paired group is
+    // a neighbor of every member of this one, identical arrays make all
+    // those cosines equal), the strictly-less-central witness, and the
+    // smallest rep id among fp-TIED neighbor groups (rep id = min member
+    // id, which is exactly the id the member-level tie rule compares)
+    val nbrs = pairs.select(col("a").as("gid"), col("accos").as("ccos"),
+        col("b").as("ngid"), col("bccos").as("nccos"), col("bsz").as("nsz"))
+      .unionByName(pairs.select(col("b").as("gid"), col("bccos").as("ccos"),
+        col("a").as("ngid"), col("accos").as("nccos"), col("asz").as("nsz")))
+    val gver = nbrs.groupBy(col("gid"))
+      .agg(sum(col("nsz")).as("xdups"),
+        max(col("ccos") > col("nccos")).as("gt"),
+        min(when(col("ccos") === col("nccos"), col("ngid"))).as("tiemin"))
+    // expand to members: cell/centrality are recomputed per row (same
+    // array → same bits as the rep), group stats arrive via the verdict,
+    // which holds only groups that HAVE a near-dup (sub-percent of a real
+    // corpus) — broadcast it so the full doc side never shuffles on id
+    val keyed = assignPinned(members, idCol, vecCol, centroids,
+        passthrough = Seq("__gmin", "__gsz"))
+      .withColumn("ccos", element_at(uds, col("cell") + 1))
+    val removed =
+      coalesce(col("gt"), lit(false)) ||
+        (selfdup && col("vid") > col("__gmin")) ||
+        (col("tiemin").isNotNull && col("vid") > col("tiemin"))
+    keyed.join(broadcast(gver), col("__gmin") === col("gid"), "left")
+      .select(col("vid"), col("cell"),
+        round(col("ccos"), 6).as("centroid_cos"),
+        (when(selfdup, col("__gsz") - 1).otherwise(0L) +
+          coalesce(col("xdups"), lit(0L))).as("n_dups"),
+        (!removed).as("keep"))
+  }
+
+  /** The pre-collapse member-level form of [[semanticDedupPinned]] —
+    * kept as the parity oracle for the spec: Σ_c n_c² pairs, every
+    * member joins every same-cell member. Bit-equal output by contract;
+    * never the serving path. */
+  private[operators] def semanticDedupPinnedDirect(corpus: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], minCos: Double): DataFrame = {
+    require(centroids.nonEmpty, "need at least one pinned centroid")
+    val uds = array(centroids.map(cen =>
+      array_dot(col("uvec"), typedLit(cen.toSeq))): _*)
     val keyed = assignPinned(corpus, idCol, vecCol, centroids)
       .withColumn("ccos", element_at(uds, col("cell") + 1))
     val pairs = keyed.alias("x").join(keyed.alias("y"),
@@ -406,8 +485,6 @@ object Similarity {
       .where(array_dot(col("x.uvec"), col("y.uvec")) >= minCos)
       .select(col("x.vid").as("a"), col("x.ccos").as("accos"),
         col("y.vid").as("b"), col("y.ccos").as("bccos"))
-    // per-doc verdict over both pair directions: removed iff ∃ neighbor
-    // that is less central (or fp-equal with a smaller id)
     val nbrs = pairs.select(col("a").as("vid"), col("accos").as("ccos"),
         col("b").as("nvid"), col("bccos").as("nccos"))
       .unionByName(pairs.select(col("b").as("vid"), col("bccos").as("ccos"),
@@ -416,8 +493,6 @@ object Similarity {
       .agg(count(lit(1)).as("n_dups"),
         max((col("ccos") > col("nccos")) ||
           (col("ccos") === col("nccos") && col("vid") > col("nvid"))).as("removed"))
-    // verdict holds only docs that HAVE a near-dup (sub-percent of a real
-    // corpus) — broadcast it so the full doc side never shuffles on id
     keyed.join(broadcast(verdict), Seq("vid"), "left")
       .select(col("vid"), col("cell"),
         round(col("ccos"), 6).as("centroid_cos"),

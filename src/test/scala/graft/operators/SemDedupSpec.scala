@@ -65,6 +65,51 @@ class SemDedupSpec extends AnyFunSuite {
       (100L, 1L, -1L, true), (101L, 1L, 100L, true), (102L, -1L, -1L, false)))
   }
 
+  /** The serving path collapses bit-identical vectors before the in-cell
+    * pair join; the retained member-level form is its parity oracle. Any
+    * divergence — counts, tie-breaks, zero vectors, a threshold above the
+    * fp self-dot — is a correctness bug, not a tolerance. */
+  private def assertParity(rows: Seq[(Long, Seq[Double])], minCos: Double): Unit = {
+    val df = rows.toDF("vec_id", "embedding")
+    // string-render rows so a NaN centrality (zero vector) compares
+    // equal to itself — scala == on unboxed NaN is false by IEEE rules
+    val fast = Similarity.semanticDedupPinned(
+        df, "vec_id", "embedding", axes, minCos)
+      .orderBy("vid").collect().map(_.toString).toSeq
+    val direct = Similarity.semanticDedupPinnedDirect(
+        df, "vec_id", "embedding", axes, minCos)
+      .orderBy("vid").collect().map(_.toString).toSeq
+    assert(fast === direct)
+  }
+
+  test("collapse-first output is bit-equal to the member-level join") {
+    // exact-duplicate groups of size 3 and 2, a cross-content near-dup,
+    // a singleton, and an isolated far vector — in both cells
+    assertParity(Seq(
+      1L -> Seq(10.0, 1.0), 2L -> Seq(10.0, 1.0), 7L -> Seq(10.0, 1.0),
+      3L -> Seq(8.0, 1.2), 9L -> Seq(8.0, 1.2),
+      4L -> Seq(9.0, -1.0),
+      5L -> Seq(0.5, 5.0), 6L -> Seq(-10.0, 2.0)), 0.95)
+  }
+
+  test("collapse-first parity: zero vectors never self-duplicate") {
+    // unit_vector(0) = 0, self-dot 0 < minCos: three identical zero
+    // vectors are NOT duplicates of each other in the member-level join,
+    // and the collapsed form must reproduce that via its self-dot gate
+    assertParity(Seq(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(0.0, 0.0), 3L -> Seq(0.0, 0.0),
+      4L -> Seq(10.0, 1.0), 5L -> Seq(10.0, 1.0)), 0.95)
+  }
+
+  test("collapse-first parity: threshold above the fp self-dot") {
+    // minCos = 1.0 can sit above dot(u, u) when the unit-normalized
+    // self-dot rounds below 1 — identical members then do NOT pair, and
+    // the gate must reproduce the member-level verdict exactly
+    assertParity(Seq(
+      1L -> Seq(10.0, 1.0), 2L -> Seq(10.0, 1.0),
+      3L -> Seq(3.0, 4.0), 4L -> Seq(3.0, 4.0)), 1.0)
+  }
+
   test("online tier finds the same planted duplicates as a fitted quantizer") {
     // two tight groups of near-identical vectors far apart; any sane
     // 2-means fit separates them, and within each group the keep rule
