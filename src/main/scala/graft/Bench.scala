@@ -15,12 +15,18 @@ import org.apache.spark.sql.SparkSession
   * timed immediately before and after the queries and emitted as
   * `calib_pre_sec` / `calib_post_sec` in both JSON lines. The loop's
   * cost is a property of one idle core, so on an uncontended box it is
-  * a near-constant (~0.4 s here; interpretation documented in
+  * a near-constant (~0.75 s here; interpretation documented in
   * BASELINE.md) — a calibration reading several times its historical
   * value means the box was contended and the suite total is
   * contaminated, not regressed. Round 10's driver bench recorded a 2.6×
   * phantom regression that only a same-commit re-run could disprove;
   * the sentinel makes that condition machine-readable in the record.
+  * Because the bracket alone cannot see a mid-suite burst that subsides
+  * before `calib_post` (that blind spot cost forensic hours in BOTH
+  * rounds 10 and 11), the suite also (a) interleaves the same loop
+  * every 25 queries (`calib_mid` array) and (b) stamps each query's
+  * completion offset from suite start (`t_end` map in the detail line),
+  * so any contaminated span is localizable to the queries it covers.
   */
 object Bench {
   /** The fixed calibration workload: 4·10⁸ xorshift64 steps on one
@@ -88,6 +94,7 @@ object Bench {
     }
 
     val calibPre = calibrate()
+    val suiteT0 = System.nanoTime()
 
     // best-of-2 per query: the box hosts other work, and the minimum of
     // repeated runs is the standard robust estimator of noise-free cost.
@@ -101,21 +108,27 @@ object Bench {
     // run's surviving cache, timing a warm partial plan. Sweeping makes
     // every timed run the same self-contained job a cluster would
     // submit: full plan, own caching, no neighbors.
-    val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          materialize(fn(spark, sfDir))
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+    // Name-sorted order makes the t_end offsets comparable across runs.
+    val tEnd = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val calibMid = scala.collection.mutable.ListBuffer.empty[Double]
+    val results: Map[String, Either[String, Double]] =
+      selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx > 0 && idx % 25 == 0) calibMid += calibrate()
+        val runs = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            materialize(fn(spark, sfDir))
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          }
         }
-      }
-      val ok = runs.collect { case Right(t) => t }
-      name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
-    }
+        tEnd(name) = (System.nanoTime() - suiteT0) / 1e9
+        val ok = runs.collect { case Right(t) => t }
+        name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
+      }.toMap
     val calibPost = calibrate()
 
     // A SPARK_GRAFT_ONLY probe is a PARTIAL run: mark both JSON lines
@@ -123,7 +136,7 @@ object Bench {
     // filtered total can never be misread as a full-suite number and a
     // probe never overwrites the full-suite BENCH_DETAIL.json.
     val (fullLine, compactLine) = lines(results, sfDir, filtered = only.isDefined,
-      calib = Some((calibPre, calibPost)))
+      calib = Some((calibPre, calibPost)), tEnd = tEnd.toMap, calibMid = calibMid.toList)
     val detailPath = detailFile(only.isDefined, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -158,11 +171,18 @@ object Bench {
     * goes to BENCH_DETAIL_<sanitized-sfdir>.json. Without this, a scale
     * probe or smoke run silently replaced the committed sf0.1 record
     * and its total read as a regression/speedup against a 100× smaller
-    * or larger fixture. */
-  private[graft] def detailFile(filtered: Boolean, sfDir: String): String =
+    * or larger fixture. The comparison canonicalizes both paths first:
+    * a trailing slash, relative path, or symlinked invocation of the
+    * canonical fixture must still write the plain file, not silently
+    * divert the round record to a suffixed one. */
+  private[graft] def detailFile(filtered: Boolean, sfDir: String): String = {
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath
+      catch { case _: java.io.IOException => p }
     if (filtered) "BENCH_DETAIL_PROBE.json"
-    else if (sfDir == "/root/testdata/sf0.1") "BENCH_DETAIL.json"
+    else if (canon(sfDir) == canon("/root/testdata/sf0.1")) "BENCH_DETAIL.json"
     else "BENCH_DETAIL_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + ".json"
+  }
 
   /** The two output forms: the full per-query JSON line (goes to
     * BENCH_DETAIL.json) and the compact stdout line. The round driver
@@ -175,7 +195,9 @@ object Bench {
   private[graft] def lines(
       results: Map[String, Either[String, Double]], sfDir: String,
       filtered: Boolean = false,
-      calib: Option[(Double, Double)] = None): (String, String) = {
+      calib: Option[(Double, Double)] = None,
+      tEnd: Map[String, Double] = Map.empty,
+      calibMid: Seq[Double] = Nil): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -195,8 +217,25 @@ object Bench {
     val calibField = calib.fold("") { case (pre, post) =>
       s""","calib_pre_sec":${fmt(pre)},"calib_post_sec":${fmt(post)}"""
     }
+    // probe identity: timings before round 11 used df.count() (probe
+    // "count"), which let Catalyst delete final sorts and prune unread
+    // columns; every record since names the full-materialization probe
+    // so cross-round totals are never silently compared across probes.
+    val probeField = s""","probe":"toRdd""""
+    // detail-line-only localization fields (see object doc): per-query
+    // completion offset from suite start + interleaved mid-suite
+    // calibrations — a contaminated calib_mid[i] brackets the queries
+    // whose t_end falls in its span.
+    val tEndField =
+      if (tEnd.isEmpty) ""
+      else tEnd.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(""","t_end":{""", ",", "}")
+    val calibMidField =
+      if (calibMid.isEmpty) ""
+      else calibMid.map(fmt).mkString(""","calib_mid":[""", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$calibMidField$tEndField$probeField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
     // 500-byte queries map keeps the whole line ≤ ~750 B, so emitBlock's
@@ -211,7 +250,7 @@ object Bench {
     }
     val detail = detailFile(filtered, sfDir)
     val compactLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField$filteredField$calibField,"sf":"$sfDir","detail":"$detail"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField$filteredField$calibField$probeField,"sf":"$sfDir","detail":"$detail"}"""
     (fullLine, compactLine)
   }
 }

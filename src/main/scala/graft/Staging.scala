@@ -81,7 +81,18 @@ object Staging {
         val priv = Files.createTempDirectory("graft-",
           PosixFilePermissions.asFileAttribute(
             PosixFilePermissions.fromString("rwx------")))
-        priv.toFile.deleteOnExit()
+        // LOUD fallback: in containers Files.getOwner can report a
+        // numeric uid that differs from user.name, in which case every
+        // JVM silently gets a private root and the cross-JVM
+        // fixture-sharing contract is lost — make that visible.
+        val owner = try Files.getOwner(p).getName catch { case _: Throwable => "?" }
+        System.err.println(
+          s"[graft.Staging] WARNING: $chosen is owned by '$owner', not '$user' — " +
+            s"falling back to private staging root $priv; cross-JVM fixture sharing is OFF for this process")
+        // deleteOnExit cannot remove a non-empty directory; use a
+        // recursive-delete shutdown hook instead.
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try deleteRecursively(priv.toFile) catch { case _: Throwable => () }))
         priv.toString
       }
     }
@@ -217,9 +228,11 @@ object Staging {
               // publisher holds the lock): move it aside, land ours.
               val aside = new java.io.File(parent,
                 s".${target.getName}.stale-${java.util.UUID.randomUUID}")
-              target.renameTo(aside)
+              val movedAside = target.renameTo(aside)
+              require(movedAside,
+                s"staging publish cannot move stale occupant of $path aside (filesystem refused rename to $aside)")
               require(tmp.renameTo(target),
-                s"staging publish cannot rename into $path (filesystem refuses both direct and aside-cleared rename)")
+                s"staging publish cannot rename into $path (aside-clear succeeded but final rename was refused)")
               deleteRecursively(aside)
             }
           }

@@ -36,7 +36,13 @@ class ExactDeduper(override val uid: String) extends Transformer
     // broadcast when the survivor set fits, the common case for a heavily
     // duplicated corpus). The previous window-over-digest form moved every
     // FULL row (text included) to its digest partition, an O(data) shuffle
-    // per transform pass. Assumes unique ids (the keep rule is min-id).
+    // per transform pass. Assumes NON-NULL unique ids (the keep rule is
+    // min-id): min() skips nulls and a null id never matches the
+    // equi-join, so a null-id row is DROPPED rather than kept-one-per-
+    // digest, and duplicate ids retain every row sharing the winning id.
+    // Both are fine for the documents fixture (doc_id is a non-null key);
+    // a corpus without a reliable id should mint one upstream
+    // (monotonically_increasing_id) before this stage.
     val keep = df
       .select(md5(col($(textCol))).as("_graft_fp"), col($(idCol)))
       .groupBy(col("_graft_fp")).agg(min(col($(idCol))).as("_graft_keep"))

@@ -69,11 +69,41 @@ class BenchLineSpec extends AnyFunSuite {
     // omitted when not measured (pure lines() callers like this spec)
     val (fullNo, compactNo) = Bench.lines(results(3), "/x")
     assert(!fullNo.contains("calib") && !compactNo.contains("calib"))
-    // the workload is fixed and sub-second-scale on an idle core: two
-    // back-to-back measurements on this box must agree within 3x — the
-    // same ratio test BASELINE.md prescribes for contamination flagging
-    val (a, b) = (Bench.calibrate(), Bench.calibrate())
-    assert(a > 0 && b > 0 && a / b < 3 && b / a < 3, s"calibration unstable: $a vs $b")
+    // structural only: the loop runs and returns a positive wall time.
+    // (No cross-run ratio assertion here — a timing-dependent unit test
+    // would flake on a contended box, which is exactly the condition the
+    // sentinel exists to FLAG; the contamination rule lives in the bench
+    // record analysis per BASELINE.md, not in sbt test.)
+    assert(Bench.calibrate() > 0)
+  }
+
+  test("probe identity, per-query t_end, and mid-suite calibrations are recorded") {
+    val (full, compact) = Bench.lines(results(5), "/x",
+      calib = Some((0.7, 0.7)),
+      tEnd = Map("q_some_rather_long_query_name_000" -> 1.25,
+        "q_some_rather_long_query_name_001" -> 2.5),
+      calibMid = Seq(0.751, 0.762))
+    // both lines name the probe: totals across a probe change are not
+    // comparable, and the compact line is the round driver's record
+    assert(full.contains("\"probe\":\"toRdd\""))
+    assert(compact.contains("\"probe\":\"toRdd\""))
+    // detail line localizes contention: completion offsets + interleaved
+    // calibrations; neither belongs in the size-budgeted compact line
+    assert(full.contains("\"t_end\":{\"q_some_rather_long_query_name_000\":1.250,\"q_some_rather_long_query_name_001\":2.500}"))
+    assert(full.contains("\"calib_mid\":[0.751,0.762]"))
+    assert(!compact.contains("t_end") && !compact.contains("calib_mid"))
+    assert(compact.length < 800, s"compact line grew to ${compact.length} bytes")
+    // both optional fields omitted when absent — the line stays minimal
+    val (fullNo, _) = Bench.lines(results(3), "/x")
+    assert(!fullNo.contains("t_end") && !fullNo.contains("calib_mid"))
+  }
+
+  test("detailFile canonicalizes the fixture path before comparing") {
+    // trailing slash, relative-ish segments, and redundant dots must all
+    // resolve to the canonical sf0.1 record, not a suffixed file
+    assert(Bench.detailFile(filtered = false, "/root/testdata/sf0.1/") == "BENCH_DETAIL.json")
+    assert(Bench.detailFile(filtered = false, "/root/testdata/./sf0.1") == "BENCH_DETAIL.json")
+    assert(Bench.detailFile(filtered = false, "/root/testdata/x/../sf0.1") == "BENCH_DETAIL.json")
   }
 
   test("detail file is per-fixture: only canonical sf0.1 writes BENCH_DETAIL.json") {
