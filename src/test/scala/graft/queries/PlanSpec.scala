@@ -313,6 +313,41 @@ class PlanSpec extends AnyFunSuite {
       s"expected 2 parquet scans (index + queries), got $scans:\n" + p.take(2000))
   }
 
+  test("q_approx_sketch: distinct aggregate and percentile buffers stay in " +
+      "SEPARATE aggregates joined by broadcast") {
+    // Mixing countDistinct with TypedImperativeAggregate buffers forces
+    // Catalyst's four-phase distinct rewrite, which re-serializes the
+    // O(NDV) percentile state at every extra phase boundary (measured
+    // 2.6 s combined vs 1.1 s split at sf0.1). The split shape: the
+    // Expand (distinct rewrite) side must NOT evaluate percentile, and
+    // the two 5-row sides join by broadcast.
+    val p = plan("q_approx_sketch")
+    assert(p.contains("BroadcastHashJoin"),
+      "the two aggregate sides must broadcast-join:\n" + p.take(1500))
+    // no aggregate node may carry BOTH the distinct rewrite and a
+    // percentile buffer (a single distinct column plans without Expand,
+    // but the rewrite's extra phases still reserialize typed buffers)
+    val mixed = p.linesIterator.filter(l =>
+      l.contains("distinct") && l.contains("percentile"))
+    assert(mixed.isEmpty,
+      "percentile buffers must not share the distinct aggregate:\n" + mixed.mkString("\n"))
+  }
+
+  test("q_table_stats: min/max/count do not ride the 4-NDV Expand") {
+    val p = plan("q_table_stats")
+    // the Expand (from 4 countDistincts) and the plain-stats aggregate
+    // must be separate subtrees — the Expand's aggregate carries no min/max
+    val lines = p.linesIterator.toSeq
+    val expandArg = lines.find(_.contains("Arguments: [[")) // Expand projections detail
+    assert(p.contains("Expand"), "exact 4-column NDV should plan one Expand")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("CartesianProduct"),
+      "the NDV row and the plain-stats row must join as two 1-row sides:\n" + p.take(1500))
+    val aggWithMin = lines.filter(l => l.contains("HashAggregate") && l.contains("min("))
+    assert(aggWithMin.forall(l => !l.contains("distinct")),
+      "min/max must aggregate outside the distinct rewrite:\n" + aggWithMin.mkString("\n"))
+  }
+
   test("q_split_leakage_free: the component table broadcasts onto the doc scan") {
     val p = plan("q_split_leakage_free")
     assert(p.contains("BroadcastHashJoin"),
