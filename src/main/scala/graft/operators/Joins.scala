@@ -125,6 +125,81 @@ object Joins {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Collapse-first point-in-interval range join for DECOMPOSABLE
+    * aggregates (count / sum / min / max — anything with an associative
+    * merge). Same semantics as [[rangeJoinAgg]], radically different
+    * scaling.
+    *
+    * [[rangeJoinAgg]] joins every point to every interval containing it
+    * BEFORE aggregating, so its intermediate is `Σ_points
+    * (intervals open at that point)` rows. Replicate both sides R× (the
+    * SCALE.md probe protocol, and what a crawl corpus does to popular
+    * time ranges) and that intermediate grows R²× — at the 100× fixture
+    * the plan probes ~10¹⁰ joined rows for a 10 M-row answer. The
+    * count()-era bench never saw this because Catalyst ELIMINATED the
+    * whole left-outer join when only the output rowcount was observed.
+    *
+    * Here the intervals are first collapsed per distinct start value:
+    * `perStartAggs` pre-aggregates everything the final answer needs
+    * (e.g. `count(*) as n`, `sum(price) as p`) grouped by start. Interval
+    * starts are typically LOW-CARDINALITY (event dates, order dates,
+    * window boundaries — ~2 400 distinct dates across any TPC-H scale,
+    * invariant under replication), so the collapsed side is tiny and the
+    * bucket join BROADCASTS: points never shuffle for the join at all.
+    * Each point then meets at most the distinct starts in its ≤ 2
+    * candidate buckets (≤ 2·lengthDays for date-grained starts) instead
+    * of every interval row, and `mergeAggs` combines the pre-aggregated
+    * slices per point (e.g. `sum(n)`, `sum(p)`). The only shuffle left is
+    * the final per-point merge, which partial aggregation collapses to
+    * one compact row per point before it moves.
+    *
+    * Intermediate size: `points × O(lengthDays)` — linear in points,
+    * INVARIANT under interval replication. The fixture's 100× honest
+    * wall for the same query/oracle dropped from join-fanout-bound to
+    * scan-bound (see SCALE.md round-12 re-baseline).
+    *
+    * Points contained in no interval survive with null pre-aggregates
+    * (left-outer): express "0 when empty" in `mergeAggs` (e.g.
+    * `coalesce(sum(n), 0)`) exactly as with any outer-join aggregate.
+    *
+    * Contract: the collapsed side is O(distinct interval starts) rows and
+    * is broadcast — callers with genuinely high-cardinality starts (more
+    * distinct starts than fit an executor broadcast) should stay on
+    * [[rangeJoinAgg]], whose shuffle join has no such bound.
+    */
+  def rangeJoinAggCollapsed(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointId: String,
+      pointTime: String,
+      intervalStart: String,
+      lengthDays: Int,
+      perStartAggs: Seq[Column],
+      mergeAggs: Seq[Column]): DataFrame = {
+    val secs = lengthDays * 86400L
+    val pts = points.select(col(pointId), col(pointTime).as("__pt"),
+      (unix_timestamp(col(pointTime)) / secs).cast("long").as("__b"))
+    val collapsed = intervals
+      .groupBy(col(intervalStart).as("__s"))
+      .agg(perStartAggs.head, perStartAggs.tail: _*)
+    // same ≤2-bucket explode (and the same +secs sub-second-truncation
+    // reasoning) as rangeJoinAgg, applied to the collapsed side
+    val ivs = collapsed
+      .withColumn("__bs", (unix_timestamp(col("__s")) / secs).cast("long"))
+      .withColumn("__be",
+        ((unix_timestamp(col("__s")) + secs) / secs).cast("long"))
+      .withColumn("__b", explode(array_distinct(array(col("__bs"), col("__be")))))
+      .drop("__bs", "__be")
+
+    pts.join(broadcast(ivs),
+        pts("__b") === ivs("__b") &&
+          col("__pt") >= col("__s") &&
+          col("__pt") < col("__s") + expr(s"INTERVAL $lengthDays DAYS"),
+        "left")
+      .groupBy(col(pointId))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
+
   /** Interval-OVERLAP self-join: per equi-key, every pair of rows whose
     * fixed-length half-open windows `[start, start + lengthDays)` overlap
     * — the temporal-conflict detector (double bookings, concurrently

@@ -120,6 +120,73 @@ class JoinsSpec extends AnyFunSuite {
     }.isEmpty, plan.toString)
   }
 
+  // ---- rangeJoinAggCollapsed ---------------------------------------------
+
+  test("rangeJoinAggCollapsed matches rangeJoinAgg on the boundary fixture, " +
+      "including duplicate interval starts") {
+    val points = Seq(
+      (1L, ts("2020-01-02 12:00:00")),
+      (2L, ts("2020-01-03 12:00:00")),
+      (3L, ts("2020-01-04 23:00:00")),
+      (4L, ts("2020-03-01 00:00:00"))
+    ).toDF("pid", "pt")
+    // B2 duplicates B's start exactly: the collapse must pre-merge them
+    val intervals = Seq(
+      (10L, ts("2020-01-02 00:00:00"), 5.0),
+      (11L, ts("2020-01-02 06:00:00"), 7.0),
+      (13L, ts("2020-01-02 06:00:00"), 11.0),
+      (12L, ts("2020-01-04 20:00:00"), 9.0)
+    ).toDF("iid", "istart", "w")
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+
+    val direct = norm(Joins.rangeJoinAgg(points, intervals, "pid", "pt",
+      "istart", 2, Seq(count($"iid").as("n"), sum($"w").as("sw"))))
+    val collapsed = norm(Joins.rangeJoinAggCollapsed(points, intervals,
+      "pid", "pt", "istart", 2,
+      perStartAggs = Seq(count($"iid").as("__n"), sum($"w").as("__p")),
+      mergeAggs = Seq(coalesce(sum($"__n"), lit(0L)).as("n"),
+        sum($"__p").as("sw"))))
+    assert(collapsed === direct, s"collapsed=$collapsed direct=$direct")
+    assert(direct.map(t => (t._1, t._2)) ===
+      Seq((1L, 3L), (2L, 3L), (3L, 1L), (4L, 0L)))
+  }
+
+  test("rangeJoinAggCollapsed handles fractional-second starts across the " +
+      "bucket boundary (same +secs end-bucket math)") {
+    val intervals = Seq((10L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00.5")))
+      .toDF("iid", "istart")
+    val points = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-03 00:00:00.2")),
+      (2L, java.sql.Timestamp.valueOf("2020-01-03 00:00:00.7"))
+    ).toDF("pid", "pt")
+    val out = Joins.rangeJoinAggCollapsed(points, intervals, "pid", "pt",
+        "istart", 2,
+        perStartAggs = Seq(count($"iid").as("__n")),
+        mergeAggs = Seq(coalesce(sum($"__n"), lit(0L)).as("n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L), s"got $out")
+  }
+
+  test("rangeJoinAggCollapsed broadcasts the collapsed interval side — the " +
+      "points never shuffle for the join") {
+    val points = Seq((1L, ts("2020-01-02 12:00:00"))).toDF("pid", "pt")
+    val intervals = Seq((10L, ts("2020-01-02 00:00:00"), 5.0)).toDF("iid", "istart", "w")
+    val out = Joins.rangeJoinAggCollapsed(points, intervals, "pid", "pt",
+      "istart", 2,
+      perStartAggs = Seq(count($"iid").as("__n"), sum($"w").as("__p")),
+      mergeAggs = Seq(coalesce(sum($"__n"), lit(0L)).as("n"), sum($"__p").as("sw")))
+    // string-match the plan text (the PlanSpec idiom): under AQE the join
+    // sits inside an unexecuted AdaptiveSparkPlan node that collect() does
+    // not traverse
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join for the collapsed side:\n$p")
+  }
+
   // ---- intervalOverlapSelfJoin -------------------------------------------
 
   // 7-day windows. Fixture plants: an overlapping pair straddling a bucket
