@@ -114,6 +114,11 @@ object Bench {
     val results: Map[String, Either[String, Double]] =
       selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), idx) =>
         if (idx > 0 && idx % 25 == 0) calibMid += calibrate()
+        // progress marker to STDERR (stdout is parsed by the round driver):
+        // a task-thread OOM kills the whole local-mode JVM before the detail
+        // JSON is written, and without this line the dead query is
+        // unidentifiable from the log (cost a full 22-min 100x run to learn)
+        System.err.println(f"[bench] ${idx + 1}%3d/${selected.size} $name start t=${(System.nanoTime() - suiteT0) / 1e9}%.1fs")
         val runs = (1 to 2).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
