@@ -284,15 +284,26 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), unit_vector(col(vecCol)).as("qvec"),
       explode(probeCells).as("cell"))
     val cos = round(array_dot(col("qvec"), col("cvec")), 6)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     // each vid lives in exactly one cell and probe cells are distinct,
-    // so (qid, vid) candidates are already unique — no dedup needed
+    // so (qid, vid) candidates are already unique — no dedup needed.
+    // Ranking is the bounded top-k AGGREGATE (value desc, id asc — the
+    // same total order as the window-row_number form; TopKSpec pins the
+    // equivalence), NOT a row_number window: a full-corpus screen like
+    // q_label_consistency feeds |queries|·|corpus|·nProbe/nCells
+    // candidate rows into the ranking, and the window form shuffles and
+    // SORTS all of them (~5·10⁹ rows / ~200 GB at the 100× fixture —
+    // the old count()-probe benchmarks never executed this sort, so the
+    // cost was invisible until the honest materialize() probe). The
+    // aggregate keeps at most k rows per query in each map task, so the
+    // shuffle is O(queries·k·tasks) regardless of candidate volume.
     index.join(broadcast(q), Seq("cell"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), cos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid"), col("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByValue.top_k_by(col("cos"), col("vid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("r0", "e")))
+      .select(col("qid"), (col("r0") + 1).as("rank"),
+        col("e").getField("id").as("vid"), col("e").getField("value").as("cos"))
   }
 
   /** SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
