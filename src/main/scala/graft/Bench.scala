@@ -71,6 +71,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // ObjectHashAggregate (every TypedImperativeAggregate: bounded
+      // top-k, sketches) falls back to SORT-based aggregation once a
+      // partition sees this many distinct keys — the stock default (128)
+      // turned q_label_consistency's 200 k-group bounded-top-k cut into
+      // a full sort of its ~5e9 candidate rows at the 100× fixture. Our
+      // typed buffers are ~100 B/group, so 4M hashed groups is ~400 MB
+      // worst-case per task — the production setting for wide-key typed
+      // aggregation (README documents the deployment knob).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

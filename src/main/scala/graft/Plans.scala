@@ -49,7 +49,8 @@ object Plans {
     "q_dedup_semantic_incremental" -> "batch-vs-corpus cell equi-join; corpus never self-joins",
     "q_score_auc"        -> "level-based exact AUC — windows over score levels, never rows",
     "q_ks_drift"         -> "level-based exact KS — integer cumsums over value levels",
-    "q_label_consistency" -> "index-bounded neighbor screen — candidates are nProbe/nCells of the corpus",
+    "q_label_consistency" -> "index-bounded neighbor screen — candidates are nProbe/nCells of the corpus, ranked by the bounded top-k aggregate (map-side partials, no candidate sort)",
+    "q_range_join"       -> "intervals collapse to distinct starts, broadcast onto the point scan — points never shuffle for the join",
     "q_numeric_corr"     -> "every pairwise moment in ONE map-side-combinable aggregate row",
     "q_ab_welch"         -> "deterministic hash arm split; one grouped moment pass",
     "q_sim_topk_ivf"     -> "staged cell-partitioned index scan under DYNAMIC PARTITION PRUNING — serve never re-assigns corpus vectors",

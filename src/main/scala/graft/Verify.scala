@@ -13,6 +13,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // see Bench.scala: typed-aggregate hash groups before sort fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -53,6 +53,16 @@ final class BoundedTopK(val k: Int) {
   * NULL` to match), and values are expected non-NaN — [[BoundedTopK]]'s
   * ordering treats NaN as worst, whereas Spark's descending sort ranks
   * NaN first.
+  *
+  * DEPLOYMENT NOTE: typed aggregates plan as ObjectHashAggregate, which
+  * silently falls back to SORT-based aggregation once a partition sees
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+  * keys — and the stock default is 128. For a wide-key top-k (many
+  * groups per task) the fallback sorts the ENTIRE input, i.e. exactly
+  * the O(rows·log rows) pass this aggregate exists to avoid. Jobs that
+  * group by a high-cardinality key must raise the threshold; the
+  * buffers here are ~16·k bytes per group, so millions of hashed groups
+  * are cheap. The Bench/Verify mains (and the test session) set 4M.
   */
 case class TopKByValue(
     valueExpr: Expression,

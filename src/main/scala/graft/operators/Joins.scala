@@ -253,4 +253,63 @@ object Joins {
         (lit(secs) - (unix_timestamp(greatest(col("__sa"), col("__sb"))) -
           unix_timestamp(least(col("__sa"), col("__sb"))))).as("overlap_secs"))
   }
+
+  /** Per-key overlap-pair COUNT and overlap-seconds SUM, computed
+    * collapse-first: equal to
+    * `intervalOverlapSelfJoin(...).groupBy(key).agg(count, sum(overlap_secs))`
+    * (JoinsSpec pins the equivalence) without ever materializing the
+    * pair relation.
+    *
+    * Rows collapse to distinct `(key, start)` groups with multiplicities
+    * BEFORE the bucket join, so the join runs over distinct timestamps
+    * only — under R× exact replication the pair relation grows R²× while
+    * this plan's join is invariant (the honest materialize() probe
+    * showed the pair form spending ~7 min/run at the 100× fixture on
+    * pairs this aggregate never needs). Pair counts come from
+    * multiplicities: a close group pair (i < j) contributes nᵢ·nⱼ pairs
+    * of identical overlap; a group with nᵢ ≥ 2 contributes C(nᵢ,2)
+    * exact-tie pairs of full-length overlap. All integer arithmetic —
+    * bit-identical to aggregating the pair relation.
+    *
+    * Output: (`key`, `n_overlaps`, `s_ov`) — keys with ≥ 1 pair only
+    * (matching the pair form's groupBy semantics). */
+  def intervalOverlapCountsCollapsed(rows: DataFrame, keyCol: String,
+      startCol: String, lengthDays: Int): DataFrame = {
+    require(lengthDays >= 1, s"lengthDays must be >= 1, got $lengthDays")
+    val secs = lengthDays * 86400L
+    val g = rows.groupBy(col(keyCol).as("__k"), col(startCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    // within-group: same-timestamp pairs overlap fully. DIV (integer
+    // division) keeps the counts LongType end to end — Column./ is
+    // double division and would leak a double into the BIGINT sums.
+    val pairsPerGroup = expr("__n * (__n - 1) DIV 2")
+    val within = g.where(col("__n") >= 2).select(col("__k"),
+      pairsPerGroup.as("cnt"), (pairsPerGroup * lit(secs)).as("sov"))
+    // cross-group: the same ≤2-bucket quantize + later-start-ownership
+    // trick as intervalOverlapSelfJoin, over DISTINCT (key, start) rows;
+    // starts are unique per key after the collapse, so `<` on the start
+    // replaces the id tiebreak
+    val t = g.withColumn("__bs", (unix_timestamp(col("__s")) / secs).cast("long"))
+      .withColumn("__be",
+        ((unix_timestamp(col("__s")) + secs) / secs).cast("long"))
+      .withColumn("__b", explode(array_distinct(array(col("__bs"), col("__be")))))
+      .drop("__bs", "__be")
+    val xs = t.select(col("__k"), col("__s").as("__sa"), col("__n").as("__na"),
+      col("__b"))
+    val ys = t.select(col("__k").as("__k2"), col("__s").as("__sb"),
+      col("__n").as("__nb"), col("__b").as("__b2"))
+    val len = expr(s"INTERVAL $lengthDays DAYS")
+    val cross = xs.join(ys,
+        col("__k") === col("__k2") && col("__b") === col("__b2") &&
+          col("__sa") < col("__sb") &&
+          col("__sb") < col("__sa") + len &&
+          col("__b") === (unix_timestamp(col("__sb")) / secs).cast("long"))
+      .select(col("__k"), (col("__na") * col("__nb")).as("cnt"),
+        (col("__na") * col("__nb") *
+          (lit(secs) - (unix_timestamp(col("__sb")) - unix_timestamp(col("__sa")))))
+          .as("sov"))
+    within.unionByName(cross)
+      .groupBy(col("__k").as("key"))
+      .agg(sum(col("cnt")).as("n_overlaps"), sum(col("sov")).as("s_ov"))
+  }
 }

@@ -306,6 +306,73 @@ object Similarity {
         col("e").getField("id").as("vid"), col("e").getField("value").as("cos"))
   }
 
+  /** Full-corpus screen variant of [[ivfProbe]], collapse-first: identical
+    * output contract (`qid`, `rank`, `vid`, `cos` — SimilaritySpec pins
+    * row-for-row equality with ivfProbe), but the candidate generation
+    * runs over DISTINCT embedding values instead of rows.
+    *
+    * Why a separate form exists: when the QUERY side is the whole corpus
+    * (q_label_consistency's shape), ivfProbe's candidate volume is
+    * |queries|·|corpus|·nProbe/nCells — quadratic in the corpus against
+    * a fixed quantizer (the honest materialize() probe measured 345 s at
+    * the 100× fixture; the old count() probe had erased the whole
+    * ranking join, recording 0.2 s). Cosine depends only on the VALUE of
+    * the two vectors, so both sides collapse first — the same
+    * replication-invariance argument as the dedup family's
+    * collapse-first joins:
+    *
+    *   1. query classes: distinct query vectors, each probing its nProbe
+    *      cells once (the probe list is a function of the value);
+    *   2. index classes: distinct `(cvec, cell)` with the k+1 SMALLEST
+    *      member vids (a deeper member can never rank above k+1 of its
+    *      own classmates — same cos, larger vid);
+    *   3. per query class: top k+1 `(cos, vid)` pairs via the bounded
+    *      top-k aggregate (k+1 because at most ONE entry — the member
+    *      itself — is excluded per consumer);
+    *   4. expand class results to members (broadcast of one small row
+    *      per distinct vector), drop self, keep k.
+    *
+    * Both quadratic stages now run over distinct values (class-pair work,
+    * invariant under exact replication); everything row-count-sized is a
+    * linear scan. The per-(query,candidate) cosine is the same expression
+    * over the same operands as ivfProbe, so results are bit-identical. */
+  def ivfScreen(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "need at least one pinned centroid")
+    def entries(v: Column): Column =
+      array(centroids.zipWithIndex.map { case (cen, i) =>
+        struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
+      }: _*)
+    def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
+    val probeCells = transform(
+      slice(reverse(array_sort(entries(rawV(col("__qv"))))), 1, nProbe),
+      e => -e.getField("nc"))
+    val qcls = queries.groupBy(col(vecCol).as("__qv")).agg(count(lit(1)).as("__nq"))
+      .select(col("__qv"), unit_vector(col("__qv")).as("__qu"),
+        explode(probeCells).as("cell"))
+    // k+1 smallest vids per class: top_k_by on the NEGATED vid (exact in
+    // double far past any id range here), ascending-vid order falls out
+    val icls = index.groupBy(col("cvec"), col("cell"))
+      .agg(graft.functions.TopKByValue
+        .top_k_by(-col("vid").cast("double"), col("vid"), k + 1).as("__iv"))
+      .select(col("cell"), col("cvec"),
+        transform(col("__iv"), e => e.getField("id")).as("__vids"))
+    val cos = round(array_dot(col("__qu"), col("cvec")), 6)
+    val qtop = icls.join(broadcast(qcls), Seq("cell"))
+      .select(col("__qv"), cos.as("__cos"), explode(col("__vids")).as("__vid"))
+      .groupBy(col("__qv"))
+      .agg(graft.functions.TopKByValue
+        .top_k_by(col("__cos"), col("__vid"), k + 1).as("__tk"))
+    queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .join(broadcast(qtop), Seq("__qv"))
+      .select(col("qid"), posexplode(
+        slice(filter(col("__tk"), e => e.getField("id") =!= col("qid")), 1, k))
+        .as(Seq("r0", "e")))
+      .select(col("qid"), (col("r0") + 1).as("rank"),
+        col("e").getField("id").as("vid"), col("e").getField("value").as("cos"))
+  }
+
   /** SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embeddings with a FROZEN coarse quantizer, compare pairs
     * only WITHIN a cluster, and for every pair above the cosine threshold

@@ -164,10 +164,12 @@ object JoinQueriesImpl {
   val intervalOverlap = Q(
     "q_interval_overlap",
     (s, dir) => {
-      val pairs = Joins.intervalOverlapSelfJoin(
-        Tables.orders(s, dir), "o_custkey", "o_orderkey", "o_orderdate", 7)
-      pairs.groupBy(col("key"))
-        .agg(count(lit(1)).as("n_overlaps"), sum(col("overlap_secs")).as("s_ov"))
+      // collapse-first counts: the pair relation grows R²× under R×
+      // replication while this form's join runs over distinct
+      // (custkey, date) rows — bit-identical aggregates (JoinsSpec pins
+      // equality with aggregating intervalOverlapSelfJoin's pairs)
+      Joins.intervalOverlapCountsCollapsed(
+          Tables.orders(s, dir), "o_custkey", "o_orderdate", 7)
         .groupBy(col("n_overlaps"))
         .agg(count(lit(1)).as("n_customers"), min(col("key")).as("min_custkey"),
           sum(col("s_ov")).as("total_overlap_secs"))

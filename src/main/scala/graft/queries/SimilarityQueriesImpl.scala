@@ -138,7 +138,10 @@ object SimilarityQueriesImpl {
     "q_label_consistency",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val nb = Similarity.ivfProbe(stagedIvfIndex(s, dir), e, "vec_id",
+      // full-corpus query side → the collapse-first screen form (class-
+      // pair candidate work, invariant under exact replication); the
+      // row-form ivfProbe stays the small-batch serve face
+      val nb = Similarity.ivfScreen(stagedIvfIndex(s, dir), e, "vec_id",
         "embedding", 5, IvfOracle.pinnedCentroids, nProbe = 2)
       val lab = e.select(col("vec_id"), col("label"))
       val ag = nb

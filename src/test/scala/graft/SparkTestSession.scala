@@ -13,6 +13,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // match the Bench/Verify mains: typed-aggregate hash groups
+      // before ObjectHashAggregate's sort fallback (see Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

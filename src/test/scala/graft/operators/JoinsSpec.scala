@@ -238,4 +238,36 @@ class JoinsSpec extends AnyFunSuite {
       case c: CartesianProductExec => c
     }.isEmpty, plan.toString)
   }
+
+  // ---- intervalOverlapCountsCollapsed --------------------------------------
+
+  private def pairAggOf(df: org.apache.spark.sql.DataFrame) =
+    Joins.intervalOverlapSelfJoin(df, "k", "id", "s", 7)
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_overlaps"), sum($"overlap_secs").as("s_ov"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("intervalOverlapCountsCollapsed equals aggregating the pair relation " +
+      "(schema incl. LongType sums)") {
+    val collapsed = Joins.intervalOverlapCountsCollapsed(windows, "k", "s", 7)
+    assert(collapsed.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq(("key", "long"), ("n_overlaps", "long"), ("s_ov", "long")),
+      collapsed.schema.treeString)
+    assert(asMap(collapsed) == asMap(pairAggOf(windows)))
+  }
+
+  test("intervalOverlapCountsCollapsed is exact under R-fold replication " +
+      "(pairs grow R-squared, the collapsed join does not)") {
+    // the SCALE.md fixture protocol: replicate rows with shifted ids —
+    // every original pair becomes R², plus C(R,2) full-overlap pairs per
+    // original row at its own timestamp
+    val reps = 3
+    val replicated = (0 until reps).map(r =>
+      windows.select($"k", ($"id" + lit(r * 1000L)).as("id"), $"s"))
+      .reduce(_ unionByName _)
+    assert(asMap(Joins.intervalOverlapCountsCollapsed(replicated, "k", "s", 7)) ==
+      asMap(pairAggOf(replicated)))
+  }
 }

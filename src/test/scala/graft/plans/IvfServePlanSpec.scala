@@ -66,6 +66,44 @@ class IvfServePlanSpec extends AnyFunSuite {
       s"expected 2 parquet scans (staged index + queries), got $scans:\n${plan.take(2000)}")
   }
 
+  test("ivfScreen (collapse-first) equals ivfProbe row-for-row on a " +
+      "full-corpus query side") {
+    val byProbe = Similarity.ivfProbe(stagedIndex, corpus, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    val byScreen = Similarity.ivfScreen(stagedIndex, corpus, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(byProbe.nonEmpty)
+    assert(byScreen.toSeq == byProbe.toSeq)
+  }
+
+  test("ivfScreen is exact under R-fold exact replication (the SCALE.md " +
+      "fixture protocol: duplicate groups, shifted ids)") {
+    // replicate with shifted ids: each vector becomes a 3-member exact-
+    // duplicate class — the collapse must reproduce the row form's
+    // neighbor sets INCLUDING the cos=1.0 duplicate entries and the
+    // (cos desc, vid asc) tie interleave, minus only each member itself
+    val reps = 3
+    val shift = 1000L
+    val replicated = (0 until reps).map(r =>
+      corpus.select((col("vec_id") + lit(r * shift)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    val path = s"${graft.Staging.dir("ivf_spec")}/rep/${java.util.UUID.randomUUID}"
+    val repIndex = graft.Staging.publishParquet(spark, path, partitionBy = Seq("cell")) {
+      Similarity.ivfIndex(replicated, "vec_id", "embedding", cents)
+    }
+    val byProbe = Similarity.ivfProbe(repIndex, replicated, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    val byScreen = Similarity.ivfScreen(repIndex, replicated, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(byProbe.nonEmpty)
+    assert(byScreen.toSeq == byProbe.toSeq)
+  }
+
   test("empty corpus publishes a readable, schema-exact index (r9 regression)") {
     val path = s"${graft.Staging.dir("ivf_spec")}/empty/${java.util.UUID.randomUUID}"
     val empty = graft.Staging.publishParquet(spark, path, partitionBy = Seq("cell")) {
