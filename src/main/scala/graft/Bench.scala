@@ -128,6 +128,15 @@ object Bench {
         // JSON is written, and without this line the dead query is
         // unidentifiable from the log (cost a full 22-min 100x run to learn)
         System.err.println(f"[bench] ${idx + 1}%3d/${selected.size} $name start t=${(System.nanoTime() - suiteT0) / 1e9}%.1fs")
+        // cross-query GC attribution: a heap full of the PREVIOUS query's
+        // garbage charges its collection to whichever query runs next —
+        // at the 100× fixture the multimodal block's decode garbage
+        // inflated the next queries up to 14× (q_part_affinity 78.7 s
+        // in-suite vs 5.7 s standalone, q_partitioned_prune 29.8 vs 2.4).
+        // One explicit collection per query, OUTSIDE the timed window,
+        // makes each query pay only for its own allocation — garbage
+        // between a query's two runs stays its own and stays timed.
+        System.gc()
         val runs = (1 to 2).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()

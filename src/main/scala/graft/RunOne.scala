@@ -18,6 +18,9 @@ object RunOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // match Bench/Verify: typed-aggregate hash groups before
+      // ObjectHashAggregate's sort fallback (see Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
