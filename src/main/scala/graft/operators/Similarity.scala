@@ -307,9 +307,10 @@ object Similarity {
   }
 
   /** Full-corpus screen variant of [[ivfProbe]], collapse-first: identical
-    * output contract (`qid`, `rank`, `vid`, `cos` — SimilaritySpec pins
-    * row-for-row equality with ivfProbe), but the candidate generation
-    * runs over DISTINCT embedding values instead of rows.
+    * output contract (`qid`, `rank`, `vid`, `cos` — IvfServePlanSpec pins
+    * row-for-row equality with ivfProbe, plain and under replication),
+    * but the candidate generation runs over DISTINCT embedding values
+    * instead of rows.
     *
     * Why a separate form exists: when the QUERY side is the whole corpus
     * (q_label_consistency's shape), ivfProbe's candidate volume is
@@ -335,7 +336,19 @@ object Similarity {
     * Both quadratic stages now run over distinct values (class-pair work,
     * invariant under exact replication); everything row-count-sized is a
     * linear scan. The per-(query,candidate) cosine is the same expression
-    * over the same operands as ivfProbe, so results are bit-identical. */
+    * over the same operands as ivfProbe, so results are bit-identical.
+    *
+    * CONTRACT (same shape as [[graft.operators.Joins.rangeJoinAggCollapsed]]):
+    * the two broadcasts (`qcls`, `qtop`) are O(distinct query vectors),
+    * each row carrying a full embedding array — the collapse pays off
+    * exactly when the corpus has meaningful value-duplication or is small
+    * enough that distinct-vectors·dim fits a broadcast. On a corpus of
+    * genuinely distinct vectors at cluster scale (say 10⁹ × 768 floats),
+    * that broadcast is unbounded and will blow the driver/broadcast
+    * limit — callers with high distinct-vector cardinality should stay on
+    * [[ivfProbe]], whose per-query candidate join shuffles instead of
+    * broadcasting. [[ivfScreenAuto]] makes that choice from a cheap
+    * distinct-count estimate; registered queries route through it. */
   def ivfScreen(index: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
       nProbe: Int = 4): DataFrame = {
@@ -348,7 +361,7 @@ object Similarity {
     val probeCells = transform(
       slice(reverse(array_sort(entries(rawV(col("__qv"))))), 1, nProbe),
       e => -e.getField("nc"))
-    val qcls = queries.groupBy(col(vecCol).as("__qv")).agg(count(lit(1)).as("__nq"))
+    val qcls = queries.select(col(vecCol).as("__qv")).distinct()
       .select(col("__qv"), unit_vector(col("__qv")).as("__qu"),
         explode(probeCells).as("cell"))
     // k+1 smallest vids per class: top_k_by on the NEGATED vid (exact in
@@ -371,6 +384,36 @@ object Similarity {
         .as(Seq("r0", "e")))
       .select(col("qid"), (col("r0") + 1).as("rank"),
         col("e").getField("id").as("vid"), col("e").getField("value").as("cos"))
+  }
+
+  /** Form selector for a full-corpus screen: [[ivfScreen]] (collapse-
+    * first, broadcast O(distinct vectors)) when the estimated distinct-
+    * vector broadcast fits `maxBroadcastBytes`, [[ivfProbe]] (row-form,
+    * shuffling candidate join) otherwise. Both forms are row-for-row
+    * identical (IvfServePlanSpec), so the choice is purely a plan-shape
+    * decision — the same guarded-tier pattern as
+    * [[graft.operators.Joins.rangeJoinAggCollapsed]]'s contract note.
+    *
+    * The estimate is one shuffle-free aggregate over the query side
+    * (approx_count_distinct + one dim sample): linear, columnar, and
+    * trivially cheaper than either screen form. Sizing: a query class
+    * broadcasts its raw + unit vector (doubles downstream) plus a
+    * (k+1)-entry top-k array — ≈ nd·(16·dim + 16·(k+2)) bytes. The
+    * default 256 MB budget keeps the broadcast an order of magnitude
+    * under Spark's hard 8 GB limit while letting a ~200k-distinct-vector
+    * ×64-dim corpus (the 100× fixture) take the collapse-first path. */
+  def ivfScreenAuto(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 4, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val est = queries.agg(
+      approx_count_distinct(col(vecCol)).as("nd"),
+      max(size(col(vecCol))).as("dim")).head()
+    val nd = est.getLong(0)
+    val dim = if (est.isNullAt(1)) 0L else est.getInt(1).toLong
+    val bytes = nd * (16L * dim + 16L * (k + 2))
+    if (bytes <= maxBroadcastBytes)
+      ivfScreen(index, queries, idCol, vecCol, k, centroids, nProbe)
+    else ivfProbe(index, queries, idCol, vecCol, k, centroids, nProbe)
   }
 
   /** SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):

@@ -138,10 +138,12 @@ object SimilarityQueriesImpl {
     "q_label_consistency",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // full-corpus query side → the collapse-first screen form (class-
-      // pair candidate work, invariant under exact replication); the
-      // row-form ivfProbe stays the small-batch serve face
-      val nb = Similarity.ivfScreen(stagedIvfIndex(s, dir), e, "vec_id",
+      // full-corpus query side → the guarded selector: collapse-first
+      // screen (class-pair candidate work, invariant under exact
+      // replication) while the distinct-vector broadcast fits its
+      // budget, row-form ivfProbe beyond it — both row-identical
+      // (IvfServePlanSpec), so the tier choice never changes results
+      val nb = Similarity.ivfScreenAuto(stagedIvfIndex(s, dir), e, "vec_id",
         "embedding", 5, IvfOracle.pinnedCentroids, nProbe = 2)
       val lab = e.select(col("vec_id"), col("label"))
       val ag = nb

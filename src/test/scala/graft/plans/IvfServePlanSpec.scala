@@ -104,6 +104,52 @@ class IvfServePlanSpec extends AnyFunSuite {
     assert(byScreen.toSeq == byProbe.toSeq)
   }
 
+  test("ivfScreen is exact when replication EXCEEDS k+1 (index-class " +
+      "pruning actively discards deep vids)") {
+    // reps=8 with k=5: each index class keeps only its k+1=6 smallest
+    // member vids, so the pruning step really drops 2 members per class
+    // — the subtlest step of the collapse's exactness argument (a deeper
+    // member can never outrank k+1 classmates: same cos, larger vid).
+    // Equality with the row-form probe must still hold bit-for-bit.
+    val reps = 8
+    val shift = 1000L
+    val small = corpus.where(col("vec_id") < 40)
+    val replicated = (0 until reps).map(r =>
+      small.select((col("vec_id") + lit(r * shift)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    val path = s"${graft.Staging.dir("ivf_spec")}/rep8/${java.util.UUID.randomUUID}"
+    val repIndex = graft.Staging.publishParquet(spark, path, partitionBy = Seq("cell")) {
+      Similarity.ivfIndex(replicated, "vec_id", "embedding", cents)
+    }
+    val byProbe = Similarity.ivfProbe(repIndex, replicated, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    val byScreen = Similarity.ivfScreen(repIndex, replicated, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(byProbe.nonEmpty)
+    assert(byScreen.toSeq == byProbe.toSeq)
+  }
+
+  test("ivfScreenAuto picks the collapse-first screen under its budget and " +
+      "the row-form probe above it — identical rows either way") {
+    val expected = Similarity.ivfScreen(stagedIndex, corpus, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    val roomy = Similarity.ivfScreenAuto(stagedIndex, corpus, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    // 1-byte budget forces the ivfProbe fallback (the unbounded-broadcast
+    // guard): results must not change with the tier
+    val tiny = Similarity.ivfScreenAuto(stagedIndex, corpus, "vec_id",
+      "embedding", 5, cents, nProbe = 2, maxBroadcastBytes = 1L)
+      .orderBy(col("qid"), col("rank")).collect()
+    assert(expected.nonEmpty)
+    assert(roomy.toSeq == expected.toSeq)
+    assert(tiny.toSeq == expected.toSeq)
+  }
+
   test("empty corpus publishes a readable, schema-exact index (r9 regression)") {
     val path = s"${graft.Staging.dir("ivf_spec")}/empty/${java.util.UUID.randomUUID}"
     val empty = graft.Staging.publishParquet(spark, path, partitionBy = Seq("cell")) {
