@@ -66,21 +66,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      // ObjectHashAggregate (every TypedImperativeAggregate: bounded
-      // top-k, sketches) falls back to SORT-based aggregation once a
-      // partition sees this many distinct keys — the stock default (128)
-      // turned q_label_consistency's 200 k-group bounded-top-k cut into
-      // a full sort of its ~5e9 candidate rows at the 100× fixture. Our
-      // typed buffers are ~100 B/group, so 4M hashed groups is ~400 MB
-      // worst-case per task — the production setting for wide-key typed
-      // aggregation (README documents the deployment knob).
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .getOrCreate()
+    // all session config (incl. the ObjectHashAggregate fallback
+    // threshold whose absence is a silent 36× slowdown) lives in
+    // GraftSession — SessionConfigSpec pins that every entry point
+    // routes through it
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // optional probe filter: SPARK_GRAFT_ONLY=q_a,q_b runs just those

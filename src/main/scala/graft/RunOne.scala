@@ -13,15 +13,9 @@ object RunOne {
     val reps = if (args.length > 2) args(2).toInt else 2
     val doExplain = args.contains("explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      // match Bench/Verify: typed-aggregate hash groups before
-      // ObjectHashAggregate's sort fallback (see Bench.scala)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .getOrCreate()
+    // shared session config (incl. typed-aggregate fallback threshold):
+    // GraftSession, pinned by SessionConfigSpec
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")

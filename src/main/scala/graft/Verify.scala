@@ -7,15 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      // see Bench.scala: typed-aggregate hash groups before sort fallback
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .getOrCreate()
+    // shared session config (incl. typed-aggregate fallback threshold):
+    // GraftSession, pinned by SessionConfigSpec
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q_a,q_b — builder-local subset iteration (same

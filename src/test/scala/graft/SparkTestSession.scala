@@ -6,16 +6,10 @@ import org.apache.spark.sql.SparkSession
   * sharing across suites in the same JVM is fine since config matches). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // shared session config (incl. typed-aggregate fallback threshold):
+    // GraftSession, pinned by SessionConfigSpec
+    val s = GraftSession.builder("local[4]", 4)
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      // match the Bench/Verify mains: typed-aggregate hash groups
-      // before ObjectHashAggregate's sort fallback (see Bench.scala)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
