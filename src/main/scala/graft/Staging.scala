@@ -198,7 +198,14 @@ object Staging {
     * write from a pre-lock layout — never live data — and can safely be
     * renamed aside and discarded after our rename lands. The build's
     * schema is persisted as a sidecar so the read-back is schema-exact
-    * even when the build produced zero rows (no data files). */
+    * even when the build produced zero rows (no data files).
+    *
+    * The `.lock` file itself is deliberately LEFT on disk: unlinking a
+    * lock file is the classic fcntl race (process A deletes while B has
+    * the fd open and C then creates a fresh inode — B and C now "hold"
+    * different locks on the same name). One empty dotfile per published
+    * dataset, removed with the staging root at shutdown/cleanup, is the
+    * safe steady state. */
   def publishParquet(s: SparkSession, path: String,
       partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val target = new java.io.File(path)

@@ -26,6 +26,21 @@ class PipelineTransformersSpec extends AnyFunSuite {
     assert(out.columns.toSeq == docs.columns.toSeq, "schema must be unchanged")
   }
 
+  test("ExactDeduper null-id contract: null-id rows are DROPPED (documented " +
+      "min-id keep rule), non-null groups unaffected") {
+    // the scaladoc'd contract: min() skips nulls and a null id never
+    // equi-joins back — callers without a reliable id mint one upstream.
+    // This pin makes the contract a test, not just a comment.
+    val withNull = docs.unionByName(Seq(
+      (Option.empty[Long], "a row with no id at all, unique text of its own"))
+      .toDF("doc_id", "text"))
+    val out = new ExactDeduper().transform(withNull)
+    val ids = out.select("doc_id").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(ids == Set(Some(0L), Some(2L), Some(3L), Some(4L)),
+      "null-id row must drop; non-null dedup groups must be untouched")
+  }
+
   test("MinHashDeduper drops near-duplicates, keeps unrelated docs") {
     val out = new MinHashDeduper().setMinJaccard(0.3).transform(docs)
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
