@@ -2,6 +2,8 @@
 """Compare two graft.Bench detail JSON records query by query.
 
 Usage: python3 dev/bench_diff.py OLD.json NEW.json [--top N] [--min-sec S]
+       python3 dev/bench_diff.py OLD.json NEW.json --gate \
+           [--gate-ratio=1.3] [--gate-min-sec=2]
 
 Prints total/probe/calibration identity for both records, then the
 per-query wall-time table sorted by absolute delta (descending), hiding
@@ -11,6 +13,26 @@ shrunk suite reads as a speedup otherwise. Records taken under
 different probes (`probe` field, absent = legacy count()-probe) are
 flagged NOT COMPARABLE but still diffed (the skew itself is the
 interesting signal during a probe re-baseline).
+
+--gate turns the diff into the SCALE REGRESSION GATE (BASELINE.md "100x
+regression gate"): exit 1 if any query at or above --gate-min-sec
+(default 2 s) on EITHER side regressed by more than --gate-ratio
+(default 1.3x), or errs on the NEW side, or disappeared from the NEW
+record. This is how the next quadratic plan shape gets caught the round
+it lands instead of by a future probe overhaul — run it against the
+committed 100x record after any plan-affecting change:
+
+    python3 dev/make_sfbig.py /root/testdata/sf0.1 /tmp/sfbig100 100
+    SPARK_GRAFT_SF_DIR=/tmp/sfbig100 SPARK_GRAFT_CPUS=32 \
+        sbt -batch "runMain graft.Bench"
+    python3 dev/bench_diff.py BENCH_DETAIL__tmp_sfbig100.json \
+        BENCH_DETAIL__tmp_sfbig100.json.new --gate
+
+(Bench writes the fresh record to BENCH_DETAIL__tmp_sfbig100.json in
+the repo root — copy the committed one aside first, or diff against
+`git show HEAD:BENCH_DETAIL__tmp_sfbig100.json` written to a temp file.)
+Check the sentinel first: a contaminated record (calib >=3x idle)
+gates on noise, not plans.
 """
 import json
 import sys
@@ -25,8 +47,12 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = {a.split("=")[0]: a.split("=")[1] for a in sys.argv[1:]
             if a.startswith("--") and "=" in a}
+    flags = {a for a in sys.argv[1:] if a.startswith("--") and "=" not in a}
     top = int(opts.get("--top", 1000))
     min_sec = float(opts.get("--min-sec", 0.25))
+    gate = "--gate" in flags
+    gate_ratio = float(opts.get("--gate-ratio", 1.3))
+    gate_min = float(opts.get("--gate-min-sec", 2.0))
     old, new = load(args[0]), load(args[1])
 
     def ident(d, name):
@@ -79,6 +105,29 @@ def main():
             ratio = f"{b / a:.2f}x" if a > 0 else "—"
             print(f"{q:40s} {sa:>8s} {sb:>8s} {b - a:>+8.3f} {ratio:>7s}")
         shown += 1
+
+    if gate:
+        flagged = []
+        for q in only_old:
+            flagged.append(f"{q}: present in OLD, missing from NEW")
+        for q in sorted(set(qo) & set(qn)):
+            a, b = qo[q], qn[q]
+            if a is None:
+                # erred before too (e.g. a deliberate O(N^2) gate refusal
+                # like q_dedup_embedding at 100x) or runs now: not a
+                # regression either way
+                continue
+            elif b is None:
+                flagged.append(f"{q}: errs in NEW (old {a}s)")
+            elif max(a, b) >= gate_min and a > 0 and b / a > gate_ratio:
+                flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s "
+                               f"({b / a:.2f}x > {gate_ratio}x gate)")
+        print(f"\nGATE (>= {gate_min}s either side, ratio > {gate_ratio}x): "
+              f"{'FAIL' if flagged else 'PASS'}")
+        for f in flagged:
+            print(f"  !! {f}")
+        if flagged:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
