@@ -404,6 +404,79 @@ object Kernels {
         Array[Any](clen, h))
     new GenericArrayData(out.toArray)
   }
+  // ---- PII audit + redaction ---------------------------------------------
+
+  /** PII patterns (ASCII, RE2-compatible so a DuckDB oracle replays them
+    * exactly; java.util.regex is what Spark's own regexp_* use, so the
+    * kernel and the composed form are engine-identical). Curation's
+    * public vals alias these. */
+  val PiiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PiiPhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+  val PiiIpv4Re = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+  private val piiPats = Array(PiiEmailRe, PiiPhoneRe, PiiIpv4Re)
+    .map(java.util.regex.Pattern.compile)
+  private val piiRepl = Array("<EMAIL>", "<PHONE>", "<IP>")
+
+  val PiiStatsType: StructType = StructType(Seq(
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false),
+    StructField("n_ips", IntegerType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  /** One-kernel PII audit: per-pattern match COUNTS over the original
+    * text plus the sequentially redacted text (email → phone → IP, the
+    * same chain as Curation.redactPii), in a single toString of the row.
+    *
+    * Why: the composed form (3 × regexp_extract_all + 3 × regexp_replace)
+    * materializes the full document ~13 times per row across
+    * UTF8String→String conversions, match arrays, and replace buffers —
+    * at the 100× fixture that allocation (not the regex scans) dominated
+    * q_pii_redact and its excess-over-linear was pure GC. This kernel
+    * allocates ONE String per row, counts with buffer-free matchers, and
+    * only builds a replace buffer for patterns that actually matched
+    * (most rows match at most one); a no-PII row allocates nothing past
+    * the toString and returns the input UTF8String unchanged.
+    * KernelsSpec pins count-and-redaction equality with the composed
+    * regexp_extract_all / regexp_replace form. */
+  def piiStats(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    val counts = new Array[Int](3)
+    var cur = s
+    var i = 0
+    while (i < 3) {
+      if (cur eq s) {
+        // nothing redacted yet: count and redact in ONE matcher pass
+        val m = piiPats(i).matcher(s)
+        if (m.find()) {
+          val sb = new java.lang.StringBuilder(s.length)
+          do { counts(i) += 1; m.appendReplacement(sb, piiRepl(i)) } while (m.find())
+          m.appendTail(sb)
+          cur = sb.toString
+        }
+      } else {
+        // counts are over the ORIGINAL text (the audit face); redaction
+        // chains over the already-redacted text, exactly like the
+        // sequential regexp_replace form
+        val mc = piiPats(i).matcher(s)
+        while (mc.find()) counts(i) += 1
+        if (counts(i) > 0) {
+          val mr = piiPats(i).matcher(cur)
+          if (mr.find()) {
+            val sb = new java.lang.StringBuilder(cur.length)
+            do mr.appendReplacement(sb, piiRepl(i)) while (mr.find())
+            mr.appendTail(sb)
+            cur = sb.toString
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](counts(0), counts(1), counts(2),
+        if (cur eq s) u else UTF8String.fromString(cur)))
+  }
+
+
 }
 
 /** Catalyst wrappers: `nullSafeEval` for the interpreted path and a
@@ -476,6 +549,17 @@ object KernelExpressions {
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.functions.Kernels.nfcNormalize($c);")
     override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+  }
+
+  case class PiiStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = Kernels.PiiStatsType
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.piiStats(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.piiStats($c);")
+    override protected def withNewChildInternal(c: Expression): PiiStats =
       copy(child = c)
   }
 
@@ -597,6 +681,11 @@ object KernelExpressions {
 
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  /** struct<n_emails,n_phones,n_ips,redacted> in one kernel pass — see
+    * [[Kernels.piiStats]]. */
+  def pii_stats(text: Column): Column =
+    ColumnBridge.column(PiiStats(ColumnBridge.expression(text)))
 
   def word_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))

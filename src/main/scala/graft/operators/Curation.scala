@@ -170,10 +170,13 @@ object Curation {
   }
 
   /** PII patterns (ASCII, RE2-compatible so a DuckDB oracle can replay
-    * them exactly): email, NNN-NNN-NNNN phone, dotted-quad IPv4. */
-  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
-  val Ipv4Re = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+    * them exactly): email, NNN-NNN-NNNN phone, dotted-quad IPv4.
+    * Aliased from [[graft.functions.Kernels]] so the single-pass kernel
+    * ([[graft.functions.KernelExpressions.pii_stats]]) and this composed
+    * form can never drift apart. */
+  val EmailRe: String = graft.functions.Kernels.PiiEmailRe
+  val PhoneRe: String = graft.functions.Kernels.PiiPhoneRe
+  val Ipv4Re: String = graft.functions.Kernels.PiiIpv4Re
 
   /** Redact PII in place: emails → <EMAIL>, phones → <PHONE>, IPv4 →
     * <IP>. Email first so an address is consumed whole before the

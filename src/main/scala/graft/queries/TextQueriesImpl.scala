@@ -108,12 +108,18 @@ object TextQueriesImpl {
         when(col("doc_id") % 3 === 0,
           concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
             lit("."), (expr("doc_id div 7") % 256).cast("string"))).otherwise(lit("")))
-      docs.select(col("doc_id"), injected.as("pii_text"))
+      // single-kernel audit: the composed form (3× regexp_extract_all +
+      // 3× regexp_replace) materialized the document ~13× per row and
+      // its 100× excess was pure GC; pii_stats allocates one String and
+      // per-match buffers only (KernelsSpec pins equality with the
+      // composed form, which the oracle SQL still replays)
+      docs.select(col("doc_id"),
+          graft.functions.KernelExpressions.pii_stats(injected).as("st"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("pii_text"), lit(Curation.EmailRe), lit(0))).as("n_emails"),
-          size(regexp_extract_all(col("pii_text"), lit(Curation.PhoneRe), lit(0))).as("n_phones"),
-          size(regexp_extract_all(col("pii_text"), lit(Curation.Ipv4Re), lit(0))).as("n_ips"),
-          md5(Curation.redactPii(col("pii_text"))).as("redacted_md5"))
+          col("st.n_emails").as("n_emails"),
+          col("st.n_phones").as("n_phones"),
+          col("st.n_ips").as("n_ips"),
+          md5(col("st.redacted")).as("redacted_md5"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH p AS (

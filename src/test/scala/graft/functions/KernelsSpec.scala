@@ -65,6 +65,35 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii_stats kernel == composed regexp_extract_all counts + " +
+      "regexp_replace chain, incl. overlap/edge strings") {
+    import graft.operators.Curation
+    val texts = docs.select(col("text")).as[String].collect().toSeq ++ Seq(
+      "", "   ", "no pii here at all",
+      "mail me at a.b-c%d@e-f.co.uk now",
+      "call 555-123-4567 or 555-765-4321",
+      "host 10.0.0.1 and 255.255.255.255 and 999.999.999.999",
+      // overlap shapes: phone digits inside an email local part (email
+      // must consume them whole), ip-like tail after an email
+      "123-456-7890@mail.com then 1.2.3.4",
+      "123-456-7890.a@b.co stays one email",
+      "x 555-867-0001 y user7@example.com z 10.0.7.1",
+      "double user1@a.com user2@b.org 111-222-3333 4.3.2.1 5.6.7.8")
+    val df = texts.toDF("t")
+    val kernel = df.select(KernelExpressions.pii_stats(col("t")).as("st"))
+      .select(col("st.n_emails"), col("st.n_phones"), col("st.n_ips"),
+        col("st.redacted")).collect()
+    val composed = df.select(
+        size(regexp_extract_all(col("t"), lit(Curation.EmailRe), lit(0))),
+        size(regexp_extract_all(col("t"), lit(Curation.PhoneRe), lit(0))),
+        size(regexp_extract_all(col("t"), lit(Curation.Ipv4Re), lit(0))),
+        Curation.redactPii(col("t"))).collect()
+    assert(kernel.length == composed.length)
+    kernel.zip(composed).zipWithIndex.foreach { case ((k, c), i) =>
+      assert(k.toSeq == c.toSeq, s"row $i (${texts(i).take(60)})")
+    }
+  }
+
   test("sorted_gram_hashes jaccard == string-gram jaccard on real documents") {
     val d = docs.select(col("doc_id"),
       Dedup.wordNgrams(col("text"), 3).as("grams"),
