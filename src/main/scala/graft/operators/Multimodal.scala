@@ -92,14 +92,101 @@ object Multimodal {
     }
   }
 
-  /** Real JDK audio codec (`javax.sound.sampled`, WAV/PCM — JDK built-in,
-    * zero extra dependencies); one instance per partition/task. */
+  /** WAV/PCM16 audio codec; one instance per partition/task.
+    *
+    * The SCAN path parses the RIFF container directly and computes the
+    * sample statistics in place over the binary column — zero copies,
+    * zero stream wrappers, zero provider machinery.
+    * `javax.sound.sampled` is NOT on the scan path anymore:
+    * `AudioSystem.getAudioInputStream` walks the AudioFileReader SPI
+    * list per call (each provider parses the header behind shared
+    * registry state), and with 32 concurrent tasks that was ~10 ms and
+    * two PCM-sized copies (`readAllBytes`) PER ROW — 54 s of
+    * q_multimodal_decode's 59 s at the 100× fixture, all of it codec
+    * bookkeeping, none of it sample math. The JDK decoder stays as the
+    * parity reference: [[featuresViaJavaxSound]] is spec-pinned equal to
+    * this parser on canonical WAVs and on rejection cases
+    * (MultimodalSpec).
+    *
+    * Contract (same as the javax.sound tier it replaced): canonical
+    * little-endian RIFF/WAVE with a PCM(1) 16-bit `fmt ` chunk → stats;
+    * anything else (compressed, big-endian AIFF, WAVE_EXTENSIBLE,
+    * truncated header, garbage) → null. */
   final class AudioCodec extends Serializable {
+
+    @inline private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    @inline private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    @inline private def tag(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
     /** Decodes WAV bytes to FeatureDim audio statistics:
       * [rate/48k, channels/2, dur_s/60, rms, peak, zero-cross rate,
       * dc-offset, mean-abs]. Returns null for non-WAV / non-PCM16 bytes. */
     def features(bytes: Array[Byte]): Array[Float] = {
+      if (bytes == null || bytes.length < 44) return null
+      if (tag(bytes, 0) != 0x52494646 /* RIFF */ ||
+        tag(bytes, 8) != 0x57415645 /* WAVE */) return null
+      // chunk walk: find fmt (PCM=1, 16-bit, little-endian by format) and data
+      var off = 12
+      var rate = 0; var channels = 0; var haveFmt = false
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= bytes.length && (dataOff < 0 || !haveFmt)) {
+        val id = tag(bytes, off)
+        val sz = le32(bytes, off + 4)
+        if (sz < 0) return null // >2 GB chunk: not a WAV we trust
+        val body = off + 8
+        if (id == 0x666d7420 /* fmt  */ && body + 16 <= bytes.length) {
+          val codec = le16(bytes, body)
+          val bits = le16(bytes, body + 14)
+          if (codec != 1 || bits != 16) return null // non-PCM16 (incl. WAVE_EXT)
+          channels = le16(bytes, body + 2)
+          rate = le32(bytes, body + 4)
+          if (channels <= 0 || rate <= 0) return null
+          haveFmt = true
+        } else if (id == 0x64617461 /* data */) {
+          dataOff = body
+          dataLen = math.min(sz, bytes.length - body)
+        }
+        off = body + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (!haveFmt || dataOff < 0) return null
+      val n = dataLen / 2
+      if (n == 0) return null
+      var sum = 0.0; var sumAbs = 0.0; var sum2 = 0.0
+      var peak = 0.0; var crossings = 0L
+      var prev = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (((bytes(dataOff + 2 * i + 1) << 8) |
+          (bytes(dataOff + 2 * i) & 0xff)).toShort) / 32768.0
+        sum += s; sumAbs += math.abs(s); sum2 += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && (s > 0) != (prev > 0)) crossings += 1
+        prev = s
+        i += 1
+      }
+      // float intermediates mirror featuresViaJavaxSound bit-for-bit
+      // (getSampleRate is a Float there), so the parity pin is exact
+      val rateF = rate.toFloat
+      val frames = n / channels
+      val durS = frames / rateF
+      Array((rateF / 48000.0f).min(1f), channels / 2.0f,
+        (durS / 60.0).min(1.0).toFloat,
+        math.sqrt(sum2 / n).toFloat, peak.toFloat,
+        (crossings.toDouble / n).toFloat,
+        (sum / n).toFloat, (sumAbs / n).toFloat)
+    }
+
+    /** The previous javax.sound.sampled implementation, kept as the
+      * PARITY REFERENCE for the direct RIFF parser (MultimodalSpec pins
+      * features == featuresViaJavaxSound on canonical WAVs and on
+      * rejects). Not on any query path: per-call SPI discovery + two
+      * PCM-size copies made it ~10 ms/row under 32 threads. */
+    private[operators] def featuresViaJavaxSound(bytes: Array[Byte]): Array[Float] = {
       if (bytes == null || bytes.length == 0) return null
       var in: javax.sound.sampled.AudioInputStream = null
       try {

@@ -153,6 +153,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f(6)) < 0.01, s"dc offset ≈ 0: ${f(6)}")
   }
 
+  test("direct RIFF parser == javax.sound reference: stats bit-equal on " +
+      "canonical WAVs, same rejects on malformed/unsupported bytes") {
+    val codec = new Multimodal.AudioCodec()
+    // canonical mono PCM16 WAVs across rates/durations/frequencies,
+    // including rates above the 48 kHz clamp
+    val wavs = for {
+      rate <- Seq(8000, 16000, 44100, 96000)
+      durMs <- Seq(1, 37, 250)
+      freq <- Seq(55.0, 440.0, 1234.5)
+    } yield Multimodal.sineWav(freq, durMs, rate)
+    // a stereo PCM16 WAV via the JDK writer (sineWav is mono-only)
+    val stereo = {
+      val n = 800
+      val pcm = new Array[Byte](n * 4)
+      var i = 0
+      while (i < n) {
+        val l = (0.4 * math.sin(2 * math.Pi * 300 * i / 8000.0) * 32767).toInt
+        val r = (0.2 * math.sin(2 * math.Pi * 700 * i / 8000.0) * 32767).toInt
+        pcm(4 * i) = (l & 0xff).toByte; pcm(4 * i + 1) = ((l >> 8) & 0xff).toByte
+        pcm(4 * i + 2) = (r & 0xff).toByte; pcm(4 * i + 3) = ((r >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // an 8-bit WAV: well-formed container, unsupported sample width —
+    // BOTH tiers must reject it
+    val eightBit = {
+      val pcm = Array.tabulate[Byte](400)(i => (128 + 60 *
+        math.sin(2 * math.Pi * 200 * i / 8000.0)).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val rejects = Seq(
+      Array.empty[Byte], "not audio at all".getBytes,
+      "RIFFxxxxWAVE".getBytes,                           // header, no chunks
+      Multimodal.sineWav(440.0, 100, 16000).take(40),    // truncated mid-header
+      eightBit)
+    for ((w, i) <- (wavs ++ Seq(stereo)).zipWithIndex) {
+      val fast = codec.features(w)
+      val ref = codec.featuresViaJavaxSound(w)
+      assert(fast != null && ref != null, s"wav $i decoded by both tiers")
+      assert(fast.toSeq == ref.toSeq, s"wav $i: $i parser != javax reference")
+    }
+    for ((b, i) <- rejects.zipWithIndex) {
+      assert(codec.features(b) == null, s"reject $i: parser must return null")
+      assert(codec.featuresViaJavaxSound(b) == null,
+        s"reject $i: javax reference must return null")
+    }
+  }
+
   test("AudioCodec rejects non-WAV bytes; decodeFeatures routes audio rows to it") {
     assert(new Multimodal.AudioCodec().features("not audio".getBytes) == null)
     assert(new Multimodal.AudioCodec().features(Array.empty[Byte]) == null)
