@@ -62,22 +62,21 @@ object TextFunctions {
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
   /** Language ID by stopword-profile hit counting — a standard n-gram/
-    * function-word heuristic over public stopword lists. Returns the best
-    * lang code or "und". */
-  private val profiles: Map[String, Set[String]] = Map(
-    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as"),
-    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "las", "por", "con"),
-    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu", "den", "im"),
-    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "en", "que", "pour"),
-    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "con", "del", "sono", "non"),
-    "pt" -> Set("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "com", "para", "os"))
-
-  val langId = udf { (toks: Seq[String]) =>
+    * function-word heuristic over public stopword lists
+    * ([[Kernels.LangProfiles]], the single source of truth the oracle
+    * SQL literal lists also replay).
+    *
+    * This UDF is the PARITY REFERENCE for the codegen'd kernel
+    * ([[KernelExpressions.lang_id]]) — not on any query path: a Scala
+    * UDF over an array column pays a Catalyst-array → Seq[String]
+    * conversion per row on top of the tokenize, and BatchEval boxing on
+    * the way out. KernelsSpec pins equality on real documents. */
+  private[graft] val langIdUdfReference = udf { (toks: Seq[String]) =>
     if (toks == null || toks.isEmpty) "und"
     else {
       var bestLang = "und"
       var bestHits = 0
-      profiles.toSeq.sortBy(_._1).foreach { case (lang, stops) =>
+      Kernels.LangProfiles.foreach { case (lang, stops) =>
         val hits = toks.count(stops.contains)
         if (hits > bestHits) { bestHits = hits; bestLang = lang }
       }

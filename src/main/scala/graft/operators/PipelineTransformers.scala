@@ -90,8 +90,11 @@ class LanguageTagger(override val uid: String) extends Transformer
   def setOutputCol(v: String): this.type = set(outputCol, v)
 
   override def transform(ds: Dataset[_]): DataFrame =
+    // one codegen'd kernel pass (tokenize + profile lookup + argmax);
+    // the Seq[String]-UDF form it replaced is the spec-pinned parity
+    // reference in TextFunctions
     ds.toDF.withColumn($(outputCol),
-      TextFunctions.langId(TextFunctions.tokens(col($(textCol)))))
+      KernelExpressions.lang_id(col($(textCol))))
   override def transformSchema(schema: StructType): StructType =
     schema.add($(outputCol), StringType, nullable = true)
   override def copy(extra: ParamMap): LanguageTagger = defaultCopy(extra)

@@ -65,6 +65,22 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("lang_id kernel == Seq[String]-UDF reference on real documents + " +
+      "tie/empty/und edges") {
+    val texts = docs.select(col("text")).as[String].collect().toSeq ++ Seq(
+      "", "   ", "xqz yzzy nohits",
+      // shared Romance stopwords: "la de que en un" hits es AND fr AND it
+      // profiles — argmax tie must go to the alphabetically-first code
+      "la de que en un", "de la", "the der el le il o",
+      "der die das the and of el la de")
+    val df = texts.toDF("t")
+    val kernel = df.select(KernelExpressions.lang_id(col("t"))).as[String].collect()
+    val udfRef = df.select(graft.functions.TextFunctions.langIdUdfReference(
+      graft.functions.TextFunctions.tokens(col("t")))).as[String].collect()
+    assert(kernel.toSeq == udfRef.toSeq)
+    assert(kernel.contains("und"))
+  }
+
   test("pii_stats kernel == composed regexp_extract_all counts + " +
       "regexp_replace chain, incl. overlap/edge strings") {
     import graft.operators.Curation

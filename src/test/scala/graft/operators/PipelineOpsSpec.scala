@@ -143,6 +143,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantize kernel == composed transform/aggregate HOF form, " +
+      "bit-for-bit per field (real embeddings + edges)") {
+    val edges = Seq(
+      (1000L, Array(0.0f, 0.0f)),          // all-zero → zero codes, null cos
+      (1001L, Array(-3.5f)),               // single negative element
+      (1002L, Array(1e-8f, -1e-8f, 1e-8f)) // tiny maxabs → big scale
+    ).toDF("vec_id", "embedding")
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).unionByName(edges)
+    val byKernel = Similarity.int8Quantize(real, "vec_id", "embedding")
+      .orderBy(col("vec_id")).collect()
+    // The composed reference runs with ANSI off FOR THIS COLLECT ONLY:
+    // under ANSI, interpreted/eager evaluation orders (local-relation
+    // constant evaluation, subexpression hoisting) can evaluate the dq
+    // divide past its when(maxabs>0) guard and throw DIVIDE_BY_ZERO on
+    // degenerate rows — an eval-order artifact of the HOF form, and one
+    // the kernel is immune to by construction (the scaled block is
+    // if-guarded). IEEE arithmetic is identical with ANSI off, so the
+    // parity values are unaffected.
+    val byComposed =
+      try {
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        Similarity.int8QuantizeComposed(real, "vec_id", "embedding")
+          .orderBy(col("vec_id")).collect()
+      } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    assert(byKernel.length == byComposed.length && byKernel.nonEmpty)
+    byKernel.zip(byComposed).foreach { case (k, c) =>
+      assert(k.toSeq == c.toSeq, s"vec ${k.get(0)}")
+    }
+  }
+
   test("vocab OOV rate: hand-computed boundary with deterministic tie-break") {
     // counts: a=4, b=3, c=2, d=1, e=1 → V=3 vocab {a,b,c}; d,e are OOV
     val corpus = Seq((0L, "a a b c d"), (1L, "a b c e"), (2L, "a b")).toDF("doc_id", "text")
@@ -267,7 +298,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("langId identifies constructed English vs Spanish") {
     val out = docs.select(col("doc_id"),
-      TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang"))
+      graft.functions.KernelExpressions.lang_id(col("text")).as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(0L) == "en")
     assert(out(4L) == "es")
