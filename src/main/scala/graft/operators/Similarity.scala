@@ -635,6 +635,38 @@ object Similarity {
     * values are codes/scale. All-zero vectors quantize to all-zero codes
     * with a NULL reconstruction cosine (0/0). */
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // ONE fused kernel pass (maxabs, HALF_UP codes, integer sums,
+    // reconstruction cosine) — the composed transform/aggregate-HOF
+    // form it replaced ran INTERPRETED per element (~23 s for 200 k
+    // vectors at the 100× fixture) and is kept below as the spec-pinned
+    // parity reference; PipelineOpsSpec pins bit-equality per field
+    val st = graft.functions.KernelExpressions.int8_quantize(col(vecCol))
+    df.select(col(idCol), st.as("__q"))
+      .select(col(idCol),
+        round(col("__q.maxabs"), 6).as("maxabs"),
+        col("__q.codes").as("codes"),
+        col("__q.code_sum").as("code_sum"),
+        col("__q.code_abs_sum").as("code_abs_sum"),
+        round(col("__q.recon_cos"), 6).as("recon_cos"))
+  }
+
+  /** The composed-HOF form of [[int8Quantize]] — PARITY REFERENCE ONLY
+    * (PipelineOpsSpec pins the kernel bit-equal to it): four interpreted
+    * `transform`s plus two interpreted `aggregate` folds per row make it
+    * ~20× the kernel's cost at scale.
+    *
+    * Differs from the pre-kernel query form in ONE latent detail the
+    * kernel surfaced: the original computed `recon_cos` and the rounded
+    * `maxabs` output in the SAME select, so Spark's lateral-column-alias
+    * resolution silently bound the dequantization scale to the ROUNDED
+    * maxabs — a ~1e-12-level divergence from the DuckDB oracle (which
+    * binds the raw column) that was invisible at 6 dp on realistic
+    * magnitudes but flips recon_cos to NaN when maxabs rounds to 0.
+    * Here the rounding happens in a separate outer select, so the
+    * reference is unambiguous and matches both the kernel and the
+    * oracle's raw-maxabs semantics. */
+  private[graft] def int8QuantizeComposed(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxabs = array_max(transform(v, x => abs(x)))
     val scale = lit(127.0) / col("maxabs")
@@ -644,11 +676,12 @@ object Similarity {
     val dq = transform(col("codes"), c => c / scale)
     df.select(col(idCol), v.as("v"), maxabs.as("maxabs"))
       .withColumn("codes", codes)
-      .select(col(idCol), round(col("maxabs"), 6).as("maxabs"),
-        col("codes"),
+      .select(col(idCol), col("maxabs"), col("codes"),
         aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
         aggregate(col("codes"), lit(0L), (acc, c) => acc + abs(c)).as("code_abs_sum"),
         when(col("maxabs") > 0,
           round(Dedup.cosine(col("v"), dq), 6)).as("recon_cos"))
+      .select(col(idCol), round(col("maxabs"), 6).as("maxabs"), col("codes"),
+        col("code_sum"), col("code_abs_sum"), col("recon_cos"))
   }
 }

@@ -169,11 +169,14 @@ object SimilarityQueriesImpl {
   val embedProject = Q(
     "q_embed_project",
     (s, dir) => {
+      // sort-first: the projection kernel stays above the range exchange
+      // (the sort-last form pays a full second kernel pass inside
+      // RangePartitioner's sampling — see TextQueriesImpl.docsSorted)
       val proj = graft.operators.Similarity.randomProjection(
-        Tables.embeddings(s, dir), "embedding", projPlanes, "proj")
+        Tables.embeddings(s, dir).orderBy(col("vec_id")),
+        "embedding", projPlanes, "proj")
       proj.select(Seq(col("vec_id")) ++
           (1 to 8).map(i => round(element_at(col("proj"), i), 6).as(s"p$i")): _*)
-        .orderBy(col("vec_id"))
     },
     Some {
       val cols = projPlanes.zipWithIndex.map { case (p, i) =>
@@ -194,12 +197,16 @@ object SimilarityQueriesImpl {
   val embedQuantize = Q(
     "q_embed_quantize",
     (s, dir) =>
-      Similarity.int8Quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+      // sort-first (see TextQueriesImpl.docsSorted): 12.7 s -> 1.1 s at
+      // the 100x fixture; the quantize kernel runs once, above the
+      // range exchange
+      Similarity.int8Quantize(
+          Tables.embeddings(s, dir).orderBy(col("vec_id")),
+          "vec_id", "embedding")
         .withColumn("codes_csv", array_join(col("codes").cast("array<string>"), ","))
         .drop("codes")
         .select(col("vec_id"), col("maxabs"), col("codes_csv"),
-          col("code_sum"), col("code_abs_sum"), col("recon_cos"))
-        .orderBy(col("vec_id")),
+          col("code_sum"), col("code_abs_sum"), col("recon_cos")),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
       c AS (SELECT vec_id, v, maxabs,
