@@ -51,6 +51,11 @@ object Plans {
     "q_ks_drift"         -> "level-based exact KS — integer cumsums over value levels",
     "q_label_consistency" -> "index-bounded neighbor screen — candidates are nProbe/nCells of the corpus, ranked by the bounded top-k aggregate (map-side partials, no candidate sort)",
     "q_range_join"       -> "intervals collapse to distinct starts, broadcast onto the point scan — points never shuffle for the join",
+    "q_interval_overlap" -> "collapse-first overlap counts: distinct (key,start,multiplicity) rows into the bucket join, C(n,2) within-group — the R² pair relation never materializes",
+    "q_approx_sketch"    -> "distinct and typed-buffer aggregates split into two scans + broadcast join — sketch buffers never re-serialize through a distinct-rewrite",
+    "q_table_stats"      -> "same split-aggregate shape: exact distincts and typed sketches on separate scans, joined at 1-row granularity",
+    "q_pii_redact"       -> "single pii_stats kernel scan — counts and chained redaction in one pass, one String per row",
+    "q_multimodal_decode" -> "direct RIFF/ISO-BMFF/imageio decode per partition — binary column streams, zero shuffle before the final sort",
     "q_numeric_corr"     -> "every pairwise moment in ONE map-side-combinable aggregate row",
     "q_ab_welch"         -> "deterministic hash arm split; one grouped moment pass",
     "q_sim_topk_ivf"     -> "staged cell-partitioned index scan under DYNAMIC PARTITION PRUNING — serve never re-assigns corpus vectors",

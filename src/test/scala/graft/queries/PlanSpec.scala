@@ -162,6 +162,31 @@ class PlanSpec extends AnyFunSuite {
       "quantization must not hash-shuffle:\n" + p.take(1200))
   }
 
+  test("sort-first scan queries keep the heavy projection ABOVE the range " +
+      "exchange (one kernel pass, not two)") {
+    // With the sort LAST, RangePartitioner's sampling pass executes the
+    // entire projection a second time just to read the sort keys —
+    // measured 12.7 s vs 1.1 s on q_embed_quantize at the 100× fixture.
+    // Pin: the Sort's exchange must sit DIRECTLY over the parquet scan
+    // (narrow columns), with every kernel projection above it.
+    for (q <- Seq("q_text_tokens", "q_text_quality", "q_text_repetition",
+        "q_text_langid", "q_pii_redact", "q_text_fingerprint",
+        "q_text_fingerprint_fnv", "q_embed_quantize", "q_embed_project")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val physical = df.queryExecution.executedPlan.toString
+      // textual structure: rangepartitioning exchange must appear BELOW
+      // (after, in tree print order) every Project node
+      val lines = physical.split("\n")
+      val exchangeIdx = lines.indexWhere(_.contains("rangepartitioning"))
+      val lastProjectIdx = lines.lastIndexWhere(l =>
+        l.contains("Project") && !l.contains("ProjectExec"))
+      assert(exchangeIdx >= 0, s"$q lost its range sort:\n${physical.take(800)}")
+      assert(lastProjectIdx >= 0 && lastProjectIdx < exchangeIdx,
+        s"$q has a projection BELOW the range exchange — the sampling " +
+          s"pass will execute the kernel twice:\n${physical.take(1200)}")
+    }
+  }
+
   test("q_snapshot_diff: keyed full-outer join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"), "diff must be a full-outer join:\n" + p.take(1200))
