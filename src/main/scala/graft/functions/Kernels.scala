@@ -529,6 +529,45 @@ object Kernels {
     if (best < 0) langUnd else langNames(best)
   }
 
+  // ---- per-document token entropy --------------------------------------
+
+  val TokenEntropyType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("slc", DoubleType, nullable = false)))
+
+  /** Per-document unigram statistics for the information-density score:
+    * (n_tokens, n_distinct, Σ c·log2(c)) in ONE local pass with a
+    * per-row hash map. Entropy is a PURE per-row function of the text —
+    * the composed groupBy form exploded every token and shuffled the
+    * (doc, token) pairs twice (≈50 M rows twice at the 100× fixture)
+    * to compute what one scan computes locally; at 100 TB that is the
+    * difference between a shuffle-free projection and a corpus-wide
+    * exchange. The caller finishes with
+    * round(log2(n_tokens) − slc/n_tokens, 4) in Catalyst; 4-dp rounding
+    * absorbs summation-order ulps (the shuffled form's own sum order
+    * was partition-dependent for the same reason). Tokenization matches
+    * split(trim, "\\s+") including the trimmed-empty → one-empty-token
+    * edge. */
+  def tokenEntropy(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = text.toString.trim
+    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+")
+    val counts = new java.util.HashMap[String, Int](tk.length * 2)
+    var i = 0
+    while (i < tk.length) {
+      counts.put(tk(i), counts.getOrDefault(tk(i), 0) + 1)
+      i += 1
+    }
+    var slc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      slc += c * (math.log(c) / math.log(2.0))
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tk.length.toLong, counts.size().toLong, slc))
+  }
+
   // ---- PII audit + redaction ---------------------------------------------
 
   /** PII patterns (ASCII, RE2-compatible so a DuckDB oracle replays them
@@ -674,6 +713,17 @@ object KernelExpressions {
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.functions.Kernels.nfcNormalize($c);")
     override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+  }
+
+  case class TokenEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = Kernels.TokenEntropyType
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.tokenEntropy(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.tokenEntropy($c);")
+    override protected def withNewChildInternal(c: Expression): TokenEntropy =
       copy(child = c)
   }
 
@@ -839,6 +889,11 @@ object KernelExpressions {
     * pass over the RAW text — see [[Kernels.langId]]. */
   def lang_id(text: Column): Column =
     ColumnBridge.column(LangId(ColumnBridge.expression(text)))
+
+  /** struct<n_tokens,n_distinct,slc> for per-doc unigram entropy in one
+    * local pass — see [[Kernels.tokenEntropy]]. */
+  def token_entropy_stats(text: Column): Column =
+    ColumnBridge.column(TokenEntropy(ColumnBridge.expression(text)))
 
   /** struct<maxabs,codes,code_sum,code_abs_sum,recon_cos> in one fused
     * pass — see [[Kernels.int8Quantize]]. */

@@ -471,18 +471,19 @@ object CurationQueriesImpl {
   val tokenEntropy = Q(
     "q_token_entropy",
     (s, dir) => {
-      import graft.functions.TextFunctions
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
-          sum(col("c").cast("double") * log2(col("c").cast("double"))).as("slc"))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          round(log2(col("n_tokens").cast("double"))
-            - col("slc") / col("n_tokens").cast("double"), 4).as("entropy"))
-        .orderBy(col("doc_id"))
+      // entropy is a PURE per-row function of the text: the kernel
+      // computes (n_tokens, n_distinct, sum c*log2 c) in one local pass,
+      // where the groupBy form it replaced exploded every token and
+      // shuffled ~50M (doc, token) pairs TWICE at the 100x fixture.
+      // Sort-first keeps the kernel above the range exchange.
+      Tables.documents(s, dir).orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.KernelExpressions.token_entropy_stats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_distinct").as("n_distinct"),
+          round(log2(col("st.n_tokens").cast("double"))
+            - col("st.slc") / col("st.n_tokens").cast("double"), 4).as("entropy"))
     },
     Some("""WITH t AS (SELECT doc_id,
           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
@@ -502,10 +503,12 @@ object CurationQueriesImpl {
   val filterFunnel = Q(
     "q_filter_funnel",
     (s, dir) => {
-      import graft.functions.TextFunctions
-      val toks = TextFunctions.tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val stopHits = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+      // one TermCounts kernel pass instead of split + interpreted
+      // filter-HOF per row (same rewrite as q_text_quality)
+      val tc = graft.functions.KernelExpressions.term_counts(col("text"), stop)
+      val nTok = element_at(col("__tc"), 1).cast("double")
+      val stopHits = stop.indices
+        .map(i => element_at(col("__tc"), i + 2)).reduceLeft(_ + _).cast("double")
       val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
       val cpt = when(nTok > 0, length(col("text")).cast("double") / nTok)
         .otherwise(0.0)
@@ -513,7 +516,7 @@ object CurationQueriesImpl {
       val g2 = g1 && nTok >= lit(40.0)
       val g3 = g2 && cpt <= lit(12.0)
       val g4 = g3 && stopRatio >= lit(0.02)
-      val row = Tables.documents(s, dir).agg(
+      val row = Tables.documents(s, dir).withColumn("__tc", tc).agg(
         count(lit(1)).as("s0"),
         sum(when(g1, 1L).otherwise(0L)).as("s1"),
         sum(when(g2, 1L).otherwise(0L)).as("s2"),

@@ -65,6 +65,34 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("token_entropy_stats kernel == explode+groupBy form on real documents " +
+      "(entropy at 4 dp; counts exact)") {
+    val d = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "   "), (9003L, "a a a a"),
+        (9004L, "all distinct tokens here now")).toDF("doc_id", "text"))
+    val byKernel = d
+      .select(col("doc_id"),
+        KernelExpressions.token_entropy_stats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tokens"), col("st.n_distinct"),
+        round(log2(col("st.n_tokens").cast("double"))
+          - col("st.slc") / col("st.n_tokens").cast("double"), 4).as("entropy"))
+      .orderBy(col("doc_id")).collect()
+    val byGroup = d
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens").cast("double"))
+          - col("slc") / col("n_tokens").cast("double"), 4).as("entropy"))
+      .orderBy(col("doc_id")).collect()
+    assert(byKernel.length == byGroup.length && byKernel.nonEmpty)
+    byKernel.zip(byGroup).foreach { case (k, g) =>
+      assert(k.toSeq == g.toSeq, s"doc ${k.get(0)}")
+    }
+  }
+
   test("lang_id kernel == Seq[String]-UDF reference on real documents + " +
       "tie/empty/und edges") {
     val texts = docs.select(col("text")).as[String].collect().toSeq ++ Seq(
