@@ -92,6 +92,38 @@ object Multimodal {
     }
   }
 
+  /** Fixed-size PNG resizer with REUSED per-partition state: one
+    * destination raster, one Graphics2D, one cached PNG ImageWriter, one
+    * output buffer — `ImageIO.write` re-runs writer-SPI lookup and
+    * allocates a fresh writer + 200 KB dest raster per call, pure
+    * per-row machinery on a fixed-target resize scan. The deflate of the
+    * encoded PNG is the inherent floor (the output must be a REAL PNG —
+    * q_multimodal_pipeline checks the IHDR dims). Every draw scales the
+    * source over the FULL destination rect, so raster reuse never leaks
+    * pixels between rows; MultimodalSpec pins byte-identical output vs
+    * the one-shot [[ImageCodec.resizePng]] path. NOT thread-safe — one
+    * instance per partition/task, like the codecs. */
+  final class PngResizer(w: Int, h: Int) {
+    private val dest = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    private val gfx = dest.createGraphics()
+    gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val baos = new java.io.ByteArrayOutputStream(64 * 1024)
+
+    def resize(img: java.awt.image.BufferedImage): Array[Byte] = {
+      gfx.drawImage(img, 0, 0, w, h, null)
+      baos.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(dest)
+      ios.close()
+      baos.toByteArray
+    }
+  }
+
   /** WAV/PCM16 audio codec; one instance per partition/task.
     *
     * The SCAN path parses the RIFF container directly and computes the
@@ -760,6 +792,10 @@ object Multimodal {
     df.mapPartitions { rows =>
       val codec = new ImageCodec
       val stub = new ResizeStub(targetW, targetH)
+      // reused raster/graphics/writer/buffer: byte-identical to the
+      // one-shot resizePng (spec-pinned), minus the per-row SPI lookup,
+      // 200 KB dest raster, and writer allocation
+      val resizer = new PngResizer(targetW, targetH)
       rows.grouped(BatchSize).flatMap { batch =>
         val (images, rest) = batch.partition { r =>
           val m = r.getStruct(metaIdx)
@@ -768,7 +804,7 @@ object Multimodal {
         val resized = images.map { r =>
           val bytes = r.getAs[Array[Byte]](contentIdx)
           val img = codec.decode(bytes)
-          if (img != null) codec.resizePng(img, targetW, targetH)
+          if (img != null) resizer.resize(img)
           else stub.resizeBatch(Array(bytes))(0)
         }
         images.iterator.zipWithIndex.map { case (r, i) =>

@@ -153,6 +153,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f(6)) < 0.01, s"dc offset ≈ 0: ${f(6)}")
   }
 
+  test("PngResizer (reused raster/writer) == one-shot resizePng, " +
+      "byte-identical across consecutive different images") {
+    val codec = new Multimodal.ImageCodec()
+    val resizer = new Multimodal.PngResizer(224, 224)
+    // consecutive DIFFERENT images through the same reused raster: any
+    // pixel leak between rows or writer-state carryover breaks equality
+    val imgs = Seq(0x102030 -> 0x405060, 0xFFFFFF -> 0x000000,
+      0x7f0000 -> 0x007f00, 0x123456 -> 0x654321).map { case (c1, c2) =>
+      Multimodal.bandImage(48, 32, c1, c2)
+    }
+    imgs.zipWithIndex.foreach { case (img, i) =>
+      val viaReuse = resizer.resize(img)
+      val oneShot = codec.resizePng(img, 224, 224)
+      assert(java.util.Arrays.equals(viaReuse, oneShot),
+        s"image $i: reused-state PNG differs from one-shot PNG")
+    }
+  }
+
   test("direct RIFF parser == javax.sound reference: stats bit-equal on " +
       "canonical WAVs, same rejects on malformed/unsupported bytes") {
     val codec = new Multimodal.AudioCodec()
