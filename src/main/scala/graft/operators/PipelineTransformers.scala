@@ -30,7 +30,18 @@ class ExactDeduper(override val uid: String) extends Transformer
   def setTextCol(v: String): this.type = set(textCol, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    val df = ds.toDF
+    // Persist the input before branching: the keep-set (digest aggregate)
+    // and the semi-join probe are two consumers of the SAME child plan,
+    // and without a materialization point each re-evaluates every
+    // upstream stage (in the curation pipeline that is the lang_id +
+    // quality kernels over the full corpus, twice — measured ~30 s of
+    // q_pipeline_curation's cost at the 100× fixture). Same contract as
+    // the Graph/Dedup/Fuzzy operators' persisted intermediates: the
+    // cache lives as long as the returned plan; suite runners sweep
+    // between queries (Bench/Verify clearCache), and MEMORY_AND_DISK is
+    // exactly what a production pipeline does before self-joining a
+    // derived corpus it cannot cheaply recompute.
+    val df = ds.toDF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Only (digest, id) pairs shuffle — 24 B per row partial-aggregated
     // map-side — and the winner-id set joins back semi-style (AQE picks a
     // broadcast when the survivor set fits, the common case for a heavily
@@ -70,7 +81,10 @@ class MinHashDeduper(override val uid: String) extends Transformer
   def setMinJaccard(v: Double): this.type = set(minJaccard, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    val df = ds.toDF
+    // persist before branching for the same two-consumer reason as
+    // ExactDeduper: the candidate generator and the anti-join probe both
+    // re-evaluate the upstream pipeline stages otherwise
+    val df = ds.toDF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupIds = Dedup.minhashNearDups(df, $(idCol), $(textCol), $(minJaccard))
       .select(col("b").as($(idCol))).distinct()
     df.join(dupIds, Seq($(idCol)), "left_anti")
