@@ -267,7 +267,7 @@ object DedupQueriesImpl {
       // arithmetic the oracle replays bit-exactly; the query then
       // verifies the LSH tier actually FINDS them.
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        col("embedding").cast("array<double>").as("embedding"))
       val planted = e.where(col("vec_id") < 40).select(
         (col("vec_id") + 100000L).as("vec_id"),
         concat(
@@ -291,7 +291,7 @@ object DedupQueriesImpl {
     "q_dedup_semantic",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        col("embedding").cast("array<double>").as("embedding"))
       val planted = e.where(col("vec_id") < 40).select(
         (col("vec_id") + 100000L).as("vec_id"),
         concat(
@@ -313,7 +313,7 @@ object DedupQueriesImpl {
     "q_dedup_semantic_incremental",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        col("embedding").cast("array<double>").as("embedding"))
       val batch = e.where(col("vec_id") < 40).select(
         (col("vec_id") + 100000L).as("vec_id"),
         concat(
@@ -669,7 +669,7 @@ object DedupQueriesImpl {
       import graft.operators.{ExactDeduper, LanguageTagger, SemanticDeduper, TextQualityScorer}
       val docs = Tables.documents(s, dir)
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        col("embedding").cast("array<double>").as("embedding"))
       val planted = e.where(col("vec_id") < 40).select(
         (col("vec_id") + 100000L).as("vec_id"),
         concat(
