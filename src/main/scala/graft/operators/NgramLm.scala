@@ -38,6 +38,15 @@ object NgramLm {
     * scores (LEFT join), so the output is total over the input. */
   def bigramCorpusScore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // NO persist, deliberately: the occurrence table has three consumers
+    // (c2, c1, join probe), but its producer is one cheap codegen'd
+    // kernel over the scan — measured at the 100× fixture, recomputing
+    // it per consumer (23.0 s) BEATS materializing 50 M rows to
+    // memory/disk and reading them back (24.5–28 s under the bench's
+    // cold-cache protocol). Persist-before-branch pays off only when the
+    // branched producer is expensive relative to its width — the dedup
+    // Transformers (full upstream kernel pipeline) and q_chunk_cdc's
+    // chunker qualify; a cheap explode does not.
     val occ = docs.select(col(idCol).as("doc"),
       explode(graft.functions.KernelExpressions.word_ngrams_all(
         col(textCol), 2)).as("bigram"))

@@ -203,6 +203,14 @@ object TextQueriesImpl {
   val chunkCdc = Q(
     "q_chunk_cdc",
     (s, dir) => {
+      // NO persist, deliberately: the chunk rows have two consumers
+      // (df-frequency aggregate + join probe), but the CDC kernel is one
+      // cheap codegen'd pass — recomputing it per branch (14.6 s at the
+      // 100× fixture) beats materializing the chunk table to
+      // memory/disk and reading it back (20–25 s, cold-cache protocol).
+      // Persist-before-branch pays only when the branched producer is
+      // expensive relative to its width (the dedup Transformers' full
+      // upstream kernel pipeline qualifies; one kernel scan does not).
       val rows = graft.operators.Curation.contentDefinedChunks(
         Tables.documents(s, dir), "doc_id", "text", 8)
       val dfreq = rows.groupBy(col("fp"))
