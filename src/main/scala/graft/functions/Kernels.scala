@@ -393,7 +393,9 @@ object Kernels {
     * ([[roundHalfUp0]]), same dequantized cosine
     * (dot/(sqrt·sqrt) — [[cosine]]'s formula) over c/(127/maxabs).
     * Edges mirror the composed form: empty vector → null maxabs/cos,
-    * empty codes, zero sums; all-zero vector → zero codes, null cos. */
+    * empty codes, zero sums; all-zero vector → zero codes, null cos; a
+    * NaN element → NaN maxabs (array_max orders NaN largest), zero
+    * codes (NaN rounds to int 0), NaN cos. */
   def int8Quantize(v: ArrayData, kind: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val n = v.numElements()
     val codes = new Array[Int](n)
@@ -401,13 +403,22 @@ object Kernels {
     var i = 0
     while (i < n) {
       val a = math.abs(elemAt(v, i, kind))
-      if (a > maxabs) maxabs = a
+      // NaN propagates like the composed form's array_max (which orders
+      // NaN largest): maxabs = NaN. Once NaN, `a > maxabs` is false for
+      // every a, so it sticks.
+      if (a > maxabs || java.lang.Double.isNaN(a)) maxabs = a
       i += 1
     }
     var codeSum = 0L
     var codeAbsSum = 0L
     var reconCos: Any = null
-    if (n > 0 && maxabs > 0) {
+    // NaN maxabs takes the scaled branch like the composed form, where
+    // Spark's `maxabs > 0` is TRUE for NaN (SQL comparison orders NaN
+    // above everything, unlike Java's): scale = 127/NaN = NaN, every
+    // code rounds NaN → 0 (the non-ANSI NaN→int cast), and the
+    // reconstruction cosine comes out NaN — PipelineOpsSpec pins the
+    // whole row against the composed reference.
+    if (n > 0 && (maxabs > 0 || java.lang.Double.isNaN(maxabs))) {
       val scale = 127.0 / maxabs
       var dot = 0.0; var aa = 0.0; var bb = 0.0
       i = 0

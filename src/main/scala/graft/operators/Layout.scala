@@ -18,13 +18,21 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object Layout {
 
-  /** Serializable carrier for a Bloom filter: holds the filter's own
-    * byte format and rebuilds the filter once per deserialized task. */
-  private[operators] final class BloomHolder(bytes: Array[Byte]) extends Serializable {
-    @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-  }
+  /** The probe predicate as Spark's own codegen'd
+    * `BloomFilterMightContain` Catalyst expression — the same expression
+    * Spark's runtime row-level filtering injects — over a `Literal` of
+    * the filter's serialized byte format (`writeTo`/`readFrom` round-
+    * trip; the expression deserializes once per task). A Scala UDF here
+    * broke whole-stage codegen in the probe-side scan and paid boxing +
+    * null-handling per probed row — pure overhead at 100 TB probe-side
+    * row counts. Null keys evaluate to null → WHERE drops them, exactly
+    * the plain join's semantics. */
+  private def bloomMightContain(filterBytes: Array[Byte], key: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          filterBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(key)))
 
   /** Z-value (Morton code) of two dimensions, each first bucketed into
     * [0, 2^bits): interleaves the bits so that sorting by the result
@@ -124,15 +132,12 @@ object Layout {
     val bloom = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     // Ship the filter via its OWN byte format: BloomFilterImpl's Java
     // serialization does not survive the closure/broadcast path (its bit
-    // array arrives null), so the holder carries the bytes and each task
-    // deserializes once, lazily.
+    // array arrives null), so the literal carries the bytes and the
+    // expression deserializes once per task, lazily.
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    val holder = new Layout.BloomHolder(bos.toByteArray)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && holder.filter.mightContainLong(k))
     probe
-      .where(mightContain(col(probeKey).cast("long")))
+      .where(bloomMightContain(bos.toByteArray, col(probeKey).cast("long")))
       .join(build, col(probeKey) === col(buildKey))
   }
 

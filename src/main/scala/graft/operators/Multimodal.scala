@@ -98,11 +98,13 @@ object Multimodal {
     * allocates a fresh writer + 200 KB dest raster per call, pure
     * per-row machinery on a fixed-target resize scan. The deflate of the
     * encoded PNG is the inherent floor (the output must be a REAL PNG —
-    * q_multimodal_pipeline checks the IHDR dims). Every draw scales the
-    * source over the FULL destination rect, so raster reuse never leaks
-    * pixels between rows; MultimodalSpec pins byte-identical output vs
-    * the one-shot [[ImageCodec.resizePng]] path. NOT thread-safe — one
-    * instance per partition/task, like the codecs. */
+    * q_multimodal_pipeline checks the IHDR dims). Each draw first clears
+    * the raster back to the fresh-raster state (see [[resize]]) so reuse
+    * never leaks pixels between rows — even for ARGB sources, whose
+    * SRC_OVER blend reads the destination; MultimodalSpec pins
+    * byte-identical output vs the one-shot [[ImageCodec.resizePng]] path
+    * including a transparent ARGB source drawn after another image. NOT
+    * thread-safe — one instance per partition/task, like the codecs. */
   final class PngResizer(w: Int, h: Int) {
     private val dest = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -114,6 +116,17 @@ object Multimodal {
     private val baos = new java.io.ByteArrayOutputStream(64 * 1024)
 
     def resize(img: java.awt.image.BufferedImage): Array[Byte] = {
+      // Restore the fresh-raster state (all-zero = opaque black) before
+      // drawing: PNGs with an alpha channel decode as ARGB and SRC_OVER
+      // blends them with whatever the raster holds — without the clear,
+      // a (semi-)transparent source blends with the PREVIOUS row's
+      // pixels, making output row-order-dependent. With it, the blend is
+      // over black exactly like the one-shot [[ImageCodec.resizePng]]'s
+      // zeroed raster (MultimodalSpec pins byte-identity on an ARGB
+      // source drawn after a different image). An opaque fillRect is a
+      // plain raster write — trivial next to the PNG deflate.
+      gfx.setColor(java.awt.Color.BLACK)
+      gfx.fillRect(0, 0, w, h)
       gfx.drawImage(img, 0, 0, w, h, null)
       baos.reset()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
@@ -183,7 +196,13 @@ object Multimodal {
           dataOff = body
           dataLen = math.min(sz, bytes.length - body)
         }
-        off = body + sz + (sz & 1) // chunks are word-aligned
+        // chunks are word-aligned; advance in Long — a hostile chunk size
+        // near Int.MaxValue overflows the int add to a negative offset
+        // that passes the `off + 8 <= length` guard and then indexes out
+        // of bounds. A next-offset past the buffer ends the walk exactly
+        // like an honestly truncated trailing chunk.
+        val next = body.toLong + sz + (sz & 1)
+        off = if (next > bytes.length) bytes.length else next.toInt
       }
       if (!haveFmt || dataOff < 0) return null
       val n = dataLen / 2

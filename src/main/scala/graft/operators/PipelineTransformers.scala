@@ -22,7 +22,16 @@ trait DocColumnsParams extends org.apache.spark.ml.param.Params {
 }
 
 /** Exact dedup: keeps the lowest-id row of every identical-text group.
-  * One shuffle on a 128-bit digest — the text bytes never shuffle. */
+  * One shuffle on a 128-bit digest — the text bytes never shuffle.
+  *
+  * CACHE LIFECYCLE: `transform` persists its input at MEMORY_AND_DISK
+  * (two consumers of one child plan — see the in-method comment) and
+  * deliberately does NOT unpersist — the cache must outlive the returned
+  * (lazy) DataFrame, and a Transformer cannot know when the caller is
+  * done with it. In a long-lived session the caller owns cleanup:
+  * `spark.catalog.clearCache()` between pipeline runs (what Bench/Verify
+  * do), or `spark.sharedState.cacheManager.uncacheQuery` on the input
+  * once the output is materialized. Same contract as MinHashDeduper. */
 class ExactDeduper(override val uid: String) extends Transformer
     with DocColumnsParams with DefaultParamsWritable {
   def this() = this(Identifiable.randomUID("ExactDeduper"))
@@ -69,7 +78,12 @@ object ExactDeduper extends DefaultParamsReadable[ExactDeduper]
   * with a smaller id (the standard greedy keep-first policy — not a full
   * transitive clustering, which would need connected components). The
   * candidate set is produced by the band-bucket join (no all-pairs), and
-  * the removal is a left-anti join against the (small) duplicate-id set. */
+  * the removal is a left-anti join against the (small) duplicate-id set.
+  *
+  * CACHE LIFECYCLE: `transform` persists its input and does not
+  * unpersist — the caller sweeps (`clearCache` between runs) or
+  * uncaches the input once the output is materialized; see
+  * [[ExactDeduper]]'s contract note. */
 class MinHashDeduper(override val uid: String) extends Transformer
     with DocColumnsParams with DefaultParamsWritable {
   def this() = this(Identifiable.randomUID("MinHashDeduper"))

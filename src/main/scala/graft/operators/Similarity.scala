@@ -351,7 +351,18 @@ object Similarity {
     * distinct-count estimate; registered queries route through it. */
   def ivfScreen(index: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4): DataFrame =
+    ivfScreenFromClasses(index,
+      queries.select(col(vecCol).as("__qv")).distinct(),
+      queries, idCol, vecCol, k, centroids, nProbe)
+
+  /** [[ivfScreen]] body over a PRECOMPUTED distinct-class side
+    * (one `__qv` row per distinct query vector) — lets
+    * [[ivfScreenAuto]]'s hard-cap confirm job double as the screen's own
+    * stage 1 instead of running the distinct twice. */
+  private def ivfScreenFromClasses(index: DataFrame, classes: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     require(centroids.nonEmpty, "need at least one pinned centroid")
     def entries(v: Column): Column =
       array(centroids.zipWithIndex.map { case (cen, i) =>
@@ -361,7 +372,7 @@ object Similarity {
     val probeCells = transform(
       slice(reverse(array_sort(entries(rawV(col("__qv"))))), 1, nProbe),
       e => -e.getField("nc"))
-    val qcls = queries.select(col(vecCol).as("__qv")).distinct()
+    val qcls = classes
       .select(col("__qv"), unit_vector(col("__qv")).as("__qu"),
         explode(probeCells).as("cell"))
     // k+1 smallest vids per class: top_k_by on the NEGATED vid (exact in
@@ -401,19 +412,66 @@ object Similarity {
     * (k+1)-entry top-k array — ≈ nd·(16·dim + 16·(k+2)) bytes. The
     * default 256 MB budget keeps the broadcast an order of magnitude
     * under Spark's hard 8 GB limit while letting a ~200k-distinct-vector
-    * ×64-dim corpus (the 100× fixture) take the collapse-first path. */
+    * ×64-dim corpus (the 100× fixture) take the collapse-first path.
+    *
+    * The estimate is advisory; the cap is HARD. HLL's ±5% rsd decides
+    * the tier cheaply, but before committing to the broadcast form the
+    * TRUE distinct-class count is confirmed against the row cap the byte
+    * budget implies: the screen's own stage-1 distinct is materialized
+    * once (persisted; ≤ cap rows in the keep case, the suite runners'
+    * clearCache sweeps it like every other operator intermediate) and a
+    * bounded `limit(cap+1).count()` probes it — a misestimate in either
+    * direction degrades to [[ivfProbe]] with a loud log line instead of
+    * an unbounded broadcast. NOTE: tier selection runs TWO eager Spark
+    * jobs at DataFrame-CONSTRUCTION time (the estimate aggregate, and
+    * the confirm count on the screen path) — building or explaining a
+    * plan that embeds an auto-screen executes them; callers that need a
+    * job-free construction should pick [[ivfScreen]]/[[ivfProbe]]
+    * explicitly. */
   def ivfScreenAuto(index: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
-      nProbe: Int = 4, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+      nProbe: Int = 4, maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    ivfScreenAutoTiered(index, queries, idCol, vecCol, k, centroids,
+      nProbe, maxBroadcastBytes)._1
+
+  /** [[ivfScreenAuto]] returning the chosen tier alongside the plan —
+    * `"screen"`, `"probe"` (estimate over budget), or `"probe_capped"`
+    * (estimate under budget but the CONFIRMED distinct-class count over
+    * the hard cap). `estimateOverride` substitutes the distinct-count
+    * estimate so specs can force a misestimate and observe the fallback;
+    * production callers leave it None. */
+  private[graft] def ivfScreenAutoTiered(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 4, maxBroadcastBytes: Long = 256L << 20,
+      estimateOverride: Option[Long] = None): (DataFrame, String) = {
     val est = queries.agg(
       approx_count_distinct(col(vecCol)).as("nd"),
       max(size(col(vecCol))).as("dim")).head()
-    val nd = est.getLong(0)
+    val nd = estimateOverride.getOrElse(est.getLong(0))
     val dim = if (est.isNullAt(1)) 0L else est.getInt(1).toLong
-    val bytes = nd * (16L * dim + 16L * (k + 2))
-    if (bytes <= maxBroadcastBytes)
-      ivfScreen(index, queries, idCol, vecCol, k, centroids, nProbe)
-    else ivfProbe(index, queries, idCol, vecCol, k, centroids, nProbe)
+    val perClassBytes = 16L * dim + 16L * (k + 2)
+    if (nd * perClassBytes > maxBroadcastBytes)
+      return (ivfProbe(index, queries, idCol, vecCol, k, centroids, nProbe),
+        "probe")
+    // hard cap: materialize the screen's stage-1 distinct and confirm the
+    // true class count fits the budget before broadcasting anything
+    val cap = math.max(1L, maxBroadcastBytes / perClassBytes)
+    val classes = queries.select(col(vecCol).as("__qv")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val confirmed =
+      classes.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    if (confirmed > cap) {
+      classes.unpersist()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfScreenAuto: confirmed distinct-class count $confirmed exceeds " +
+          s"the $cap-row hard cap for a $maxBroadcastBytes-byte broadcast " +
+          s"budget (estimate was $nd) — falling back to the row-form " +
+          "ivfProbe, whose candidate join shuffles instead of broadcasting")
+      (ivfProbe(index, queries, idCol, vecCol, k, centroids, nProbe),
+        "probe_capped")
+    } else
+      (ivfScreenFromClasses(index, classes, queries, idCol, vecCol, k,
+        centroids, nProbe), "screen")
   }
 
   /** SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):

@@ -66,6 +66,19 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.sameElements(want))
     assert(got.nonEmpty)
+    // the probe predicate must be Spark's codegen'd BloomFilterMightContain
+    // expression, never a ScalaUDF (which breaks whole-stage codegen in
+    // the probe-side scan). Assert on the ANALYZED plan: over this
+    // local-relation fixture ConvertToLocalRelation evaluates the
+    // expression at optimize time and the filter vanishes from the
+    // physical plan entirely — something a ScalaUDF can't do at all
+    val qe = Layout.bloomPrefilteredJoin(probe, build, "pk", "bk",
+      expectedKeys = 100).queryExecution
+    assert(qe.analyzed.toString.contains("might_contain"),
+      qe.analyzed.toString.take(2000))
+    assert(!qe.analyzed.toString.contains("UDF")
+      && !qe.executedPlan.toString.contains("UDF"),
+      "bloom probe must not be a ScalaUDF")
   }
 
   test("bloomPrefilteredJoin tolerates null probe keys (dropped, like the join)") {

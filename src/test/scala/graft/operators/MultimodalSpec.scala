@@ -171,6 +171,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PngResizer: ARGB source with transparent pixels, drawn AFTER a " +
+      "different image, is byte-identical to the one-shot path") {
+    val codec = new Multimodal.ImageCodec()
+    val resizer = new Multimodal.PngResizer(224, 224)
+    // prime the reused raster with a bright opaque image — without the
+    // per-draw clear, the transparent half of the NEXT source would
+    // SRC_OVER-blend with these pixels instead of the fresh-raster black
+    resizer.resize(Multimodal.bandImage(48, 32, 0xFFFFFF, 0xFF00FF))
+    val argb = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      argb.setRGB(x, y, if (x < 24) 0x00000000 else 0x80FF0000)
+    val viaReuse = resizer.resize(argb)
+    val oneShot = codec.resizePng(argb, 224, 224)
+    assert(java.util.Arrays.equals(viaReuse, oneShot),
+      "ARGB blend must read fresh-raster black, not the previous image")
+  }
+
   test("direct RIFF parser == javax.sound reference: stats bit-equal on " +
       "canonical WAVs, same rejects on malformed/unsupported bytes") {
     val codec = new Multimodal.AudioCodec()
@@ -214,11 +232,23 @@ class MultimodalSpec extends AnyFunSuite {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
       baos.toByteArray
     }
+    // hostile: a chunk DECLARING a size near Int.MaxValue — the int
+    // chunk walk overflowed `body + sz` to a negative offset that passed
+    // the bounds guard and threw ArrayIndexOutOfBounds instead of
+    // returning null; the Long walk must end it like a truncated chunk
+    val hugeChunk = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(56); b.put("WAVE".getBytes)
+      b.put("JUNK".getBytes); b.putInt(Int.MaxValue - 7)
+      b.put(new Array[Byte](40))
+      b.array()
+    }
     val rejects = Seq(
       Array.empty[Byte], "not audio at all".getBytes,
       "RIFFxxxxWAVE".getBytes,                           // header, no chunks
       Multimodal.sineWav(440.0, 100, 16000).take(40),    // truncated mid-header
-      eightBit)
+      eightBit, hugeChunk)
     for ((w, i) <- (wavs ++ Seq(stereo)).zipWithIndex) {
       val fast = codec.features(w)
       val ref = codec.featuresViaJavaxSound(w)

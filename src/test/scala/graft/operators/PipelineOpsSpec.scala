@@ -148,7 +148,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val edges = Seq(
       (1000L, Array(0.0f, 0.0f)),          // all-zero → zero codes, null cos
       (1001L, Array(-3.5f)),               // single negative element
-      (1002L, Array(1e-8f, -1e-8f, 1e-8f)) // tiny maxabs → big scale
+      (1002L, Array(1e-8f, -1e-8f, 1e-8f)), // tiny maxabs → big scale
+      (1003L, Array(1.0f, Float.NaN, 0.5f)) // NaN → NaN maxabs, zero codes, NaN cos
     ).toDF("vec_id", "embedding")
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).unionByName(edges)
@@ -169,9 +170,21 @@ class PipelineOpsSpec extends AnyFunSuite {
           .orderBy(col("vec_id")).collect()
       } finally spark.conf.set("spark.sql.ansi.enabled", "true")
     assert(byKernel.length == byComposed.length && byKernel.nonEmpty)
-    byKernel.zip(byComposed).foreach { case (k, c) =>
-      assert(k.toSeq == c.toSeq, s"vec ${k.get(0)}")
+    // NaN-aware field compare: boxed-Double == is false for NaN==NaN,
+    // but the NaN edge row must pin maxabs=NaN on BOTH sides
+    def canon(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+      case d: java.lang.Double if d.isNaN => "NaN"
+      case x => x
     }
+    byKernel.zip(byComposed).foreach { case (k, c) =>
+      assert(canon(k) == canon(c), s"vec ${k.get(0)}")
+    }
+    // and the NaN row's shape is the documented one, not accidental:
+    // NaN maxabs, zero codes, NaN recon_cos (Spark's maxabs>0 is TRUE
+    // for NaN, so the composed form takes the scaled branch)
+    val nanRow = byKernel.find(_.getLong(0) == 1003L).get
+    assert(nanRow.getDouble(1).isNaN && nanRow.getSeq[Int](2) == Seq(0, 0, 0)
+      && nanRow.getDouble(5).isNaN, nanRow.toString)
   }
 
   test("vocab OOV rate: hand-computed boundary with deterministic tie-break") {

@@ -150,6 +150,32 @@ class IvfServePlanSpec extends AnyFunSuite {
     assert(tiny.toSeq == expected.toSeq)
   }
 
+  test("ivfScreenAuto hard cap: a forced LOW misestimate passes the budget " +
+      "check but the confirmed class count trips the cap → row-form probe") {
+    val expected = Similarity.ivfProbe(stagedIndex, corpus, "vec_id",
+      "embedding", 5, cents, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect()
+    // budget sized for exactly 3 query classes; the corpus has far more
+    // distinct vectors, so an estimate of 1 is a catastrophic under-count
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val budget = (16L * dim + 16L * 7) * 3
+    val (capped, tier) = Similarity.ivfScreenAutoTiered(stagedIndex, corpus,
+      "vec_id", "embedding", 5, cents, nProbe = 2,
+      maxBroadcastBytes = budget, estimateOverride = Some(1L))
+    assert(tier == "probe_capped",
+      s"misestimate must be caught by the confirm count, got tier=$tier")
+    assert(capped.orderBy(col("qid"), col("rank")).collect().toSeq
+      == expected.toSeq)
+    // the honest estimate refuses the same budget UP FRONT (no confirm job)
+    val (_, tier2) = Similarity.ivfScreenAutoTiered(stagedIndex, corpus,
+      "vec_id", "embedding", 5, cents, nProbe = 2, maxBroadcastBytes = budget)
+    assert(tier2 == "probe")
+    // and a roomy budget still reports the screen tier
+    val (_, tier3) = Similarity.ivfScreenAutoTiered(stagedIndex, corpus,
+      "vec_id", "embedding", 5, cents, nProbe = 2)
+    assert(tier3 == "screen")
+  }
+
   test("empty corpus publishes a readable, schema-exact index (r9 regression)") {
     val path = s"${graft.Staging.dir("ivf_spec")}/empty/${java.util.UUID.randomUUID}"
     val empty = graft.Staging.publishParquet(spark, path, partitionBy = Seq("cell")) {
