@@ -3,7 +3,8 @@
 
 Usage: python3 dev/bench_diff.py OLD.json NEW.json [--top N] [--min-sec S]
        python3 dev/bench_diff.py OLD.json NEW.json --gate \
-           [--gate-ratio=1.3] [--gate-min-sec=2]
+           [--gate-ratio=1.3] [--gate-min-sec=2] \
+           [--gate-ratio2=1.5] [--gate-min-sec2=0.5]
 
 Prints total/probe/calibration identity for both records, then the
 per-query wall-time table sorted by absolute delta (descending), hiding
@@ -18,7 +19,10 @@ interesting signal during a probe re-baseline).
 regression gate"): exit 1 if any query at or above --gate-min-sec
 (default 2 s) on EITHER side regressed by more than --gate-ratio
 (default 1.3x), or errs on the NEW side, or disappeared from the NEW
-record. This is how the next quadratic plan shape gets caught the round
+record. A SECOND, looser tier covers the band the 2 s floor hides:
+queries at or above --gate-min-sec2 (default 0.5 s) regressing by more
+than --gate-ratio2 (default 1.5x) also flag — round 13 had four 1.3-1.6x
+movers in the 0.5-2 s band that the single-tier gate never surfaced. This is how the next quadratic plan shape gets caught the round
 it lands instead of by a future probe overhaul — run it against the
 committed 100x record after any plan-affecting change:
 
@@ -53,6 +57,8 @@ def main():
     gate = "--gate" in flags
     gate_ratio = float(opts.get("--gate-ratio", 1.3))
     gate_min = float(opts.get("--gate-min-sec", 2.0))
+    gate_ratio2 = float(opts.get("--gate-ratio2", 1.5))
+    gate_min2 = float(opts.get("--gate-min-sec2", 0.5))
     old, new = load(args[0]), load(args[1])
 
     def ident(d, name):
@@ -122,7 +128,11 @@ def main():
             elif max(a, b) >= gate_min and a > 0 and b / a > gate_ratio:
                 flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s "
                                f"({b / a:.2f}x > {gate_ratio}x gate)")
-        print(f"\nGATE (>= {gate_min}s either side, ratio > {gate_ratio}x): "
+            elif max(a, b) >= gate_min2 and a > 0 and b / a > gate_ratio2:
+                flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s "
+                               f"({b / a:.2f}x > {gate_ratio2}x tier-2 gate)")
+        print(f"\nGATE (>= {gate_min}s at > {gate_ratio}x, "
+              f"or >= {gate_min2}s at > {gate_ratio2}x): "
               f"{'FAIL' if flagged else 'PASS'}")
         for f in flagged:
             print(f"  !! {f}")

@@ -93,6 +93,7 @@ object Bench {
     }
 
     val calibPre = calibrate()
+    val cachePre = pageCacheGb()
     val suiteT0 = System.nanoTime()
 
     // best-of-2 per query: the box hosts other work, and the minimum of
@@ -143,13 +144,15 @@ object Bench {
         name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
       }.toMap
     val calibPost = calibrate()
+    val cachePost = pageCacheGb()
 
     // A SPARK_GRAFT_ONLY probe is a PARTIAL run: mark both JSON lines
     // filtered:true and write the detail to a probe-specific file, so a
     // filtered total can never be misread as a full-suite number and a
     // probe never overwrites the full-suite BENCH_DETAIL.json.
     val (fullLine, compactLine) = lines(results, sfDir, filtered = only.isDefined,
-      calib = Some((calibPre, calibPost)), tEnd = tEnd.toMap, calibMid = calibMid.toList)
+      calib = Some((calibPre, calibPost)), tEnd = tEnd.toMap,
+      calibMid = calibMid.toList, cacheGb = Some((cachePre, cachePost)))
     val detailPath = detailFile(only.isDefined, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -205,12 +208,30 @@ object Bench {
     * the compact line budgets the queries map to 900 bytes — the slowest
     * queries that fit — keeping the whole line comfortably under 1.3 KB
     * regardless of suite size (BenchLineSpec pins this). */
+  /** Page-cache size in GiB from /proc/meminfo — BOX-STATE PROVENANCE
+    * for scale records: a scan-heavy suite timed against a cache-hot
+    * /tmp/sfbig100 reads measurably faster than cold (part of the
+    * round-13 1034 s → 900.6 s re-run delta was attributed to exactly
+    * this drift), and without the marker two records in different cache
+    * states silently gate-diff as if comparable. -1 when /proc/meminfo
+    * is unreadable (non-Linux). */
+  private[graft] def pageCacheGb(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("Cached:") =>
+          math.round(l.trim.split("\\s+")(1).toDouble / (1024 * 1024) * 10) / 10.0
+      }.getOrElse(-1.0)
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   private[graft] def lines(
       results: Map[String, Either[String, Double]], sfDir: String,
       filtered: Boolean = false,
       calib: Option[(Double, Double)] = None,
       tEnd: Map[String, Double] = Map.empty,
-      calibMid: Seq[Double] = Nil): (String, String) = {
+      calibMid: Seq[Double] = Nil,
+      cacheGb: Option[(Double, Double)] = None): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -230,6 +251,12 @@ object Bench {
     val calibField = calib.fold("") { case (pre, post) =>
       s""","calib_pre_sec":${fmt(pre)},"calib_post_sec":${fmt(post)}"""
     }
+    // box-state provenance (detail line only): page-cache GiB before and
+    // after the suite, so a gate diff across records taken in different
+    // cache states is visible as such instead of reading as a plan change
+    val cacheField = cacheGb.fold("") { case (pre, post) =>
+      s""","page_cache_gb_pre":${fmt(pre)},"page_cache_gb_post":${fmt(post)}"""
+    }
     // probe identity: timings before round 11 used df.count() (probe
     // "count"), which let Catalyst delete final sorts and prune unread
     // columns; every record since names the full-materialization probe
@@ -248,7 +275,7 @@ object Bench {
       if (calibMid.isEmpty) ""
       else calibMid.map(fmt).mkString(""","calib_mid":[""", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$calibMidField$tEndField$probeField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$cacheField$calibMidField$tEndField$probeField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
     // 500-byte queries map keeps the whole line ≤ ~750 B, so emitBlock's
