@@ -22,6 +22,7 @@ class RobustnessSpec extends AnyFunSuite {
   private val requiresData: Map[String, String] = Map(
     "q_ml_train_predict_reg" -> "GBT fit on zero rows is undefined (reference raises too)",
     "q_ml_train_predict_cls" -> "classifier objective inference needs observed labels",
+    "q_ml_train_predict_cls_dist" -> "classifier objective inference needs observed labels (distributed fit on zero rows is undefined)",
     "q_ml_train_predict_dist" -> "distributed fit on zero rows is undefined",
     "q_ml_train_predict_barrier" -> "barrier fit on zero rows is undefined",
     "q_ml_train_predict_scale" -> "distributed fit on zero rows is undefined",
