@@ -77,10 +77,18 @@ object Plans {
     sb.append(s"Generated by `graft.Plans` on `$sfDir`. The properties each plan\n")
     sb.append("must exhibit are asserted in `PlanSpec`; this file makes them\n")
     sb.append("reviewable. Regenerate: `sbt \"runMain graft.Plans\"`.\n")
+    // Redact giant binary literals (e.g. the serialized Bloom filter
+    // inside might_contain — ~12 KB of hex per occurrence) so the
+    // dossier stays reviewable; the length note keeps the evidence that
+    // a real filter was inlined.
+    val hugeHex = "0x[0-9A-Fa-f]{257,}".r
+    def redact(plan: String): String =
+      hugeHex.replaceAllIn(plan,
+        m => s"0x…<${(m.matched.length - 2) / 2} bytes redacted>")
     Headline.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      sb.append(s"\n## $name — $why\n\n```\n$plan```\n")
+      sb.append(s"\n## $name — $why\n\n```\n${redact(plan)}```\n")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -46,13 +46,17 @@ object LayoutQueriesImpl {
     * False negatives are impossible, so the exact join after the filter
     * makes the result byte-identical to the plain join the oracle runs;
     * at 100 TB the probe shuffle carries ~selectivity x |lineitem| rows
-    * instead of all of them. */
+    * instead of all of them. Nation 8 rather than 7: the chosen nation
+    * must have suppliers at EVERY fixture incl. sf0.001 (nationkey is
+    * sparse at 10 suppliers), or the empty-build short-circuit makes the
+    * PLANS.md dossier render a plain join with no `might_contain` —
+    * exactly the evidence the headline exists to show. */
   val bloomPruneJoin = Q(
     "q_bloom_prune_join",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val sup = Tables.supplier(s, dir)
-        .where(col("s_nationkey") === 7)
+        .where(col("s_nationkey") === 8)
         .select(col("s_suppkey"))
       Layout.bloomPrefilteredJoin(li, sup, "l_suppkey", "s_suppkey",
           expectedKeys = 10000L)
@@ -70,7 +74,7 @@ object LayoutQueriesImpl {
         round(sum(l_quantity), 2) AS sum_qty,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      WHERE s_nationkey = 7
+      WHERE s_nationkey = 8
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Compaction planning ([[Layout.compactionPlan]]): lineitem sharded 64
