@@ -66,11 +66,22 @@ object Kernels {
     h
   }
 
-  /** Whitespace tokens of the trimmed text (same semantics as
-    * `split(trim(text), "\\s+")` used across the text operators). */
+  /** Whitespace tokens of the trimmed text with SPARK's semantics for
+    * BOTH steps of `split(trim(text), "\\s+")`: trim strips the ASCII
+    * space (U+0020) ONLY (`UTF8String.trim`, ≡ SQL TRIM ≡ DuckDB trim
+    * on ASCII — Java's `String.trim` strips every char ≤ U+0020, which
+    * made the kernels tokenize "\tx" as ["x"] where the composed form
+    * and the DuckDB oracles both see ["", "x"]), and split KEEPS
+    * trailing empty fields (Spark's `split` passes limit -1; Java's
+    * default limit 0 drops them, turning "x\t" into ["x"] instead of
+    * ["x", ""]). The generated fixtures never exercise the edge (pure
+    * ASCII, no leading/trailing control chars) but a real scraped
+    * corpus does — KernelFuzzSpec pins the alignment on randomized
+    * control-char text. Empty after trim → no tokens here; kernels
+    * that need Spark's one-empty-token shape add it at the call site. */
   private def toks(s: UTF8String): Array[String] = {
-    val t = s.toString.trim
-    if (t.isEmpty) Array.empty else t.split("\\s+")
+    val t = s.trim.toString
+    if (t.isEmpty) Array.empty else t.split("\\s+", -1)
   }
 
   /** 64-long MinHash signature over word-trigram shingles of the text.
@@ -151,8 +162,9 @@ object Kernels {
     * token, so n_tokens is 1, same as Spark's split and DuckDB's
     * regexp_split_to_array). */
   def termCounts(text: UTF8String, terms: Array[String]): ArrayData = {
-    val t = text.toString.trim
-    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+")
+    // Spark-trim (space only) + split keeping trailing empties: see toks
+    val t = text.trim.toString
+    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+", -1)
     val out = new Array[Long](terms.length + 1)
     out(0) = tk.length.toLong
     var i = 0
@@ -514,8 +526,9 @@ object Kernels {
     * Seq[String] conversion per row ON TOP of the split array; this pass
     * allocates the token array once and nothing else. */
   def langId(text: UTF8String): UTF8String = {
-    val t = text.toString.trim
-    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+")
+    // Spark-trim (space only) + split keeping trailing empties: see toks
+    val t = text.trim.toString
+    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+", -1)
     val hits = new Array[Int](langNames.length)
     var i = 0
     while (i < tk.length) {
@@ -561,8 +574,9 @@ object Kernels {
     * split(trim, "\\s+") including the trimmed-empty → one-empty-token
     * edge. */
   def tokenEntropy(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val t = text.toString.trim
-    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+")
+    // Spark-trim (space only) + split keeping trailing empties: see toks
+    val t = text.trim.toString
+    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+", -1)
     val counts = new java.util.HashMap[String, Int](tk.length * 2)
     var i = 0
     while (i < tk.length) {

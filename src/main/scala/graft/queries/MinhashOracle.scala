@@ -14,11 +14,15 @@ import graft.functions.Kernels
   *     (2^127): b splits into 32-bit halves — a*(b mod 2^32) and
   *     ((a*(b div 2^32)) mod 2^32) << 32 both stay under 2^97.
   *
-  * Corpus assumptions, checked on the generated test data: text is ASCII
+  * Corpus assumption, checked on the generated test data: text is ASCII
   * (the token kernels hash UTF-16 chars low-byte-first, the oracles hash
-  * code points — identical only below U+0100) and has no leading/trailing
-  * control characters (Java String.trim strips <= U+0020, DuckDB trim
-  * strips spaces). Empty, whitespace-only, and NULL text are handled
+  * code points — identical only below U+0100; and DuckDB's trim strips
+  * Unicode spaces like U+00A0 where Spark's strips U+0020 only). The
+  * former second assumption — no leading/trailing CONTROL characters —
+  * fell in round 14: the kernels now tokenize with Spark's exact
+  * trim/split semantics (space-only trim, trailing empty fields kept),
+  * which is also DuckDB's on ASCII, so "\ttext" or "text\n" replays
+  * identically in all three. Empty, whitespace-only, and NULL text are handled
   * exactly: tokenless docs get the kernel's all-MaxValue minhash signature
   * / zero simhash, NULL text propagates NULL (OracleEdgeSpec pins the
   * Spark side of these fixtures).

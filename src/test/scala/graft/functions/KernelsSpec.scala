@@ -212,7 +212,13 @@ class KernelsSpec extends AnyFunSuite {
   }
 
   test("minhash signature on empty/whitespace text: constant sig, no crash") {
-    val df = Seq((0L, ""), (1L, "   \t  "), (2L, "one"), (3L, "a b"))
+    // Spark's trim strips U+0020 ONLY, so "   \t  " is NOT tokenless —
+    // it trims to "\t", which splits to two empty fields, exactly like
+    // the composed split(trim(text), "\\s+") column and the DuckDB
+    // oracle's regexp_split_to_array(trim(text), '\s+'). Only all-space
+    // (or truly empty) text gets the constant all-MaxValue signature.
+    val df = Seq((0L, ""), (1L, "      "), (2L, "one"), (3L, "a b"),
+      (4L, "   \t  "), (5L, "\t"))
       .toDF("id", "text")
       .select(col("id"), KernelExpressions.minhash_sig(col("text")).as("mh"))
     val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -220,6 +226,8 @@ class KernelsSpec extends AnyFunSuite {
     assert(sigs(0L).forall(_ == Long.MaxValue))
     assert(sigs(2L).exists(_ != Long.MaxValue), "non-empty text gets a real signature")
     assert(sigs(3L) != sigs(2L))
+    assert(sigs(4L) == sigs(5L), "space-trim leaves the tab: same tokens as bare \\t")
+    assert(sigs(4L) != sigs(0L), "tab-only text is NOT tokenless under Spark trim")
   }
 
   test("unit_vector and cosine_sim accept integer-typed embeddings (widened to double)") {
