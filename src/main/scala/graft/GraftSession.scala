@@ -40,6 +40,18 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // ANSI mode PINNED, not inherited: every oracle row and every
+      // kernel-vs-composed parity pin was taken under ANSI semantics
+      // (Spark 4's default), and a deployment overriding the default
+      // would silently change cast/overflow/divide behavior out from
+      // under them. The vector kernels themselves are ANSI-IMMUNE by
+      // construction (native expressions, IEEE arithmetic: NaN/Inf
+      // propagate, 0/0 → NaN, never an error) — that is their documented
+      // special-value contract, and their composed parity references are
+      // written ANSI-safe (nullif'd divisors, nanvl before int casts) so
+      // KernelFuzzSpec proves the equivalence under THIS mode, not a
+      // test-local one. See COVERAGE.md "ANSI & special-value semantics".
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         FallbackThreshold.toString)
 }

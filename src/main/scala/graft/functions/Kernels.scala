@@ -74,9 +74,14 @@ object Kernels {
     * and the DuckDB oracles both see ["", "x"]), and split KEEPS
     * trailing empty fields (Spark's `split` passes limit -1; Java's
     * default limit 0 drops them, turning "x\t" into ["x"] instead of
-    * ["x", ""]). The generated fixtures never exercise the edge (pure
-    * ASCII, no leading/trailing control chars) but a real scraped
-    * corpus does — KernelFuzzSpec pins the alignment on randomized
+    * ["x", ""]). The kernel ≡ Spark-composed alignment holds for ALL
+    * of Java-regex \s; the ≡ DuckDB leg holds for [\t\n\f\r ] only —
+    * DuckDB's RE2 \s does NOT match vertical tab U+000B where Java/
+    * Spark's does, so VT joins non-ASCII whitespace on the documented
+    * corpus-exclusion list (MinhashOracle's header). The generated
+    * fixtures never exercise any of these edges (pure ASCII, no
+    * leading/trailing control chars) but a real scraped corpus does —
+    * KernelFuzzSpec pins the kernel-vs-Spark alignment on randomized
     * control-char text. Empty after trim → no tokens here; kernels
     * that need Spark's one-empty-token shape add it at the call site. */
   private def toks(s: UTF8String): Array[String] = {
@@ -427,9 +432,12 @@ object Kernels {
     // NaN maxabs takes the scaled branch like the composed form, where
     // Spark's `maxabs > 0` is TRUE for NaN (SQL comparison orders NaN
     // above everything, unlike Java's): scale = 127/NaN = NaN, every
-    // code rounds NaN → 0 (the non-ANSI NaN→int cast), and the
-    // reconstruction cosine comes out NaN — PipelineOpsSpec pins the
-    // whole row against the composed reference.
+    // code rounds NaN → 0 (Java Double.toInt — the kernels' IEEE
+    // contract; an ANSI SQL cast of NaN would THROW, which is why the
+    // composed parity reference routes its cast through nanvl), and the
+    // reconstruction cosine comes out NaN — PipelineOpsSpec and
+    // KernelFuzzSpec pin the whole row against the composed reference
+    // under the session's pinned ANSI mode.
     if (n > 0 && (maxabs > 0 || java.lang.Double.isNaN(maxabs))) {
       val scale = 127.0 / maxabs
       var dot = 0.0; var aa = 0.0; var bb = 0.0

@@ -722,16 +722,34 @@ object Similarity {
     * magnitudes but flips recon_cos to NaN when maxabs rounds to 0.
     * Here the rounding happens in a separate outer select, so the
     * reference is unambiguous and matches both the kernel and the
-    * oracle's raw-maxabs semantics. */
+    * oracle's raw-maxabs semantics.
+    *
+    * ANSI-SAFE BY CONSTRUCTION (round 15): the reference expresses the
+    * kernel's IEEE special-value contract in forms legal under the
+    * session's pinned ANSI mode — divisors go through `nullif(_, 0)` so
+    * no Divide can raise DIVIDE_BY_ZERO regardless of evaluation order
+    * (ANSI subexpression hoisting can evaluate past a `when` guard on
+    * local relations), the int cast goes through `nanvl` + a
+    * [-2^31, 2^31-1] clamp so a NaN/±Inf code value maps to the kernel's
+    * Java `Double.toInt` result (0 / saturation) instead of raising
+    * CAST_OVERFLOW, and the one true IEEE x/0 edge (maxabs = +Inf makes
+    * scale exactly 0) is spelled `c * +Inf`, which is bit-equal to
+    * c/0.0 for every sign and for NaN. KernelFuzzSpec replays this form
+    * against the kernel on NaN/±Inf/subnormal vectors under ANSI. */
   private[graft] def int8QuantizeComposed(df: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxabs = array_max(transform(v, x => abs(x)))
-    val scale = lit(127.0) / col("maxabs")
+    val scale = lit(127.0) / nullif(col("maxabs"), lit(0.0))
     val codes = when(col("maxabs") > 0,
-      transform(col("v"), x => round(x * scale, 0).cast("int")))
+      transform(col("v"), x =>
+        greatest(lit(Int.MinValue.toDouble),
+          least(lit(Int.MaxValue.toDouble),
+            nanvl(round(x * scale, 0), lit(0.0)))).cast("int")))
       .otherwise(transform(col("v"), _ => lit(0)))
-    val dq = transform(col("codes"), c => c / scale)
+    val dq = transform(col("codes"), c =>
+      when(scale === lit(0.0), c.cast("double") * lit(Double.PositiveInfinity))
+        .otherwise(c / nullif(scale, lit(0.0))))
     df.select(col(idCol), v.as("v"), maxabs.as("maxabs"))
       .withColumn("codes", codes)
       .select(col(idCol), col("maxabs"), col("codes"),

@@ -19,10 +19,15 @@ import graft.functions.Kernels
   * code points — identical only below U+0100; and DuckDB's trim strips
   * Unicode spaces like U+00A0 where Spark's strips U+0020 only). The
   * former second assumption — no leading/trailing CONTROL characters —
-  * fell in round 14: the kernels now tokenize with Spark's exact
+  * NARROWED in round 14: the kernels now tokenize with Spark's exact
   * trim/split semantics (space-only trim, trailing empty fields kept),
-  * which is also DuckDB's on ASCII, so "\ttext" or "text\n" replays
-  * identically in all three. Empty, whitespace-only, and NULL text are handled
+  * which is also DuckDB's on ASCII for [\t\n\f\r ], so "\ttext" or
+  * "text\n" replays identically in kernel, composed form, and DuckDB.
+  * Vertical tab U+000B is the remaining documented exclusion: Java/
+  * Spark's regex \s matches it (U+000B + "x" splits to ["", "x"]) but
+  * DuckDB's RE2 \s does not (one token, the VT kept) — VT, like non-ASCII
+  * whitespace, stays on the corpus-exclusion list rather than in the
+  * alignment claim. Empty, whitespace-only, and NULL text are handled
   * exactly: tokenless docs get the kernel's all-MaxValue minhash signature
   * / zero simhash, NULL text propagates NULL (OracleEdgeSpec pins the
   * Spark side of these fixtures).

@@ -224,6 +224,140 @@ object SimilarityQueriesImpl {
         END AS recon_cos
       FROM c ORDER BY vec_id"""))
 
+  /** Special-value (NaN / ±Inf / zero-norm) semantics of the vector
+    * kernels, ORACLE-CHECKED — the driver-verified witness for the
+    * round-15 semantics adjudication (COVERAGE.md "ANSI & special-value
+    * semantics"): the kernels contract IEEE arithmetic (NaN propagates,
+    * 0/0 → NaN, x/0 → ±Inf, NaN code → 0 — never an error), while the
+    * session runs ANSI-on for relational arithmetic. The fixture corpus
+    * carries only finite embeddings, so the query PLANTS the specials
+    * (same planted-suffix pattern as `q_text_unicode_nfc`): vec_id%4
+    * appends NaN / +Inf / -Inf or zeroes the whole vector. Every output
+    * is a classification ('nan'/'posinf'/'neginf'/'null'/'finite'), an
+    * exact count, or a finite rounded double — raw NaN/Inf never reaches
+    * the driver's hash comparator. The DuckDB oracle REPLAYS the
+    * kernels' formulas; DuckDB is IEEE except divisor-exactly-0 → NULL,
+    * so the oracle spells the x/0 edge as `x * +Inf` (bit-equal for
+    * every sign and NaN) — the same spelling the ANSI-safe composed
+    * Spark references use in KernelFuzzSpec. */
+  val embedSpecials = Q(
+    "q_embed_specials",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import graft.functions.KernelExpressions
+      val m = pmod(col("vec_id"), lit(4))
+      val vd = col("embedding").cast("array<double>")
+      val planted = when(m === 0, concat(vd, array(lit(Double.NaN))))
+        .when(m === 1, concat(vd, array(lit(Double.PositiveInfinity))))
+        .when(m === 2, concat(vd, array(lit(Double.NegativeInfinity))))
+        .otherwise(transform(vd, _ => lit(0.0)))
+      val plantName = when(m === 0, lit("nan")).when(m === 1, lit("posinf"))
+        .when(m === 2, lit("neginf")).otherwise(lit("zeros"))
+      def kind(c: Column): Column =
+        when(c.isNull, lit("null")).when(isnan(c), lit("nan"))
+          .when(c === lit(Double.PositiveInfinity), lit("posinf"))
+          .when(c === lit(Double.NegativeInfinity), lit("neginf"))
+          .otherwise(lit("finite"))
+      def finite(c: Column): Column =
+        when(c.isNotNull && !isnan(c) &&
+            c =!= lit(Double.PositiveInfinity) &&
+            c =!= lit(Double.NegativeInfinity), round(c, 6))
+      val q8 = KernelExpressions.int8_quantize(col("t"))
+      val u = KernelExpressions.unit_vector(col("t"))
+      Tables.embeddings(s, dir).where(col("vec_id") < 256)
+        .select(col("vec_id"), plantName.as("plant"), vd.as("v"), planted.as("t"))
+        .select(col("vec_id"), col("plant"), q8.as("__q"), u.as("__u"),
+          // v vs t exercises the kernel's min-length contract: the
+          // appended special is IGNORED, so the value is finite cos(v,v)
+          KernelExpressions.cosine_sim(col("v"), col("t")).as("__cvt"),
+          KernelExpressions.cosine_sim(col("t"), col("t")).as("__ctt"))
+        .select(col("vec_id"), col("plant"),
+          kind(col("__q.maxabs")).as("maxabs_kind"),
+          finite(col("__q.maxabs")).as("maxabs_fin"),
+          size(col("__q.codes")).cast("long").as("code_n"),
+          col("__q.code_sum").as("code_sum"),
+          col("__q.code_abs_sum").as("code_abs_sum"),
+          kind(col("__q.recon_cos")).as("recon_kind"),
+          size(filter(col("__u"), x => isnan(x))).cast("long").as("u_nan"),
+          size(filter(col("__u"), x => x === lit(0.0))).cast("long").as("u_zero"),
+          kind(col("__cvt")).as("cos_vt_kind"),
+          finite(col("__cvt")).as("cos_vt_fin"),
+          kind(col("__ctt")).as("cos_tt_kind"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 256),
+      a AS (SELECT vec_id, v,
+          CASE CAST(vec_id % 4 AS INTEGER)
+            WHEN 0 THEN list_append(v, 'nan'::DOUBLE)
+            WHEN 1 THEN list_append(v, 'infinity'::DOUBLE)
+            WHEN 2 THEN list_append(v, '-infinity'::DOUBLE)
+            ELSE list_transform(v, x -> 0.0::DOUBLE) END AS t,
+          CASE CAST(vec_id % 4 AS INTEGER) WHEN 0 THEN 'nan' WHEN 1 THEN 'posinf'
+            WHEN 2 THEN 'neginf' ELSE 'zeros' END AS plant
+        FROM e),
+      m AS (SELECT vec_id, v, t, plant,
+          list_max(list_transform(t, x -> abs(x))) AS maxabs FROM a),
+      c AS (SELECT *,
+          CASE WHEN maxabs > 0 THEN list_transform(t, x ->
+              CASE WHEN NOT isfinite(x * (127.0 / maxabs)) THEN 0
+                   ELSE CAST(round(x * (127.0 / maxabs)) AS INTEGER) END)
+            ELSE list_transform(t, x -> 0) END AS codes
+        FROM m),
+      d AS (SELECT *,
+          CASE WHEN maxabs > 0 THEN list_transform(codes, k ->
+              CASE WHEN 127.0 / maxabs = 0 THEN k * 'infinity'::DOUBLE
+                   ELSE k / (127.0 / maxabs) END) END AS dq
+        FROM c),
+      r AS (SELECT *,
+          CASE WHEN maxabs > 0 THEN
+            CASE WHEN sqrt(list_dot_product(t, t)) * sqrt(list_dot_product(dq, dq)) = 0
+                 THEN list_dot_product(t, dq) * 'infinity'::DOUBLE
+                 ELSE list_dot_product(t, dq) /
+                   (sqrt(list_dot_product(t, t)) * sqrt(list_dot_product(dq, dq))) END
+          END AS recon,
+          sqrt(list_dot_product(t, t)) AS norm,
+          list_dot_product(v, t[1:len(v)]) AS dot_vt,
+          sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(t[1:len(v)], t[1:len(v)])) AS den_vt,
+          list_dot_product(t, t) AS dot_tt,
+          sqrt(list_dot_product(t, t)) * sqrt(list_dot_product(t, t)) AS den_tt
+        FROM d),
+      r2 AS (SELECT *,
+          CASE WHEN den_vt = 0 THEN dot_vt * 'infinity'::DOUBLE
+               ELSE dot_vt / den_vt END AS cvt,
+          CASE WHEN den_tt = 0 THEN dot_tt * 'infinity'::DOUBLE
+               ELSE dot_tt / den_tt END AS ctt
+        FROM r)
+      SELECT vec_id, plant,
+        CASE WHEN maxabs IS NULL THEN 'null' WHEN isnan(maxabs) THEN 'nan'
+             WHEN maxabs = 'infinity'::DOUBLE THEN 'posinf'
+             WHEN maxabs = '-infinity'::DOUBLE THEN 'neginf'
+             ELSE 'finite' END AS maxabs_kind,
+        CASE WHEN isfinite(maxabs) THEN round(maxabs, 6) END AS maxabs_fin,
+        CAST(len(codes) AS BIGINT) AS code_n,
+        CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        CAST(list_sum(list_transform(codes, k -> abs(k))) AS BIGINT) AS code_abs_sum,
+        CASE WHEN recon IS NULL THEN 'null' WHEN isnan(recon) THEN 'nan'
+             WHEN recon = 'infinity'::DOUBLE THEN 'posinf'
+             WHEN recon = '-infinity'::DOUBLE THEN 'neginf'
+             ELSE 'finite' END AS recon_kind,
+        CAST(len(list_filter(t, x -> isnan(
+          CASE WHEN norm = 0 THEN x * 'infinity'::DOUBLE ELSE x / norm END)))
+          AS BIGINT) AS u_nan,
+        CAST(len(list_filter(t, x ->
+          (CASE WHEN norm = 0 THEN x * 'infinity'::DOUBLE ELSE x / norm END) = 0))
+          AS BIGINT) AS u_zero,
+        CASE WHEN cvt IS NULL THEN 'null' WHEN isnan(cvt) THEN 'nan'
+             WHEN cvt = 'infinity'::DOUBLE THEN 'posinf'
+             WHEN cvt = '-infinity'::DOUBLE THEN 'neginf'
+             ELSE 'finite' END AS cos_vt_kind,
+        CASE WHEN isfinite(cvt) THEN round(cvt, 6) END AS cos_vt_fin,
+        CASE WHEN ctt IS NULL THEN 'null' WHEN isnan(ctt) THEN 'nan'
+             WHEN ctt = 'infinity'::DOUBLE THEN 'posinf'
+             WHEN ctt = '-infinity'::DOUBLE THEN 'neginf'
+             ELSE 'finite' END AS cos_tt_kind
+      FROM r2 ORDER BY vec_id"""))
+
   def all: Seq[Q] = Seq(bruteForce, lsh, ivf, labelConsistency, embedProject,
-    embedDimStats, embedQuantize)
+    embedDimStats, embedQuantize, embedSpecials)
 }

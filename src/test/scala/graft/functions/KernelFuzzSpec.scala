@@ -275,8 +275,17 @@ class KernelFuzzSpec extends AnyFunSuite {
     val ps = sample(pair, 300, 16L)
     val df = ps.toDF("a", "b")
     import graft.functions.VectorFunctions._
-    val composed = array_dot(col("a"), col("b")) /
-      (sqrt(array_dot(col("a"), col("a"))) * sqrt(array_dot(col("b"), col("b"))))
+    // The kernel's contract is IEEE division (0/0 → NaN, x/0 → ±Inf,
+    // never an error); a bare Divide can't express that in EITHER ANSI
+    // mode (ANSI throws DIVIDE_BY_ZERO, non-ANSI returns NULL), so the
+    // composed reference spells the zero-denominator edge as dot · +Inf
+    // — bit-equal to dot/0.0 for every sign and NaN — and nullif's the
+    // live divisor so it runs under the session's pinned ANSI mode.
+    val dot = array_dot(col("a"), col("b"))
+    val denom =
+      sqrt(array_dot(col("a"), col("a"))) * sqrt(array_dot(col("b"), col("b")))
+    val composed = when(denom === lit(0.0), dot * lit(Double.PositiveInfinity))
+      .otherwise(dot / nullif(denom, lit(0.0)))
     val rows = df.select(
       KernelExpressions.cosine_sim(col("a"), col("b")).as("k"), composed.as("c"))
       .collect()
@@ -292,9 +301,14 @@ class KernelFuzzSpec extends AnyFunSuite {
     val vs = sample(vec, 300, 17L)
     val df = vs.toDF("v")
     val norm = sqrt(array_dot(col("v"), col("v")))
+    // Same IEEE-division-in-ANSI-safe-Spark spelling as the cosine test:
+    // x · +Inf ≡ x/0.0 on the zero-norm edge (0·Inf → NaN like 0/0;
+    // a subnormal x whose square underflowed to 0 → ±Inf like x/0).
     val rows = df.select(
       KernelExpressions.unit_vector(col("v")).as("k"),
-      transform(col("v"), x => x / norm).as("c"))
+      transform(col("v"), x =>
+        when(norm === lit(0.0), x * lit(Double.PositiveInfinity))
+          .otherwise(x / nullif(norm, lit(0.0)))).as("c"))
       .collect()
     rows.zipWithIndex.foreach { case (r, i) =>
       assert(eqv(r.getSeq[Double](0), r.getSeq[Double](1)),

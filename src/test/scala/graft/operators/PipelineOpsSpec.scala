@@ -155,20 +155,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding")).unionByName(edges)
     val byKernel = Similarity.int8Quantize(real, "vec_id", "embedding")
       .orderBy(col("vec_id")).collect()
-    // The composed reference runs with ANSI off FOR THIS COLLECT ONLY:
-    // under ANSI, interpreted/eager evaluation orders (local-relation
-    // constant evaluation, subexpression hoisting) can evaluate the dq
-    // divide past its when(maxabs>0) guard and throw DIVIDE_BY_ZERO on
-    // degenerate rows — an eval-order artifact of the HOF form, and one
-    // the kernel is immune to by construction (the scaled block is
-    // if-guarded). IEEE arithmetic is identical with ANSI off, so the
-    // parity values are unaffected.
+    // The composed reference is ANSI-SAFE BY CONSTRUCTION since round 15
+    // (nullif'd divisors, nanvl+clamp before the int cast — see
+    // int8QuantizeComposed's scaladoc), so this collect runs under the
+    // session's pinned ANSI mode like every production query; the old
+    // ANSI-off try/finally wrapper is gone on purpose, because running
+    // the reference under ANSI is itself part of the pin.
     val byComposed =
-      try {
-        spark.conf.set("spark.sql.ansi.enabled", "false")
-        Similarity.int8QuantizeComposed(real, "vec_id", "embedding")
-          .orderBy(col("vec_id")).collect()
-      } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+      Similarity.int8QuantizeComposed(real, "vec_id", "embedding")
+        .orderBy(col("vec_id")).collect()
     assert(byKernel.length == byComposed.length && byKernel.nonEmpty)
     // NaN-aware field compare: boxed-Double == is false for NaN==NaN,
     // but the NaN edge row must pin maxabs=NaN on BOTH sides
