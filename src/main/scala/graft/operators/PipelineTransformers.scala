@@ -21,19 +21,41 @@ trait DocColumnsParams extends org.apache.spark.ml.param.Params {
   setDefault(idCol -> "doc_id", textCol -> "text")
 }
 
+/** Opt-out switch for [[CacheLifecycle.releaseAfterFirstAction]] on
+  * Transformers that persist their input (see the CACHE LIFECYCLE notes
+  * on [[ExactDeduper]]/[[MinHashDeduper]]): default true — the internal
+  * cache is unpersisted automatically once the first Dataset action on
+  * the returned DataFrame completes. Set false when the caller will act
+  * on the result REPEATEDLY and owns cleanup itself (the pre-r15
+  * contract: `clearCache()` between runs or explicit uncache). */
+trait CacheReleaseParam extends org.apache.spark.ml.param.Params {
+  final val releaseCacheOnFirstAction = new org.apache.spark.ml.param.BooleanParam(
+    this, "releaseCacheOnFirstAction",
+    "unpersist the transformer's internal input cache after the first completed action")
+  setDefault(releaseCacheOnFirstAction -> true)
+  def setReleaseCacheOnFirstAction(v: Boolean): this.type =
+    set(releaseCacheOnFirstAction, v)
+  protected def withRelease(cached: DataFrame, result: DataFrame): DataFrame =
+    if ($(releaseCacheOnFirstAction)) CacheLifecycle.releaseAfterFirstAction(cached, result)
+    else result
+}
+
 /** Exact dedup: keeps the lowest-id row of every identical-text group.
   * One shuffle on a 128-bit digest — the text bytes never shuffle.
   *
   * CACHE LIFECYCLE: `transform` persists its input at MEMORY_AND_DISK
-  * (two consumers of one child plan — see the in-method comment) and
-  * deliberately does NOT unpersist — the cache must outlive the returned
-  * (lazy) DataFrame, and a Transformer cannot know when the caller is
-  * done with it. In a long-lived session the caller owns cleanup:
-  * `spark.catalog.clearCache()` between pipeline runs (what Bench/Verify
-  * do), or `spark.sharedState.cacheManager.uncacheQuery` on the input
-  * once the output is materialized. Same contract as MinHashDeduper. */
+  * (two consumers of one child plan — see the in-method comment). The
+  * cache must outlive the returned (lazy) DataFrame, so it cannot be
+  * unpersisted before returning; instead a
+  * [[CacheLifecycle.releaseAfterFirstAction]] listener frees it once the
+  * first Dataset action on the output completes (default; see
+  * [[CacheReleaseParam]] to opt out for repeated-action callers, who
+  * then own cleanup: `spark.catalog.clearCache()` between pipeline runs
+  * — what Bench/Verify do — or an explicit uncache of the input). Same
+  * contract as MinHashDeduper; PipelineTransformersSpec proves no cache
+  * entry survives the consuming action. */
 class ExactDeduper(override val uid: String) extends Transformer
-    with DocColumnsParams with DefaultParamsWritable {
+    with DocColumnsParams with CacheReleaseParam with DefaultParamsWritable {
   def this() = this(Identifiable.randomUID("ExactDeduper"))
   def setIdCol(v: String): this.type = set(idCol, v)
   def setTextCol(v: String): this.type = set(textCol, v)
@@ -67,7 +89,7 @@ class ExactDeduper(override val uid: String) extends Transformer
       .select(md5(col($(textCol))).as("_graft_fp"), col($(idCol)))
       .groupBy(col("_graft_fp")).agg(min(col($(idCol))).as("_graft_keep"))
       .select(col("_graft_keep").as($(idCol)))
-    df.join(keep, Seq($(idCol)), "left_semi")
+    withRelease(df, df.join(keep, Seq($(idCol)), "left_semi"))
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): ExactDeduper = defaultCopy(extra)
@@ -80,12 +102,13 @@ object ExactDeduper extends DefaultParamsReadable[ExactDeduper]
   * candidate set is produced by the band-bucket join (no all-pairs), and
   * the removal is a left-anti join against the (small) duplicate-id set.
   *
-  * CACHE LIFECYCLE: `transform` persists its input and does not
-  * unpersist — the caller sweeps (`clearCache` between runs) or
-  * uncaches the input once the output is materialized; see
-  * [[ExactDeduper]]'s contract note. */
+  * CACHE LIFECYCLE: `transform` persists its input; the cache is freed
+  * by the same first-action listener as [[ExactDeduper]] (default;
+  * [[CacheReleaseParam]] opts out, after which the caller sweeps —
+  * `clearCache` between runs — or uncaches the input once the output is
+  * materialized). */
 class MinHashDeduper(override val uid: String) extends Transformer
-    with DocColumnsParams with DefaultParamsWritable {
+    with DocColumnsParams with CacheReleaseParam with DefaultParamsWritable {
   def this() = this(Identifiable.randomUID("MinHashDeduper"))
   final val minJaccard = new DoubleParam(this, "minJaccard",
     "estimated-jaccard threshold for a near-duplicate pair")
@@ -101,7 +124,7 @@ class MinHashDeduper(override val uid: String) extends Transformer
     val df = ds.toDF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupIds = Dedup.minhashNearDups(df, $(idCol), $(textCol), $(minJaccard))
       .select(col("b").as($(idCol))).distinct()
-    df.join(dupIds, Seq($(idCol)), "left_anti")
+    withRelease(df, df.join(dupIds, Seq($(idCol)), "left_anti"))
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): MinHashDeduper = defaultCopy(extra)

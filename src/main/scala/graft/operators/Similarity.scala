@@ -405,29 +405,38 @@ object Similarity {
     * decision — the same guarded-tier pattern as
     * [[graft.operators.Joins.rangeJoinAggCollapsed]]'s contract note.
     *
-    * The estimate is one shuffle-free aggregate over the query side
-    * (approx_count_distinct + one dim sample): linear, columnar, and
-    * trivially cheaper than either screen form. Sizing: a query class
-    * broadcasts its raw + unit vector (doubles downstream) plus a
-    * (k+1)-entry top-k array — ≈ nd·(16·dim + 16·(k+2)) bytes. The
-    * default 256 MB budget keeps the broadcast an order of magnitude
-    * under Spark's hard 8 GB limit while letting a ~200k-distinct-vector
-    * ×64-dim corpus (the 100× fixture) take the collapse-first path.
+    * The tier choice is JOB-FREE (round 15; VERDICT r14 #6): it reads
+    * Catalyst statistics off the query side's optimized plan instead of
+    * running an estimate aggregate, so constructing or explaining a plan
+    * that embeds an auto-screen launches ZERO Spark jobs (PlanSpec pins
+    * this for the registered IVF queries). The row upper bound is
+    * `stats.rowCount` when CBO provides one, else
+    * `stats.sizeInBytes / (4·dim)` — dim comes from the pinned
+    * centroids, and 4·dim bytes/row assumes float vectors at ~1×
+    * parquet compression, the floor for the near-incompressible random
+    * mantissas real embeddings carry (a corpus that DOES compress
+    * further does so through value duplication, which shrinks the
+    * distinct-class broadcast the bound is protecting — the misestimate
+    * direction is self-correcting). Filters/projections above the scan
+    * keep size-only stats conservative (they don't shrink sizeInBytes).
+    * Sizing: a query class broadcasts its raw + unit vector (doubles
+    * downstream) plus a (k+1)-entry top-k array — ≈ nd·(16·dim +
+    * 16·(k+2)) bytes. The default 256 MB budget keeps the broadcast an
+    * order of magnitude under Spark's hard 8 GB limit while letting a
+    * ~200k-distinct-vector ×64-dim corpus (the 100× fixture) take the
+    * collapse-first path.
     *
-    * The estimate is advisory; the cap is HARD. HLL's ±5% rsd decides
-    * the tier cheaply, but before committing to the broadcast form the
-    * TRUE distinct-class count is confirmed against the row cap the byte
-    * budget implies: the screen's own stage-1 distinct is materialized
-    * once (persisted; ≤ cap rows in the keep case, the suite runners'
-    * clearCache sweeps it like every other operator intermediate) and a
-    * bounded `limit(cap+1).count()` probes it — a misestimate in either
-    * direction degrades to [[ivfProbe]] with a loud log line instead of
-    * an unbounded broadcast. NOTE: tier selection runs TWO eager Spark
-    * jobs at DataFrame-CONSTRUCTION time (the estimate aggregate, and
-    * the confirm count on the screen path) — building or explaining a
-    * plan that embeds an auto-screen executes them; callers that need a
-    * job-free construction should pick [[ivfScreen]]/[[ivfProbe]]
-    * explicitly. */
+    * The estimate is advisory; the cap is still HARD — now enforced
+    * INSIDE the screen plan instead of by a construction-time confirm
+    * job: the stage-1 distinct is wrapped in `limit(cap+1)` + a window
+    * count + `assert_true(count <= cap)`, so if the true distinct-class
+    * count exceeds the byte budget's row cap the query fails LOUDLY at
+    * execution (naming ivfProbe as the tier to use) before a single
+    * over-budget byte broadcasts — never silently truncated, never an
+    * unbounded broadcast. Degradation contract vs r14: an over-cap
+    * misestimate now raises instead of auto-falling-back, because the
+    * fallback decision would need the very runtime count the job-free
+    * construction is not allowed to take. */
   def ivfScreenAuto(index: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
       nProbe: Int = 4, maxBroadcastBytes: Long = 256L << 20): DataFrame =
@@ -435,43 +444,46 @@ object Similarity {
       nProbe, maxBroadcastBytes)._1
 
   /** [[ivfScreenAuto]] returning the chosen tier alongside the plan —
-    * `"screen"`, `"probe"` (estimate over budget), or `"probe_capped"`
-    * (estimate under budget but the CONFIRMED distinct-class count over
-    * the hard cap). `estimateOverride` substitutes the distinct-count
-    * estimate so specs can force a misestimate and observe the fallback;
-    * production callers leave it None. */
+    * `"screen"` (stats bound under budget; in-plan hard-cap guard armed)
+    * or `"probe"` (stats bound over budget). `estimateOverride`
+    * substitutes the stats-derived row bound so specs can force a
+    * misestimate in either direction — high forces the probe tier, low
+    * forces the screen tier whose execution must then trip the in-plan
+    * cap guard; production callers leave it None. */
   private[graft] def ivfScreenAutoTiered(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, centroids: Array[Array[Double]],
       nProbe: Int = 4, maxBroadcastBytes: Long = 256L << 20,
       estimateOverride: Option[Long] = None): (DataFrame, String) = {
-    val est = queries.agg(
-      approx_count_distinct(col(vecCol)).as("nd"),
-      max(size(col(vecCol))).as("dim")).head()
-    val nd = estimateOverride.getOrElse(est.getLong(0))
-    val dim = if (est.isNullAt(1)) 0L else est.getInt(1).toLong
+    require(centroids.nonEmpty, "need at least one pinned centroid")
+    val dim = centroids(0).length.toLong
     val perClassBytes = 16L * dim + 16L * (k + 2)
-    if (nd * perClassBytes > maxBroadcastBytes)
+    // job-free row upper bound from Catalyst statistics (see
+    // ivfScreenAuto's scaladoc for why 4·dim bytes/row is the safe floor)
+    val stats = queries.queryExecution.optimizedPlan.stats
+    val rowBound: BigInt = estimateOverride.map(BigInt(_)).getOrElse(
+      stats.rowCount.getOrElse(stats.sizeInBytes / BigInt(4L * dim).max(1)))
+    if (rowBound * perClassBytes > maxBroadcastBytes)
       return (ivfProbe(index, queries, idCol, vecCol, k, centroids, nProbe),
         "probe")
-    // hard cap: materialize the screen's stage-1 distinct and confirm the
-    // true class count fits the budget before broadcasting anything
+    // HARD cap, enforced inside the plan (no construction-time job): the
+    // distinct is bounded to cap+1 rows, a window count checks the bound,
+    // and assert_true fails the query loudly before anything broadcasts.
+    // When the count is within the cap, limit(cap+1) returns every class
+    // and the guard is a row-preserving no-op.
     val cap = math.max(1L, maxBroadcastBytes / perClassBytes)
     val classes = queries.select(col(vecCol).as("__qv")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val confirmed =
-      classes.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
-    if (confirmed > cap) {
-      classes.unpersist()
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ivfScreenAuto: confirmed distinct-class count $confirmed exceeds " +
-          s"the $cap-row hard cap for a $maxBroadcastBytes-byte broadcast " +
-          s"budget (estimate was $nd) — falling back to the row-form " +
-          "ivfProbe, whose candidate join shuffles instead of broadcasting")
-      (ivfProbe(index, queries, idCol, vecCol, k, centroids, nProbe),
-        "probe_capped")
-    } else
-      (ivfScreenFromClasses(index, classes, queries, idCol, vecCol, k,
-        centroids, nProbe), "screen")
+      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
+      .withColumn("__cls_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .where(assert_true(col("__cls_n") <= cap, lit(
+        s"ivfScreenAuto: distinct query-vector classes exceed the $cap-row " +
+          s"hard cap implied by the $maxBroadcastBytes-byte broadcast budget " +
+          s"(stats row bound was $rowBound) — the corpus is too " +
+          "distinct-heavy for the collapse-first screen; call ivfProbe, " +
+          "whose candidate join shuffles instead of broadcasting")).isNull)
+      .drop("__cls_n")
+    (ivfScreenFromClasses(index, classes, queries, idCol, vecCol, k,
+      centroids, nProbe), "screen")
   }
 
   /** SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):

@@ -90,6 +90,54 @@ class PipelineTransformersSpec extends AnyFunSuite {
     assert(out.columns.toSeq === vecs.columns.toSeq) // schema passes through
   }
 
+  test("cache lifecycle: the dedup Transformers' internal persist is " +
+      "released once the consuming action completes; opt-out keeps it") {
+    // DEDICATED rows, not `docs`: the release listener matches by
+    // logical-plan sameResult, so a stale listener from an earlier test
+    // over the shared `docs` plan could otherwise race this test's cache.
+    val lcdocs = Seq(
+      (10L, "lifecycle alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "lifecycle alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "entirely different lifecycle text with its own tokens here")
+    ).toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    // The lifecycle under test is the Transformers' SQL-cache persist.
+    // localCheckpoint entries (Dedup's three-consumer intermediates) are
+    // a DIFFERENT lifecycle — ContextCleaner releases them when the plan
+    // holding them is GC'd (Components.scala's scaladoc) — so they are
+    // excluded from the emptiness check rather than awaited.
+    def persists = sc.getPersistentRDDs
+      .filterNot(_._2.toString.contains("localCheckpoint"))
+    def awaitEmpty(): Boolean = {
+      // the QueryExecutionListener bus is async — poll, don't assert raw
+      val deadline = System.currentTimeMillis() + 20000
+      while (persists.nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      persists.isEmpty
+    }
+    spark.catalog.clearCache()
+    assert(awaitEmpty(), "pre-existing cache entries survived clearCache")
+
+    // opt-out first: proves the persist is REAL (otherwise the release
+    // assertion below would pass vacuously on a never-cached input)
+    val kept = new ExactDeduper().setReleaseCacheOnFirstAction(false)
+      .transform(lcdocs)
+    assert(kept.count() == 2)
+    assert(persists.nonEmpty,
+      "opt-out transform must leave its cache alive for repeated actions")
+    spark.catalog.clearCache()
+
+    val exact = new ExactDeduper().transform(lcdocs)
+    assert(exact.count() == 2)
+    assert(awaitEmpty(),
+      s"ExactDeduper cache survived its consuming action: $persists")
+
+    val near = new MinHashDeduper().setMinJaccard(0.3).transform(lcdocs)
+    assert(near.count() == 2)
+    assert(awaitEmpty(),
+      s"MinHashDeduper cache survived its consuming action: $persists")
+  }
+
   test("SemanticDeduper centroids survive save/load (persisted Param)") {
     val vecs = Seq(
       (1L, Seq(10.0, 1.0)), (2L, Seq(8.0, 1.2)),
