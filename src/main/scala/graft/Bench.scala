@@ -91,6 +91,9 @@ object Bench {
         try materialize(fn(spark, warmDir)) catch { case _: Throwable => }
       }
     }
+    // discard staged-view builds from the warmup fixture: provenance is
+    // only wanted for builds charged inside a TIMED window below
+    Staging.drainBuildEvents()
 
     val calibPre = calibrate()
     val cachePre = pageCacheGb()
@@ -111,6 +114,12 @@ object Bench {
     // Name-sorted order makes the t_end offsets comparable across runs.
     val tEnd = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val calibMid = scala.collection.mutable.ListBuffer.empty[Double]
+    // staged-view provenance (VERDICT r14 #3): any publishParquet build
+    // that ran during a query's timed window is attributed to that query
+    // in the detail line, so a cold-staging record is diffable against a
+    // warm one instead of reading as a plan regression
+    val stagedBuilds =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     val results: Map[String, Either[String, Double]] =
       selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), idx) =>
         if (idx > 0 && idx % 25 == 0) calibMid += calibrate()
@@ -140,6 +149,8 @@ object Bench {
           }
         }
         tEnd(name) = (System.nanoTime() - suiteT0) / 1e9
+        val built = Staging.drainBuildEvents()
+        if (built.nonEmpty) stagedBuilds(name) = built
         val ok = runs.collect { case Right(t) => t }
         name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
       }.toMap
@@ -152,7 +163,8 @@ object Bench {
     // probe never overwrites the full-suite BENCH_DETAIL.json.
     val (fullLine, compactLine) = lines(results, sfDir, filtered = only.isDefined,
       calib = Some((calibPre, calibPost)), tEnd = tEnd.toMap,
-      calibMid = calibMid.toList, cacheGb = Some((cachePre, cachePost)))
+      calibMid = calibMid.toList, cacheGb = Some((cachePre, cachePost)),
+      stagedBuilds = stagedBuilds.toMap)
     val detailPath = detailFile(only.isDefined, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -231,7 +243,8 @@ object Bench {
       calib: Option[(Double, Double)] = None,
       tEnd: Map[String, Double] = Map.empty,
       calibMid: Seq[Double] = Nil,
-      cacheGb: Option[(Double, Double)] = None): (String, String) = {
+      cacheGb: Option[(Double, Double)] = None,
+      stagedBuilds: Map[String, Seq[(String, Double)]] = Map.empty): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -274,8 +287,20 @@ object Bench {
     val calibMidField =
       if (calibMid.isEmpty) ""
       else calibMid.map(fmt).mkString(""","calib_mid":[""", ",", "]")
+    // staged-view provenance (detail line only): per-query map of
+    // root-relative staged view → one-time build seconds charged inside
+    // that query's timed window; absent when the staging root was warm.
+    // A cross-record gate diff subtracts these before calling a mover a
+    // regression (BASELINE.md "staged-view provenance").
+    val stagedField =
+      if (stagedBuilds.isEmpty) ""
+      else stagedBuilds.toSeq.sortBy(_._1).map { case (q, views) =>
+        "\"" + esc(q) + "\":" + views.map { case (p, sec) =>
+          "\"" + esc(p) + "\":" + fmt(sec)
+        }.mkString("{", ",", "}")
+      }.mkString(""","staged_views_built":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$cacheField$calibMidField$tEndField$probeField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$cacheField$calibMidField$stagedField$tEndField$probeField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
     // 500-byte queries map keeps the whole line ≤ ~750 B, so emitBlock's

@@ -206,6 +206,31 @@ object Staging {
     * different locks on the same name). One empty dotfile per published
     * dataset, removed with the staging root at shutdown/cleanup, is the
     * safe steady state. */
+  /** Build-provenance feed for bench records (VERDICT r14 #3): every
+    * [[publishParquet]] call that actually BUILDS (wins the lock race
+    * and writes) enqueues (root-relative path, build+publish seconds).
+    * Bench drains this per timed query and emits `staged_views_built`
+    * in the detail JSON line — the r14 driver record charged pagerank
+    * 4× the builder's same-HEAD number purely because a cold staging
+    * root put a one-time C(basket,2) pair build inside the first
+    * consumer's timed window, and nothing in the record said so. */
+  private val buildEvents =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  private def recordBuild(path: String, sec: Double): Unit = {
+    val rel =
+      if (path.startsWith(root)) path.stripPrefix(root).stripPrefix("/") else path
+    buildEvents.add((rel, sec))
+  }
+
+  /** Remove and return all build events recorded since the last drain. */
+  private[graft] def drainBuildEvents(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    var e = buildEvents.poll()
+    while (e != null) { out += e; e = buildEvents.poll() }
+    out.toList
+  }
+
   def publishParquet(s: SparkSession, path: String,
       partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val target = new java.io.File(path)
@@ -223,12 +248,14 @@ object Staging {
           // the winner of the lock race may have published while we
           // queued: the locked re-check makes this JVM a plain reader
           if (!done.isFile) {
+            val buildT0 = System.nanoTime()
             val df = build
             val tmp = new java.io.File(parent,
               s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
             df.write.mode("overwrite").partitionBy(partitionBy: _*)
               .parquet(tmp.getAbsolutePath)
             writeSidecar(tmp, df.schema)
+            recordBuild(path, (System.nanoTime() - buildT0) / 1e9)
             if (!tmp.renameTo(target)) {
               // occupied by a crashed pre-lock in-place write (no
               // _SUCCESS; a complete publish is impossible here — every

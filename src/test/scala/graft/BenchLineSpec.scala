@@ -98,6 +98,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!fullNo.contains("t_end") && !fullNo.contains("calib_mid"))
   }
 
+  test("staged-view build provenance lands in the detail line only") {
+    val (full, compact) = Bench.lines(results(5), "/x",
+      stagedBuilds = Map(
+        "q_some_rather_long_query_name_001" -> Seq(
+          ("edges/v1/abc/pairs", 5.375), ("media/v3/abc", 0.25)),
+        "q_some_rather_long_query_name_000" -> Seq(("ivf/v1/abc", 1.0))))
+    // name-sorted queries, root-relative view paths, 3-dp seconds
+    assert(full.contains("\"staged_views_built\":{" +
+      "\"q_some_rather_long_query_name_000\":{\"ivf/v1/abc\":1.000}," +
+      "\"q_some_rather_long_query_name_001\":{\"edges/v1/abc/pairs\":5.375," +
+      "\"media/v3/abc\":0.250}}"), full)
+    // the compact line is size-budgeted; provenance is detail-only
+    assert(!compact.contains("staged_views_built"))
+    // omitted entirely on a warm staging root — absence MEANS warm
+    val (fullNo, _) = Bench.lines(results(3), "/x")
+    assert(!fullNo.contains("staged_views_built"))
+    // the detail line must stay machine-parseable with the field present
+    assert(full.startsWith("{") && full.endsWith("}"))
+  }
+
   test("detailFile canonicalizes the fixture path before comparing") {
     // trailing slash, relative-ish segments, and redundant dots must all
     // resolve to the canonical sf0.1 record, not a suffixed file
