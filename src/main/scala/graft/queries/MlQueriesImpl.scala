@@ -69,8 +69,18 @@ object MlQueriesImpl {
     Some("SELECT 'graft-model-roundtrip' AS tag"))
 
   /** S15: SparkConf / capacity introspection (xgboost_core.py:202-238,
-    * sparkdl/utils/__init__.py:37-44). Values depend on the session →
-    * rows-only check. */
+    * sparkdl/utils/__init__.py:37-44). The live values depend on the
+    * session (driver cpus vary across Verify/Bench/test entry points),
+    * so the DRIVER-COMPARED output projects session-independent
+    * INVARIANTS of the introspection — the exact key set plus
+    * positivity/sanity of each capacity value — which a static DuckDB
+    * VALUES oracle replays; until r15 this was the one rows-only row in
+    * CORRECTNESS. The raw values still flow through the computation (a
+    * broken introspection yields 0/negative slots and flips a boolean);
+    * OracleEdgeSpec pins them against the live SparkContext. The 4096
+    * sanity ceiling is intentionally loose: any real driver/executor
+    * slot count fits, while the garbage a unit mix-up produces
+    * (e.g. milli-cores) does not. */
   val confIntrospection = Q(
     "q_s15_conf",
     (s, dir) => {
@@ -80,10 +90,20 @@ object MlQueriesImpl {
       // private[spark]): defaultParallelism = total cores across
       // executors in local/standalone mode, so slots = cores / task cpus
       val maxConcurrent = math.max(sc.defaultParallelism / taskCpus, 1)
-      s.createDataFrame(Seq(("spark.task.cpus", taskCpus.toString),
-        ("maxNumConcurrentTasks", maxConcurrent.toString))).toDF("key", "value")
+      s.createDataFrame(Seq(
+          ("maxNumConcurrentTasks", maxConcurrent),
+          ("spark.task.cpus", taskCpus)))
+        .toDF("key", "value")
+        .select(col("key"),
+          (col("value") > 0).as("value_is_positive"),
+          (col("value") <= 4096).as("value_is_sane"))
+        .orderBy(col("key"))
     },
-    None)
+    Some("""SELECT * FROM (VALUES
+        ('maxNumConcurrentTasks', true, true),
+        ('spark.task.cpus', true, true))
+        t(key, value_is_positive, value_is_sane)
+      ORDER BY key"""))
 
   /** C1+C3 regression, driver-checked via LEARNING-INVARIANT witnesses:
     * every row must score to a finite prediction, and the trained model's

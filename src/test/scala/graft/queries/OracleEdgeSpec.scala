@@ -73,4 +73,18 @@ class OracleEdgeSpec extends AnyFunSuite {
     assert(byId(5L).isNullAt(1))
     assert(byId(1L).getLong(1) == byId(8L).getLong(1))
   }
+
+  test("q_s15_conf invariants hold AND the live values match the SparkContext " +
+      "(the driver compares only the session-independent booleans)") {
+    val out = graft.SparkEntry.queries("q_s15_conf")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set("maxNumConcurrentTasks", "spark.task.cpus"))
+    assert(out.values.forall { case (pos, sane) => pos && sane })
+    // the values behind the booleans are the real session capacities
+    val sc = spark.sparkContext
+    val taskCpus = sc.getConf.getInt("spark.task.cpus", 1)
+    val slots = math.max(sc.defaultParallelism / taskCpus, 1)
+    assert(taskCpus > 0 && slots > 0 && slots <= 4096,
+      s"live introspection out of the oracle's pinned range: cpus=$taskCpus slots=$slots")
+  }
 }
