@@ -13,7 +13,10 @@ Queries present on only one side are listed separately — a silently
 shrunk suite reads as a speedup otherwise. Records taken under
 different probes (`probe` field, absent = legacy count()-probe) are
 flagged NOT COMPARABLE but still diffed (the skew itself is the
-interesting signal during a probe re-baseline).
+interesting signal during a probe re-baseline). Per-query seconds have
+any `staged_views_built` build time subtracted on BOTH sides before
+diffing and gating (the BASELINE.md interpretation rule, in code) —
+the table shows the raw charge as a `+Ns` suffix on the affected side.
 
 --gate turns the diff into the SCALE REGRESSION GATE (BASELINE.md "100x
 regression gate"): exit 1 if any query at or above --gate-min-sec
@@ -74,13 +77,39 @@ def main():
         print("!! probe identity differs — totals NOT COMPARABLE "
               "(per-query deltas show the probe skew)")
 
+    def staged(d):
+        # BASELINE.md "Staged-view provenance": per-query one-time staged
+        # parquet build seconds charged inside the timed window. Absence
+        # means the staging root was warm (or the record predates r15).
+        out = {}
+        for q, views in d.get("staged_views_built", {}).items():
+            if isinstance(views, dict):
+                out[q] = sum(s for s in views.values()
+                             if isinstance(s, (int, float)))
+        return out
+
     def qmap(d):
+        # Subtract staged-view build time up front (the BASELINE.md
+        # interpretation rule, applied to BOTH sides): a mover fully
+        # explained by a cold staging root is a staging-state difference,
+        # not a plan change, and must not trip the gate. The raw seconds
+        # stay visible via the "+Ns staged" annotation in the table.
+        sv = staged(d)
         out = {}
         for k, v in d.get("queries", {}).items():
-            out[k] = v if isinstance(v, (int, float)) else None  # "err" marker
+            if isinstance(v, (int, float)):
+                out[k] = max(v - sv.get(k, 0.0), 0.0)
+            else:
+                out[k] = None  # "err" marker
         return out
 
     qo, qn = qmap(old), qmap(new)
+    so, sn = staged(old), staged(new)
+    if so or sn:
+        tot_o, tot_n = sum(so.values()), sum(sn.values())
+        print(f"staged-view builds charged in-query (subtracted before "
+              f"diffing): OLD {tot_o:.2f}s/{len(so)} queries, "
+              f"NEW {tot_n:.2f}s/{len(sn)} queries")
     only_old = sorted(set(qo) - set(qn))
     only_new = sorted(set(qn) - set(qo))
     if only_old:
@@ -97,7 +126,7 @@ def main():
             rows.append((abs(b - a), q, a, b))
     rows.sort(reverse=True)
 
-    print(f"\n{'query':40s} {'old':>8s} {'new':>8s} {'delta':>8s} {'ratio':>7s}")
+    print(f"\n{'query':40s} {'old':>12s} {'new':>12s} {'delta':>8s} {'ratio':>7s}")
     shown = 0
     for _, q, a, b in rows:
         if shown >= top:
@@ -105,11 +134,15 @@ def main():
             break
         sa = "err" if a is None else f"{a:.3f}"
         sb = "err" if b is None else f"{b:.3f}"
+        if a is not None and so.get(q):
+            sa += f"+{so[q]:.1f}s"
+        if b is not None and sn.get(q):
+            sb += f"+{sn[q]:.1f}s"
         if a is None or b is None:
-            print(f"{q:40s} {sa:>8s} {sb:>8s} {'—':>8s} {'—':>7s}")
+            print(f"{q:40s} {sa:>12s} {sb:>12s} {'—':>8s} {'—':>7s}")
         else:
             ratio = f"{b / a:.2f}x" if a > 0 else "—"
-            print(f"{q:40s} {sa:>8s} {sb:>8s} {b - a:>+8.3f} {ratio:>7s}")
+            print(f"{q:40s} {sa:>12s} {sb:>12s} {b - a:>+8.3f} {ratio:>7s}")
         shown += 1
 
     if gate:
