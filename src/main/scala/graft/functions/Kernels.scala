@@ -185,6 +185,54 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  val TextQualityType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("stop_ratio", DoubleType, nullable = false),
+    StructField("chars_per_token", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+
+  /** The full quality-signal tuple in ONE tokenize pass — the fused form
+    * of the TermCounts + arithmetic composition TextQualityScorer used
+    * to emit column-by-column. Fusion here is not a micro-optimization:
+    * after ProjectCollapse inlines the scorer's withColumns into a
+    * downstream FILTER (the curation pipelines' `quality >= 0.3`), the
+    * composed form re-evaluates TermCounts once per element_at REFERENCE
+    * (~10 tokenizations per row — FilterExec has no subexpression
+    * elimination, unlike ProjectExec/HashAggregateExec), measured 31 s
+    * vs 7 s for the identical logical work at the 100× fixture. A single
+    * struct-returning expression makes one-tokenize-per-row hold BY
+    * CONSTRUCTION under any inlining.
+    *
+    * Field-for-field bit parity with the composed form (KernelFuzzSpec):
+    * tokens are `split(trim, "\s+")` (see [[toks]]); chars_per_token
+    * divides the UNTRIMMED char count (Spark `length()` = numChars);
+    * quality = least(n/64, 1) * (1 - stop_ratio) in the same double
+    * operation order. n_tokens ≥ 1 always (trimmed-empty → one empty
+    * token), so the n>0 guards only document the composed `when`s. */
+  def textQuality(text: UTF8String, stops: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val nChars = text.numChars().toDouble
+    // Spark-trim (space only) + split keeping trailing empties: see toks
+    val t = text.trim.toString
+    val tk: Array[String] = if (t.isEmpty) Array("") else t.split("\\s+", -1)
+    var stopHits = 0L
+    var i = 0
+    while (i < tk.length) {
+      val tok = tk(i)
+      var j = 0
+      while (j < stops.length) {
+        if (stops(j) == tok) stopHits += 1L
+        j += 1
+      }
+      i += 1
+    }
+    val nTokD = tk.length.toDouble
+    val stopRatio = if (tk.length > 0) stopHits.toDouble / nTokD else 0.0
+    val charsPerTok = if (tk.length > 0) nChars / nTokD else 0.0
+    val quality = math.min(nTokD / 64.0, 1.0) * (1.0 - stopRatio)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tk.length.toLong, stopRatio, charsPerTok, quality))
+  }
+
   /** Distinct sorted 64-bit FNV hashes of word n-grams. Gram identity is
     * the SPACE-JOINED token string (same as `concat_ws(" ", slice(...))`
     * in the composed wordNgrams column), so Jaccard over these hashes
@@ -738,6 +786,19 @@ object KernelExpressions {
       copy(child = c)
   }
 
+  case class TextQuality(child: Expression, stops: Array[String]) extends UnaryExpression {
+    override def dataType: DataType = Kernels.TextQualityType
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.textQuality(v.asInstanceOf[UTF8String], stops)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stops", stops, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.textQuality($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): TextQuality =
+      copy(child = c)
+  }
+
   case class NfcNormalize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override protected def nullSafeEval(v: Any): Any =
@@ -951,6 +1012,14 @@ object KernelExpressions {
   def term_counts(text: Column, terms: Seq[String]): Column = {
     require(terms.nonEmpty, "term_counts needs at least one term")
     ColumnBridge.column(TermCounts(ColumnBridge.expression(text), terms.toArray))
+  }
+
+  /** struct<n_tokens, stop_ratio, chars_per_token, quality> in one
+    * tokenize pass; see [[Kernels.textQuality]] for why fusion (not just
+    * a shared column) is what survives filter inlining. */
+  def text_quality(text: Column, stops: Seq[String]): Column = {
+    require(stops.nonEmpty, "text_quality needs at least one stopword")
+    ColumnBridge.column(TextQuality(ColumnBridge.expression(text), stops.toArray))
   }
 
   def unit_vector(a: Column): Column =

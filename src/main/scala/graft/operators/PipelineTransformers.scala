@@ -166,22 +166,26 @@ class TextQualityScorer(override val uid: String) extends Transformer
   private val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    // ONE codegen'd tokenize pass (TermCounts kernel: [n_tokens,
-    // stop-hit counts...]) instead of two interpreted split+filter HOF
-    // chains per row; token semantics are pinned to split(trim, "\s+"),
-    // so every derived value is bit-identical to the composed form
-    val tc = KernelExpressions.term_counts(col($(textCol)), stopList)
-    val nTok = element_at(col("__tc"), 1).cast("double")
-    val stopHits = stopList.indices
-      .map(i => element_at(col("__tc"), i + 2)).reduceLeft(_ + _).cast("double")
-    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
+    // ONE fused struct-returning kernel (tokenize + stop hits + all three
+    // signals), not TermCounts + per-column arithmetic: the composed form
+    // was bit-identical but NOT inlining-proof — when ProjectCollapse
+    // folded these withColumns into a downstream filter (`quality >=
+    // 0.3` in the curation pipelines), every element_at reference
+    // re-evaluated the tokenizer (~10 passes/row; FilterExec does no
+    // subexpression elimination), a measured 31 s vs 7 s at the 100×
+    // fixture. Each output column is one GetStructField of the SAME
+    // kernel call: a filter on any one column costs one tokenization,
+    // and a projection keeping several is CSE'd by ProjectExec.
+    // KernelFuzzSpec pins field-for-field bit parity with the composed
+    // TermCounts form; PipelineTransformersSpec pins the one-kernel-in-
+    // the-filter plan shape.
+    val q = KernelExpressions.text_quality(col($(textCol)), stopList)
     ds.toDF
-      .withColumn("__tc", tc)
-      .withColumn("stop_ratio", stopRatio)
-      .withColumn("chars_per_token",
-        when(nTok > 0, length(col($(textCol))).cast("double") / nTok).otherwise(0.0))
-      .withColumn($(outputCol), least(nTok / lit(64.0), lit(1.0)) * (lit(1.0) - stopRatio))
-      .drop("__tc")
+      .withColumn("__q", q)
+      .withColumn("stop_ratio", col("__q.stop_ratio"))
+      .withColumn("chars_per_token", col("__q.chars_per_token"))
+      .withColumn($(outputCol), col("__q.quality"))
+      .drop("__q")
   }
   override def transformSchema(schema: StructType): StructType =
     schema.add("stop_ratio", DoubleType, nullable = false)

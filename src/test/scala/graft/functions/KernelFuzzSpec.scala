@@ -118,6 +118,33 @@ class KernelFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: text_quality == composed TermCounts+arithmetic form, bit-for-bit") {
+    // the composed column set is EXACTLY what TextQualityScorer emitted
+    // before fusion (one TermCounts + per-column double arithmetic); the
+    // fused kernel must reproduce every field bit-for-bit, because the
+    // curation oracles were hashed against the composed semantics
+    val stops = Seq("the", "a", "of", "and", "in", "to", "is")
+    val df = fuzzTexts.toDF("text")
+    val tc = KernelExpressions.term_counts(col("text"), stops)
+    val nTok = element_at(col("__tc"), 1).cast("double")
+    val stopHits = stops.indices
+      .map(i => element_at(col("__tc"), i + 2)).reduceLeft(_ + _).cast("double")
+    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
+    val rows = df.withColumn("__tc", tc).select(col("text"),
+      KernelExpressions.text_quality(col("text"), stops).as("k"),
+      element_at(col("__tc"), 1).as("c_n"),
+      stopRatio.as("c_sr"),
+      when(nTok > 0, length(col("text")).cast("double") / nTok).otherwise(0.0).as("c_cpt"),
+      (least(nTok / lit(64.0), lit(1.0)) * (lit(1.0) - stopRatio)).as("c_q"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getStruct(1)
+      val composed = Seq[Any](r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(eqv(k.toSeq, composed),
+        s"on '${esc(r.getString(0))}': kernel ${k.toSeq} vs composed $composed")
+    }
+  }
+
   test("fuzz: lang_id == Seq[String]-UDF reference on adversarial text") {
     val df = fuzzTexts.toDF("text")
     val rows = df.select(col("text"),

@@ -138,6 +138,46 @@ class PipelineTransformersSpec extends AnyFunSuite {
       s"MinHashDeduper cache survived its consuming action: $persists")
   }
 
+  test("quality filter inlines exactly ONE TextQuality kernel (fusion pin)") {
+    // The reason the scorer emits GetStructFields of one fused kernel
+    // instead of TermCounts + arithmetic: ProjectCollapse inlines the
+    // scorer's columns into a downstream filter, and FilterExec performs
+    // no subexpression elimination — the composed form re-evaluated the
+    // tokenizer once per element_at reference (~10x per row, 31 s vs 7 s
+    // at the 100x fixture). This pins the fused plan shape: the curation
+    // predicate costs ONE tokenization per row, by construction.
+    // RDD-backed input: a Seq-backed LocalRelation would be folded away
+    // by ConvertToLocalRelation and leave no Filter to inspect. Texts
+    // long enough (>=20 non-stop tokens) that the en docs clear the
+    // quality bar, so the value assertion is non-vacuous.
+    val long0 = "spark executors shuffle partitions across stages while " +
+      "catalyst rewrites logical plans into efficient physical operators " +
+      "with whole stage codegen enabled everywhere"
+    val long1 = "the gradient boosted trees grow histograms over binned " +
+      "features and pick split points greedily using gain computed from " +
+      "summed gradients within each candidate bin"
+    val esDoc = "el zorro marron salta sobre el perro perezoso cerca del " +
+      "rio mientras los arboles crecen junto a la orilla durante la tarde"
+    val rddDocs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((0L, long0), (1L, long1), (2L, esDoc)), 2))
+      .toDF("doc_id", "text")
+    val kept = new TextQualityScorer().transform(
+        new LanguageTagger().transform(rddDocs))
+      .where(col("lang_pred") === "en" && col("quality") >= 0.3)
+      .select(col("doc_id"))
+    val plan = kept.queryExecution.optimizedPlan
+    val kernels = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case t: graft.functions.KernelExpressions.TextQuality => t
+      })
+    }.flatten
+    assert(kernels.size == 1,
+      s"expected exactly 1 TextQuality kernel in the optimized plan, " +
+        s"found ${kernels.size}:\n$plan")
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(0L, 1L),
+      "fused filter must keep the same docs as the composed semantics")
+  }
+
   test("SemanticDeduper centroids survive save/load (persisted Param)") {
     val vecs = Seq(
       (1L, Seq(10.0, 1.0)), (2L, Seq(8.0, 1.2)),
