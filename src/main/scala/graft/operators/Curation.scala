@@ -318,15 +318,25 @@ object Curation {
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
-    val occ = docs.select(col(idCol).as("doc"),
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-    val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // exact-dup collapse first (Dedup.textClasses): the vocabulary is the
+    // top-K of MULTIPLICITY-WEIGHTED token counts (Σm ≡ the count over
+    // all copies, so the cut and its n-then-token tie-break are identical
+    // to the uncollapsed form), and each doc's (n_tokens, oov) is a pure
+    // function of (text, vocab) — computed once per distinct text, then
+    // expanded through the (doc → rep) mapping. Tokenize/explode and the
+    // vocab shuffle run over distinct texts only.
+    val mapping = Dedup.textClasses(docs, idCol, textCol)
+    val occ = Dedup.classReps(docs, idCol, textCol)
+      .select(col("rep"), col("m"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val vocab = occ.groupBy(col("tok")).agg(sum(col("m")).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("in_vocab"))
-    occ.join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy(col("doc"))
+    val perRep = occ.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
+    mapping.select(col("doc"), col("rep")).join(perRep, Seq("rep"))
       .select(col("doc"), col("n_tokens"), col("oov"),
         round(col("oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }

@@ -21,6 +21,43 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  // ---- exact-duplicate text classes --------------------------------------
+
+  /** doc → exact-duplicate TEXT-CLASS mapping: one row per input doc with
+    * its class representative (`rep` = min doc id sharing the text) and
+    * the class size (`m`). The collapse-first primitive for corpus-wide
+    * text statistics: any per-document value that is a pure function of
+    * (text, corpus aggregates) can be computed once per DISTINCT text —
+    * weight corpus aggregates by `m`, reduce per `rep`, and expand each
+    * doc to its class row through this mapping. On a duplication-heavy
+    * corpus (the population a curation pipeline actually processes) that
+    * divides the token-explode, the count shuffles, and the probe joins
+    * by the duplication factor, while the mapping itself shuffles only
+    * (digest, id) pairs — never text.
+    *
+    * Null text forms its own class (the digest-null group survives the
+    * null-safe self-join), so the mapping is TOTAL over the input. */
+  def textClasses(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+    val classes = fp.groupBy(col("fp"))
+      .agg(min(col("doc")).as("rep"), count(lit(1)).as("m"))
+    fp.alias("d").join(classes.alias("c"), col("d.fp") <=> col("c.fp"))
+      .select(col("d.doc").as("doc"), col("c.rep").as("rep"), col("c.m").as("m"))
+  }
+
+  /** One row per text class: (rep, m, <textCol> of the representative).
+    * Companion to [[textClasses]] — the input to the collapsed per-class
+    * computation. The id equi-join selects exactly the representative
+    * rows (rep is a real doc id, unique by construction). */
+  def classReps(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val classes = docs
+      .select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc")).as("rep"), count(lit(1)).as("m"))
+    docs.join(classes.select(col("rep"), col("m")), col(idCol) === col("rep"))
+      .select(col("rep"), col("m"), col(textCol))
+  }
+
   // ---- shingling ---------------------------------------------------------
 
   /** Distinct word n-gram strings of a text column. */

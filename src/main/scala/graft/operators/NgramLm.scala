@@ -38,30 +38,40 @@ object NgramLm {
     * scores (LEFT join), so the output is total over the input. */
   def bigramCorpusScore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // NO persist, deliberately: the occurrence table has three consumers
-    // (c2, c1, join probe), but its producer is one cheap codegen'd
-    // kernel over the scan — measured at the 100× fixture, recomputing
-    // it per consumer (23.0 s) BEATS materializing 50 M rows to
-    // memory/disk and reading them back (24.5–28 s under the bench's
-    // cold-cache protocol). Persist-before-branch pays off only when the
-    // branched producer is expensive relative to its width — the dedup
-    // Transformers (full upstream kernel pipeline) and q_chunk_cdc's
-    // chunker qualify; a cheap explode does not.
-    val occ = docs.select(col(idCol).as("doc"),
-      explode(graft.functions.KernelExpressions.word_ngrams_all(
-        col(textCol), 2)).as("bigram"))
+    // EXACT-DUP COLLAPSE FIRST ([[Dedup.textClasses]]): every per-doc
+    // output here is a pure function of (text, corpus counts), so the
+    // explode, both count shuffles, and the probe join run over DISTINCT
+    // texts only, with class multiplicity `m` weighting the corpus
+    // counts (Σm over a bigram ≡ the occurrence count over all copies).
+    // Per-class values expand back to every doc through the (doc → rep)
+    // mapping — identical output, corpus-side cost divided by the
+    // duplication factor (the 100× fixture is 100-way duplicated; a real
+    // crawl is 20–50% — the win scales with exactly the corpora this
+    // score is built to filter).
+    //
+    // NO persist on the occurrence table, deliberately: its producer is
+    // one cheap codegen'd kernel over the (collapsed) scan — measured at
+    // the 100× fixture pre-collapse, recomputing it per consumer (23.0 s)
+    // BEAT materializing 50 M rows and reading them back (24.5–28 s).
+    // Persist-before-branch pays only when the branched producer is
+    // expensive relative to its width (see the dedup Transformers).
+    val mapping = graft.operators.Dedup.textClasses(docs, idCol, textCol)
+    val occ = graft.operators.Dedup.classReps(docs, idCol, textCol)
+      .select(col("rep"), col("m"),
+        explode(graft.functions.KernelExpressions.word_ngrams_all(
+          col(textCol), 2)).as("bigram"))
       .withColumn("ctx", substring_index(col("bigram"), " ", 1))
-    val c2 = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-    val c1 = occ.groupBy(col("ctx")).agg(count(lit(1)).as("c1"))
-    val perDoc = occ
+    val c2 = occ.groupBy(col("bigram")).agg(sum(col("m")).as("c2"))
+    val c1 = occ.groupBy(col("ctx")).agg(sum(col("m")).as("c1"))
+    val perRep = occ
       .join(c2, "bigram")
       .join(c1, "ctx")
-      .groupBy(col("doc"))
+      .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("c2")).as("support_sum"),
         sum(col("c1")).as("context_sum"),
         sum(when(col("c2") === 1, 1L).otherwise(0L)).as("hapax"))
-    docs.select(col(idCol).as("doc")).join(perDoc, Seq("doc"), "left")
+    mapping.select(col("doc"), col("rep")).join(perRep, Seq("rep"), "left")
       .select(col("doc"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("support_sum"), lit(0L)).as("support_sum"),

@@ -212,15 +212,25 @@ object CurationQueriesImpl {
     "q_decontaminate",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val grams = docs.select(col("doc_id"),
-        explode(graft.operators.Dedup.wordNgrams(col("text"), 3)).as("gram"))
-      val evalGrams = grams.where(col("doc_id") % 50 === 0)
-        .select("gram").distinct()
-      val hits = grams.where(col("doc_id") % 50 =!= 0)
+      // the eval side is id-selected (doc_id % 50) so it cannot collapse,
+      // but it is tiny by construction; the CORPUS side's n_shared is a
+      // pure function of (text, eval gram set), so the heavy gram explode
+      // + broadcast-semi hits run once per DISTINCT text
+      // (Dedup.textClasses) and expand to the train docs through the
+      // (doc → rep) mapping. Classes whose members are all eval docs
+      // score too but drop in the id-filtered expansion.
+      val evalGrams = docs.where(col("doc_id") % 50 === 0)
+        .select(explode(graft.operators.Dedup.wordNgrams(col("text"), 3)).as("gram"))
+        .distinct()
+      val mapping = graft.operators.Dedup.textClasses(docs, "doc_id", "text")
+      val repHits = graft.operators.Dedup.classReps(docs, "doc_id", "text")
+        .select(col("rep"),
+          explode(graft.operators.Dedup.wordNgrams(col("text"), 3)).as("gram"))
         .join(broadcast(evalGrams), "gram")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .groupBy("rep").agg(count(lit(1)).as("n_shared"))
       docs.where(col("doc_id") % 50 =!= 0).select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
+        .join(mapping.select(col("doc").as("doc_id"), col("rep")), "doc_id")
+        .join(repHits, Seq("rep"), "left")
         .select(col("doc_id"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))

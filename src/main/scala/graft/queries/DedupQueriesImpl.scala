@@ -648,14 +648,28 @@ object DedupQueriesImpl {
   val dupGramCoverage = Q(
     "q_dup_gram_coverage",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val grams = Tables.documents(s, dir).select(col("doc_id"),
-        explode(graft.operators.Dedup.wordNgrams(col("text"), 3)).as("gram"))
-      grams
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-        .groupBy(col("doc_id"))
+      val docs = Tables.documents(s, dir)
+      // exact-dup collapse first (Dedup.textClasses): n_grams/n_dup are
+      // pure functions of (text, corpus gram-df), so the explode, the df
+      // count, and the probe join run over DISTINCT texts, with class
+      // multiplicity m weighting df (Σm ≡ the per-doc-distinct gram's
+      // document frequency over all copies). The df table is a
+      // partial-aggregable groupBy + equi-join, replacing the old
+      // count-over-Window form (a windowed count shuffles every
+      // occurrence to its gram partition with NO map-side combine).
+      // Per-class rows expand to every doc through the mapping; docs
+      // whose text yields no grams (null text) stay absent, as before.
+      val mapping = graft.operators.Dedup.textClasses(docs, "doc_id", "text")
+      val occ = graft.operators.Dedup.classReps(docs, "doc_id", "text")
+        .select(col("rep"), col("m"),
+          explode(graft.operators.Dedup.wordNgrams(col("text"), 3)).as("gram"))
+      val dfTab = occ.groupBy(col("gram")).agg(sum(col("m")).as("df"))
+      val perRep = occ.join(dfTab, "gram")
+        .groupBy(col("rep"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      mapping.select(col("doc").as("doc_id"), col("rep"))
+        .join(perRep, Seq("rep"))
         .select(col("doc_id"), col("n_grams"), col("n_dup"),
           round(col("n_dup").cast("double") / col("n_grams"), 4).as("dup_ratio"))
         .orderBy(col("doc_id"))

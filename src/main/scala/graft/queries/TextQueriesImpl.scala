@@ -167,14 +167,25 @@ object TextQueriesImpl {
     "q_chunk_overlap",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      // chunk rows are a pure function of the text, so tokenize + slice +
+      // md5 run once per DISTINCT text (Dedup.classReps) and the per-rep
+      // chunk rows fan back out to every doc through the (doc → rep)
+      // mapping — identical output, chunking cost divided by the
+      // duplication factor (the remaining cost is output-bound: the
+      // expanded rows still materialize and sort).
+      val mapping = graft.operators.Dedup.textClasses(docs, "doc_id", "text")
+      val repChunks = graft.operators.Dedup.classReps(docs, "doc_id", "text")
+        .select(col("rep"), TextFunctions.tokens(col("text")).as("t"))
         .withColumn("chunk_idx",
           explode(expr("sequence(0, int(greatest(ceil((size(t) - 40) / 32.0), 0)))")))
-        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        .select(col("rep"), col("chunk_idx").cast("long").as("chunk_idx"),
           expr("slice(t, chunk_idx * 32 + 1, 40)").as("c"))
-        .select(col("doc_id"), col("chunk_idx"),
+        .select(col("rep"), col("chunk_idx"),
           size(col("c")).as("chunk_tokens"),
           md5(concat_ws(" ", col("c"))).as("chunk_md5"))
+      mapping.select(col("doc").as("doc_id"), col("rep"))
+        .join(repChunks, Seq("rep"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"), col("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
     Some("""WITH toks AS (
@@ -203,23 +214,35 @@ object TextQueriesImpl {
   val chunkCdc = Q(
     "q_chunk_cdc",
     (s, dir) => {
-      // NO persist, deliberately: the chunk rows have two consumers
-      // (df-frequency aggregate + join probe), but the CDC kernel is one
-      // cheap codegen'd pass — recomputing it per branch (14.6 s at the
-      // 100× fixture) beats materializing the chunk table to
-      // memory/disk and reading it back (20–25 s, cold-cache protocol).
-      // Persist-before-branch pays only when the branched producer is
-      // expensive relative to its width (the dedup Transformers' full
-      // upstream kernel pipeline qualifies; one kernel scan does not).
+      // Exact-dup collapse first (Dedup.textClasses): chunk fingerprints
+      // are pure functions of the text, so the CDC kernel and both chunk
+      // shuffles run over DISTINCT texts. A fingerprint's document
+      // frequency over ALL copies is Σm across the classes whose text
+      // contains it at least once (per-(rep, fp) distinct, then
+      // m-weighted sum — countDistinct(doc) counted a doc once however
+      // often the chunk repeated inside it, and every copy repeats it
+      // identically). Per-class rollups expand to every doc through the
+      // (doc → rep) mapping. NO persist on the chunk rows, deliberately:
+      // the producer is one cheap codegen'd kernel pass and the
+      // (collapsed) recompute-per-consumer beats a materialization
+      // round-trip (measured pre-collapse: 14.6 s vs 20–25 s at 100×).
+      val docs = Tables.documents(s, dir)
+      val mapping = graft.operators.Dedup.textClasses(docs, "doc_id", "text")
+      val reps = graft.operators.Dedup.classReps(docs, "doc_id", "text")
       val rows = graft.operators.Curation.contentDefinedChunks(
-        Tables.documents(s, dir), "doc_id", "text", 8)
-      val dfreq = rows.groupBy(col("fp"))
-        .agg(countDistinct(col("doc")).as("ndocs"))
-      rows.join(dfreq, "fp")
-        .groupBy(col("doc").as("doc_id"))
+        reps, "rep", "text", 8)
+      val dfreq = rows.select(col("doc").as("rep"), col("fp")).distinct()
+        .join(reps.select(col("rep"), col("m")), "rep")
+        .groupBy(col("fp")).agg(sum(col("m")).as("ndocs"))
+      val perRep = rows.join(dfreq, "fp")
+        .groupBy(col("doc").as("rep"))
         .agg(count(lit(1)).as("n_chunks"),
           max(col("chunk_len")).as("max_chunk_len"),
           sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      mapping.select(col("doc").as("doc_id"), col("rep"))
+        .join(perRep, Seq("rep"))
+        .select(col("doc_id"), col("n_chunks"), col("max_chunk_len"),
+          col("n_shared_chunks"))
         .orderBy(col("doc_id"))
     },
     Some {
@@ -294,13 +317,18 @@ object TextQueriesImpl {
   val distinctNgrams = Q(
     "q_distinct_ngrams",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      def grams(n: Int) = docs.select(lit(n).as("n"),
+      // exact-dup collapse first (Dedup.classReps): totals are class
+      // counts weighted by multiplicity (Σm ≡ count over all copies) and
+      // the distinct set is unchanged by copies, so the tokenize +
+      // explode + distinct shuffle run over DISTINCT texts only.
+      val reps = graft.operators.Dedup.classReps(
+        Tables.documents(s, dir), "doc_id", "text")
+      def grams(n: Int) = reps.select(lit(n).as("n"), col("m"),
         explode(graft.functions.KernelExpressions.word_ngrams_all(col("text"), n))
           .as("gram"))
       grams(1).unionByName(grams(2)).unionByName(grams(3))
         .groupBy(col("n"))
-        .agg(count(lit(1)).as("total_grams"),
+        .agg(sum(col("m")).as("total_grams"),
           countDistinct(col("gram")).as("distinct_grams"))
         .select(col("n"), col("total_grams"), col("distinct_grams"),
           round(col("distinct_grams") / col("total_grams"), 6).as("distinct_ratio"))
