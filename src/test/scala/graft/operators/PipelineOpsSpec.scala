@@ -20,6 +20,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     (4L, "el rapido zorro marron salta sobre el perro perezoso cerca del rio hoy")
   ).toDF("doc_id", "text")
 
+  test("textClasses/classReps: total mapping, min-id reps, multiplicity; " +
+      "null text forms its own class") {
+    // the collapse-first primitive behind the corpus-stat queries: the
+    // mapping must be TOTAL (one row per input doc), rep = min id of the
+    // identical-text class, m = class size, and null text must survive
+    // the digest join as its own class (a plain equi-join on md5(null)
+    // would silently DROP those docs from every collapsed query).
+    val withNull = docs.unionByName(Seq[(Option[Long], Option[String])](
+      (Option.empty[Long], Option.empty[String]),
+      (Some(9L), Option.empty[String]))
+      .toDF("doc_id", "text").select(col("doc_id"), col("text")))
+    val mapping = Dedup.textClasses(withNull, "doc_id", "text").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        (r.getLong(1), r.getLong(2)))).toMap
+    assert(mapping.size == 7, "mapping must be total over the input")
+    assert(mapping(0L) == (0L, 2L) && mapping(1L) == (0L, 2L),
+      "exact dups share the min-id rep with m = 2")
+    assert(mapping(2L) == (2L, 1L) && mapping(3L) == (3L, 1L) &&
+      mapping(4L) == (4L, 1L), "unique texts are their own class")
+    assert(mapping(9L) == (9L, 2L) && mapping(-1L)._2 == 2L,
+      "null texts form one class (null-min rep skips the null id)")
+    val reps = Dedup.classReps(withNull, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 2L),
+      "one row per class keyed by its representative doc")
+  }
+
   test("exact dedup groups identical texts") {
     val groups = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min("doc_id").as("keep"), count(lit(1)).as("copies"))
