@@ -239,17 +239,30 @@ object Retrieval {
     * sees one row per posting instead of one per occurrence. */
   def invertedIndexStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val posting = docs
-      .select(col(idCol).as("doc"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy(col("tok"), col("doc"))
-      .agg(count(lit(1)).as("tf_d"))
-    posting.groupBy(col("tok"))
-      .agg(count(lit(1)).as("df"),
-        sum(col("tf_d")).as("tf"),
-        min(col("doc")).as("first_doc"),
-        max(col("doc")).as("last_doc"),
-        sum(col("doc")).as("posting_sum"))
+    // Exact-dup collapse first (Dedup.textClasses) — and unlike the
+    // per-doc stat queries, NOTHING here expands back to doc level:
+    // every output stat is CLASS-DECOMPOSABLE. A class (m copies, ids I,
+    // per-copy term frequency tf_c) contributes m to df, tf_c·m to tf,
+    // min/max(I) to the posting bounds and sum(I) to the checksum — so
+    // the explode runs over distinct texts, the (tok, rep) partials are
+    // distinct-text-scale, and the per-class id aggregates come from the
+    // (digest, id) mapping alone. The doc-level posting table never
+    // exists.
+    val mapping = Dedup.textClasses(docs, idCol, textCol)
+    val classAgg = mapping.groupBy(col("rep"))
+      .agg(count(lit(1)).as("m"), min(col("doc")).as("min_id"),
+        max(col("doc")).as("max_id"), sum(col("doc")).as("sum_id"))
+    val posting = Dedup.classReps(docs, idCol, textCol)
+      .select(col("rep"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"), col("rep"))
+      .agg(count(lit(1)).as("tf_c"))
+    posting.join(classAgg, "rep")
+      .groupBy(col("tok"))
+      .agg(sum(col("m")).as("df"),
+        sum(col("tf_c") * col("m")).as("tf"),
+        min(col("min_id")).as("first_doc"),
+        max(col("max_id")).as("last_doc"),
+        sum(col("sum_id")).as("posting_sum"))
       .orderBy(col("tok"))
   }
 
