@@ -58,6 +58,21 @@ object Dedup {
       .select(col("rep"), col("m"), col(textCol))
   }
 
+  /** (id, <valueName>) where `kernel(text)` is evaluated ONCE per
+    * DISTINCT text and expanded through the class mapping — the
+    * collapse-first move for expensive pure-of-text kernels (minhash
+    * signatures, simhash fingerprints). Totality and null semantics
+    * follow [[textClasses]]: every input doc gets a row, and a null
+    * text's class carries the kernel's null result. */
+  private def perClassValue(docs: DataFrame, idCol: String, textCol: String,
+      kernel: Column => Column, valueName: String): DataFrame = {
+    val repVal = classReps(docs, idCol, textCol)
+      .select(col("rep"), kernel(col(textCol)).as(valueName))
+    textClasses(docs, idCol, textCol)
+      .join(repVal, "rep")
+      .select(col("doc").as(idCol), col(valueName))
+  }
+
   // ---- shingling ---------------------------------------------------------
 
   /** Distinct word n-gram strings of a text column. */
@@ -144,7 +159,10 @@ object Dedup {
     * threshold) and are excluded up front now — same output. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       minEstJaccard: Double): DataFrame = {
-    val sigs = docs.select(col(idCol), minhashSignature(col(textCol)).as("mh"))
+    // signature kernel once per DISTINCT text (perClassValue) — the
+    // mh-value groupBy below collapses the PAIR volume, but without this
+    // every copy still paid the 64-hash-per-gram signature itself
+    val sigs = perClassValue(docs, idCol, textCol, minhashSignature, "mh")
       .where(col("mh").isNotNull)
     val groups = sigs.groupBy(col("mh"))
       .agg(min(col(idCol)).as("rep"),
@@ -214,8 +232,10 @@ object Dedup {
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftrightunsigned(col("simhash"), sh).bitwiseAND(lit(mask)).as(s"seg$s")
     }
-    docs.select(col(idCol),
-      graft.functions.KernelExpressions.simhash64(col(textCol)).as("simhash"))
+    // fingerprint once per DISTINCT text (perClassValue); the bit-slicing
+    // projections stay per-doc (free) and null text keeps its null row
+    perClassValue(docs, idCol, textCol,
+      graft.functions.KernelExpressions.simhash64, "simhash")
       .select(col(idCol) +: col("simhash") +: segCols: _*)
   }
 
@@ -250,9 +270,8 @@ object Dedup {
     // probe volume is distinct-content-bounded. NULL simhash (NULL
     // text) stays excluded from pairing, as the null-safe predicate
     // already guaranteed.
-    val groups = docs
-      .select(col(idCol),
-        graft.functions.KernelExpressions.simhash64(col(textCol)).as("simhash"))
+    val groups = perClassValue(docs, idCol, textCol,
+        graft.functions.KernelExpressions.simhash64, "simhash")
       .where(col("simhash").isNotNull)
       .groupBy(col("simhash"))
       .agg(min(col(idCol)).as("rep"),
