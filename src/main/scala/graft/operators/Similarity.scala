@@ -465,16 +465,23 @@ object Similarity {
     if (rowBound * perClassBytes > maxBroadcastBytes)
       return (ivfProbe(index, queries, idCol, vecCol, k, centroids, nProbe),
         "probe")
-    // HARD cap, enforced inside the plan (no construction-time job): the
-    // distinct is bounded to cap+1 rows, a window count checks the bound,
-    // and assert_true fails the query loudly before anything broadcasts.
-    // When the count is within the cap, limit(cap+1) returns every class
-    // and the guard is a row-preserving no-op.
+    // HARD cap, enforced inside the plan (no construction-time job): a
+    // map-side-partial COUNT of the distinct classes rides a one-row
+    // broadcast onto every class row, and assert_true fails the query
+    // loudly before anything broadcasts. Within the cap the guard is a
+    // row-preserving no-op. (The previous form bounded rows with
+    // limit(cap+1) + an empty-partition window count — both funnel every
+    // class row, VECTORS INCLUDED, through a single partition. The
+    // fixtures' distinct-class counts are small so no bench query moved,
+    // but the guard exists precisely for distinct-heavy corpora, where
+    // the funnel grows to cap ≈ 236k full vector rows (~100 MB through
+    // one task) just before the tier flips to probe. The count aggregate
+    // ships per-partition partial longs instead, and the distinct's
+    // exchange is reused across the count and the class stream.)
     val cap = math.max(1L, maxBroadcastBytes / perClassBytes)
-    val classes = queries.select(col(vecCol).as("__qv")).distinct()
-      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
-      .withColumn("__cls_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val dcls = queries.select(col(vecCol).as("__qv")).distinct()
+    val clsN = dcls.agg(count(lit(1)).as("__cls_n"))
+    val classes = dcls.crossJoin(broadcast(clsN))
       .where(assert_true(col("__cls_n") <= cap, lit(
         s"ivfScreenAuto: distinct query-vector classes exceed the $cap-row " +
           s"hard cap implied by the $maxBroadcastBytes-byte broadcast budget " +
