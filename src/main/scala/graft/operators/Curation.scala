@@ -30,10 +30,11 @@ object Curation {
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
   /** Duplicate groups ON THE NORMALIZED text: (keep = min id, copies).
-    * Groups by the md5 of the canonical form — the shuffle moves 32-char
-    * digests, not documents. */
+    * Groups by the 16-byte binary class digest ([[Dedup.classDigest]])
+    * of the canonical form — the shuffle moves 16-byte keys, not
+    * documents. */
   def normalizedDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), md5(normalizeText(col(textCol))).as("nfp"))
+    docs.select(col(idCol), Dedup.classDigest(normalizeText(col(textCol))).as("nfp"))
       .groupBy(col("nfp"))
       .agg(min(col(idCol)).as("keep"), count(lit(1)).as("copies"))
       .where(col("copies") > 1)
@@ -291,12 +292,13 @@ object Curation {
 
   /** Soft dedup: instead of dropping exact duplicates, weight each copy
     * 1/cluster-size so the CLUSTER contributes one document's worth of
-    * training signal. Shuffles md5 digests, not text. Returns the input
-    * plus `n_copies` and `weight`. */
+    * training signal. Shuffles 16-byte binary digests
+    * ([[Dedup.classDigest]]), not text. Returns the input plus
+    * `n_copies` and `weight`. */
   def softDedupWeights(df: DataFrame, textCol: String): DataFrame = {
-    val counts = df.select(md5(col(textCol)).as("__digest"))
+    val counts = df.select(Dedup.classDigest(col(textCol)).as("__digest"))
       .groupBy(col("__digest")).agg(count(lit(1)).as("n_copies"))
-    df.withColumn("__digest", md5(col(textCol)))
+    df.withColumn("__digest", Dedup.classDigest(col(textCol)))
       .join(counts, "__digest")
       .withColumn("weight", lit(1.0) / col("n_copies"))
       .drop("__digest")

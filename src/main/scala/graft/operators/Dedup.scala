@@ -23,6 +23,53 @@ object Dedup {
 
   // ---- exact-duplicate text classes --------------------------------------
 
+  /** The text-CLASS digest: the first 16 bytes of SHA-256(text), as a
+    * true BinaryType value. Two properties the whole dedup/collapse
+    * surface keys on, both of which the previous `md5()` key failed:
+    *   - WIDTH: Spark's `md5()` returns a 32-char lowercase-hex STRING —
+    *     32 bytes of UTF8 plus offsets riding every exchange and join;
+    *     this key is a real 16-byte binary value, halving key bytes
+    *     across every collapse-first and dedup shuffle (CollapsePlanSpec
+    *     pins the type and width);
+    *   - STRENGTH: MD5 chosen-prefix collisions are practical, and the
+    *     collapse-first rewrite routes every corpus statistic (quality,
+    *     OOV, bigram scores, decontamination, jaccard verification)
+    *     through this key over adversarial web-crawl text — a crafted
+    *     collision would silently merge two different texts into one
+    *     class. A 128-bit truncation of SHA-256 has no known structural
+    *     attacks; accidental collisions stay birthday-bounded (~2⁻⁶⁴ at
+    *     corpus scale).
+    * NULL text digests to NULL (sha2/unhex/substring all null-propagate)
+    * — exactly the semantics of the md5 key it replaces, so the
+    * null-safe class joins are unchanged. */
+  def classDigest(text: Column): Column =
+    substring(unhex(sha2(text, 256)), 1, 16)
+
+  /** The ONE aggregate that defines "text class": the per-doc
+    * `(doc, fp)` digest projection and its grouped form
+    * `(fp, rep = min id, m = copies)`. Every class consumer —
+    * [[textClasses]], [[classReps]], [[perClassValue]], the registered
+    * collapse-first queries — derives from THIS pair, so the definition
+    * exists once and a plan using both the mapping and the reps carries
+    * ONE physical digest aggregate (the consumers share the identical
+    * subtree; AQE's ReuseExchange deduplicates it — CollapsePlanSpec).
+    *
+    * DETERMINISM CONTRACT: `docs` must re-evaluate to the same rows.
+    * The mapping join and the rep selection are separate consumers of
+    * the same logical subtree; a non-deterministic input (`sample()`,
+    * an uncheckpointed shuffle ordering feeding `min()`) could make the
+    * independently evaluated sides disagree on reps and silently drop
+    * rows at the rep equi-joins. Materialize such inputs first
+    * (localCheckpoint) — every registered query reads deterministic
+    * parquet. */
+  private def classAggregate(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val fp = docs.select(col(idCol).as("doc"), classDigest(col(textCol)).as("fp"))
+    val classes = fp.groupBy(col("fp"))
+      .agg(min(col("doc")).as("rep"), count(lit(1)).as("m"))
+    (fp, classes)
+  }
+
   /** doc → exact-duplicate TEXT-CLASS mapping: one row per input doc with
     * its class representative (`rep` = min doc id sharing the text) and
     * the class size (`m`). The collapse-first primitive for corpus-wide
@@ -33,14 +80,13 @@ object Dedup {
     * corpus (the population a curation pipeline actually processes) that
     * divides the token-explode, the count shuffles, and the probe joins
     * by the duplication factor, while the mapping itself shuffles only
-    * (digest, id) pairs — never text.
+    * 24-byte (digest, id) pairs — never text.
     *
     * Null text forms its own class (the digest-null group survives the
-    * null-safe self-join), so the mapping is TOTAL over the input. */
+    * null-safe self-join), so the mapping is TOTAL over the input.
+    * Determinism contract: see [[classAggregate]]. */
   def textClasses(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
-    val classes = fp.groupBy(col("fp"))
-      .agg(min(col("doc")).as("rep"), count(lit(1)).as("m"))
+    val (fp, classes) = classAggregate(docs, idCol, textCol)
     fp.alias("d").join(classes.alias("c"), col("d.fp") <=> col("c.fp"))
       .select(col("d.doc").as("doc"), col("c.rep").as("rep"), col("c.m").as("m"))
   }
@@ -50,10 +96,7 @@ object Dedup {
     * computation. The id equi-join selects exactly the representative
     * rows (rep is a real doc id, unique by construction). */
   def classReps(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val classes = docs
-      .select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc")).as("rep"), count(lit(1)).as("m"))
+    val (_, classes) = classAggregate(docs, idCol, textCol)
     docs.join(classes.select(col("rep"), col("m")), col(idCol) === col("rep"))
       .select(col("rep"), col("m"), col(textCol))
   }
@@ -63,12 +106,28 @@ object Dedup {
     * collapse-first move for expensive pure-of-text kernels (minhash
     * signatures, simhash fingerprints). Totality and null semantics
     * follow [[textClasses]]: every input doc gets a row, and a null
-    * text's class carries the kernel's null result. */
+    * text's class carries the kernel's null result. Both internal
+    * consumers (the mapping join and the rep-text selection) derive
+    * from one [[classAggregate]] call, so the digest aggregate is
+    * physically computed once (ReusedExchange). */
   private def perClassValue(docs: DataFrame, idCol: String, textCol: String,
       kernel: Column => Column, valueName: String): DataFrame = {
-    val repVal = classReps(docs, idCol, textCol)
+    // m-less aggregate ON PURPOSE: the mapping join needs (fp, rep) and
+    // the rep selection needs (rep) — with count(m) in the aggregate,
+    // column pruning gives the rep-selection consumer a min-only
+    // aggregate while the mapping keeps min+count, the partial
+    // aggregates (and so the exchanges) diverge, and ReuseExchange's
+    // canonical-equality check can no longer dedup them: the digest
+    // scan would physically run twice (observed in CollapsePlanSpec
+    // before this form). With both consumers pruning to the same
+    // min-only aggregate, the plan carries ONE fp exchange + a
+    // ReusedExchange.
+    val fp = docs.select(col(idCol).as("doc"), classDigest(col(textCol)).as("fp"))
+    val classes = fp.groupBy(col("fp")).agg(min(col("doc")).as("rep"))
+    val repVal = docs.join(classes.select(col("rep")), col(idCol) === col("rep"))
       .select(col("rep"), kernel(col(textCol)).as(valueName))
-    textClasses(docs, idCol, textCol)
+    fp.alias("d").join(classes.alias("c"), col("d.fp") <=> col("c.fp"))
+      .select(col("d.doc").as("doc"), col("c.rep").as("rep"))
       .join(repVal, "rep")
       .select(col("doc").as(idCol), col(valueName))
   }
@@ -563,9 +622,9 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
     val corpusMin = corpus
-      .select(md5(col(textCol)).as("digest"), col(idCol).as("cid"))
+      .select(classDigest(col(textCol)).as("digest"), col(idCol).as("cid"))
       .groupBy(col("digest")).agg(min(col("cid")).as("exact_dup_of"))
-    val exact = batch.select(col(idCol).as("doc"), md5(col(textCol)).as("digest"))
+    val exact = batch.select(col(idCol).as("doc"), classDigest(col(textCol)).as("digest"))
       .join(corpusMin, Seq("digest"), "left")
       .select(col("doc"), col("exact_dup_of"))
     val u = corpus.select(col(idCol), col(textCol))

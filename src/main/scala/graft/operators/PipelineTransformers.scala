@@ -41,7 +41,8 @@ trait CacheReleaseParam extends org.apache.spark.ml.param.Params {
 }
 
 /** Exact dedup: keeps the lowest-id row of every identical-text group.
-  * One shuffle on a 128-bit digest — the text bytes never shuffle.
+  * One shuffle on the 16-byte binary class digest ([[Dedup.classDigest]])
+  * — the text bytes never shuffle.
   *
   * CACHE LIFECYCLE: `transform` persists its input at MEMORY_AND_DISK
   * (two consumers of one child plan — see the in-method comment). The
@@ -86,7 +87,7 @@ class ExactDeduper(override val uid: String) extends Transformer
     // a corpus without a reliable id should mint one upstream
     // (monotonically_increasing_id) before this stage.
     val keep = df
-      .select(md5(col($(textCol))).as("_graft_fp"), col($(idCol)))
+      .select(Dedup.classDigest(col($(textCol))).as("_graft_fp"), col($(idCol)))
       .groupBy(col("_graft_fp")).agg(min(col($(idCol))).as("_graft_keep"))
       .select(col("_graft_keep").as($(idCol)))
     withRelease(df, df.join(keep, Seq($(idCol)), "left_semi"))

@@ -12,8 +12,9 @@ import graft.operators.Curation
 object CurationQueriesImpl {
 
   /** Exact dedup AFTER text normalization: case/punctuation variants of
-    * the same content collapse into one group. Shuffles md5 digests of
-    * the canonical form. */
+    * the same content collapse into one group. Shuffles 16-byte binary
+    * digests of the canonical form (the oracle's md5 key groups the same
+    * classes — the key is internal, only (keep, copies) is output). */
   val normalizedDedup = Q(
     "q_dedup_normalized",
     (s, dir) => {

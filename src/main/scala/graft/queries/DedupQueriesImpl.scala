@@ -349,9 +349,11 @@ object DedupQueriesImpl {
       // against the candidate fact table. The candidate-side joins carry
       // int keys/payloads (AQE broadcasts the rep map when it fits);
       // measured 1.5× end-to-end vs scoring every candidate directly.
-      val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-      val fpRep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
-      val docRep = fp.join(fpRep, "fp").select(col("doc_id"), col("rep"))
+      // The class mapping IS Dedup.textClasses — one definition of
+      // "text class" in the codebase (r15 inlined an fp/fpRep/docRep
+      // triple here; any digest-semantics change must land exactly once).
+      val docRep = Dedup.textClasses(docs, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("rep"))
       // candidates mapped to NORMALIZED rep pairs. Deliberately NOT
       // materialized despite the two consumers (distinct-pair branch +
       // final score join): the candidate DAG ends in exchanges that AQE's
@@ -604,9 +606,9 @@ object DedupQueriesImpl {
     "q_dedup_rate_by_source",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val dupFps = docs.groupBy(md5(col("text")).as("fp"))
+      val dupFps = docs.groupBy(Dedup.classDigest(col("text")).as("fp"))
         .agg(count(lit(1)).as("c")).where(col("c") > 1).select(col("fp"))
-      val exactDup = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val exactDup = docs.select(col("doc_id"), Dedup.classDigest(col("text")).as("fp"))
         .join(dupFps, Seq("fp"), "left_semi").select(col("doc_id"))
       val nearDup = nearDupComponents(s, dir).select(col("node").as("doc_id"))
       docs.select(col("source"), col("doc_id"))

@@ -57,7 +57,12 @@ class PlanSpec extends AnyFunSuite {
       "expected map-side partial aggregation:\n" + p.take(800))
   }
 
-  test("q_dedup_exact: shuffle key is the 16-byte digest, not the text") {
+  test("q_dedup_exact: shuffle key is the digest, not the text") {
+    // q_dedup_exact OUTPUTS fp = md5(text) (the oracle hashes the hex
+    // string), so its shuffle key is the 32-char hex digest by contract.
+    // The INTERNAL class key — what ExactDeduper/textClasses shuffle —
+    // is the 16-byte BinaryType classDigest; CollapsePlanSpec pins that
+    // key's type and width. Here: digests below the exchange, never text.
     val p = plan("q_dedup_exact")
     val hashArgs = p.linesIterator
       .filter(l => l.contains("Arguments: hashpartitioning")).toSeq
