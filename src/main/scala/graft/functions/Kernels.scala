@@ -208,7 +208,18 @@ object Kernels {
     * divides the UNTRIMMED char count (Spark `length()` = numChars);
     * quality = least(n/64, 1) * (1 - stop_ratio) in the same double
     * operation order. n_tokens ≥ 1 always (trimmed-empty → one empty
-    * token), so the n>0 guards only document the composed `when`s. */
+    * token), so the n>0 guards only document the composed `when`s.
+    *
+    * NULL text is the ONE deliberate divergence from the composed form:
+    * the kernel null-propagates (null text → null struct → null
+    * stop_ratio/chars_per_token/quality, so a `quality >= t` filter
+    * DROPS null-text docs), where the composed
+    * TermCounts+when/otherwise+least chain yielded stop_ratio = 0.0,
+    * chars_per_token = 0.0 and quality = 1.0 — `least()` skips null
+    * operands, so a null document scored PERFECT quality and sailed
+    * through every curation bar. Null-propagation is the correct
+    * semantics for a quality signal over a document that does not
+    * exist; KernelFuzzSpec pins the divergence explicitly. */
   def textQuality(text: UTF8String, stops: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
     val nChars = text.numChars().toDouble
     // Spark-trim (space only) + split keeping trailing empties: see toks

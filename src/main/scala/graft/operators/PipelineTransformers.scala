@@ -155,7 +155,15 @@ object LanguageTagger extends DefaultParamsReadable[LanguageTagger]
 
 /** Adds quality-signal columns (stopword ratio, chars/token, composite
   * score) — the standard pretraining-corpus heuristics, all codegen'd
-  * single-scan projections. */
+  * single-scan projections.
+  *
+  * NULL text yields NULL in all three columns (the fused kernel
+  * null-propagates — see [[graft.functions.Kernels.textQuality]]), so a
+  * downstream `quality >= t` filter DROPS null-text docs. The pre-fusion
+  * composed form scored null text quality = 1.0 (least() skips nulls) —
+  * that was a bug, not a contract: a document with no text has no
+  * quality, and letting it outscore every real document defeated the
+  * filter's purpose. */
 class TextQualityScorer(override val uid: String) extends Transformer
     with DocColumnsParams with DefaultParamsWritable {
   def this() = this(Identifiable.randomUID("TextQualityScorer"))
@@ -189,9 +197,10 @@ class TextQualityScorer(override val uid: String) extends Transformer
       .drop("__q")
   }
   override def transformSchema(schema: StructType): StructType =
-    schema.add("stop_ratio", DoubleType, nullable = false)
-      .add("chars_per_token", DoubleType, nullable = false)
-      .add($(outputCol), DoubleType, nullable = false)
+    // nullable: the kernel null-propagates on null text (class scaladoc)
+    schema.add("stop_ratio", DoubleType, nullable = true)
+      .add("chars_per_token", DoubleType, nullable = true)
+      .add($(outputCol), DoubleType, nullable = true)
   override def copy(extra: ParamMap): TextQualityScorer = defaultCopy(extra)
 }
 object TextQualityScorer extends DefaultParamsReadable[TextQualityScorer]

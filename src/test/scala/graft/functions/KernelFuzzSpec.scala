@@ -145,6 +145,38 @@ class KernelFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("text_quality on NULL text: kernel null-propagates — the documented " +
+      "divergence from the composed form (which scored null text 1.0)") {
+    val stops = Seq("the", "a", "of", "and", "in", "to", "is")
+    val df = Seq[(java.lang.Long, String)]((0L, null), (1L, "the fox"))
+      .toDF("id", "text")
+    val tc = KernelExpressions.term_counts(col("text"), stops)
+    val nTok = element_at(col("__tc"), 1).cast("double")
+    val stopHits = stops.indices
+      .map(i => element_at(col("__tc"), i + 2)).reduceLeft(_ + _).cast("double")
+    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(0.0)
+    val r = df.withColumn("__tc", tc)
+      .select(col("id"),
+        KernelExpressions.text_quality(col("text"), stops).as("k"),
+        stopRatio.as("c_sr"),
+        when(nTok > 0, length(col("text")).cast("double") / nTok)
+          .otherwise(0.0).as("c_cpt"),
+        (least(nTok / lit(64.0), lit(1.0)) * (lit(1.0) - stopRatio)).as("c_q"))
+      .orderBy(col("id")).collect()
+    // null text: kernel struct is NULL; the composed chain said (0, 0, 1.0)
+    // — least() skips null operands, so a nonexistent document scored
+    // PERFECT quality. The kernel's null is the intended contract.
+    assert(r(0).isNullAt(1), "kernel must null-propagate on null text")
+    assert(r(0).getDouble(2) == 0.0 && r(0).getDouble(3) == 0.0 &&
+      r(0).getDouble(4) == 1.0,
+      s"composed-form null behavior drifted: ${r(0)}")
+    // non-null text: parity as everywhere else
+    val k = r(1).getStruct(1)
+    assert(k.getDouble(1) == r(1).getDouble(2) &&
+      k.getDouble(2) == r(1).getDouble(3) && k.getDouble(3) == r(1).getDouble(4),
+      s"non-null parity broke: ${k.toSeq} vs ${r(1)}")
+  }
+
   test("fuzz: lang_id == Seq[String]-UDF reference on adversarial text") {
     val df = fuzzTexts.toDF("text")
     val rows = df.select(col("text"),
