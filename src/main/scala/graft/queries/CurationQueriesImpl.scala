@@ -94,7 +94,7 @@ object CurationQueriesImpl {
         .orderBy(col("source"), col("rank"))
     },
     Some(s"""WITH t AS (SELECT source,
-        unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+        unnest(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS tok FROM documents),
       f AS (SELECT source, tok, count(*) AS n FROM t
             WHERE length(tok) >= 4 AND tok NOT IN ($stopSql)
             GROUP BY source, tok),
@@ -113,7 +113,7 @@ object CurationQueriesImpl {
         .orderBy(col("source"), col("rank"))
     },
     Some(s"""WITH t AS (SELECT source,
-        unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+        unnest(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS tok FROM documents),
       f AS (SELECT source, tok, count(*) AS tf FROM t
             WHERE length(tok) >= 4 AND tok NOT IN ($stopSql)
             GROUP BY source, tok),
@@ -150,7 +150,7 @@ object CurationQueriesImpl {
     },
     Some("""WITH d AS (SELECT source, doc_id,
         CAST(floor(doc_id / 2000) AS BIGINT) AS shard,
-        len(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents),
+        len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS toks FROM documents),
       p AS (SELECT source, shard, doc_id, toks,
         CAST(floor(COALESCE(sum(toks) OVER (PARTITION BY source, shard ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS seq_id
@@ -238,7 +238,7 @@ object CurationQueriesImpl {
         .orderBy(col("doc_id"))
     },
     Some("""WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
       g AS (SELECT doc_id,
           list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
             for i in range(1, greatest(len(t) - 1, 2))]) AS grams
@@ -264,7 +264,7 @@ object CurationQueriesImpl {
         Tables.documents(s, dir), "doc_id", "text", 20)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id")),
-    Some("""WITH o AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    Some("""WITH o AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS tok
           FROM documents),
       v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM o GROUP BY tok
             ORDER BY n DESC, tok LIMIT 20)),
@@ -343,7 +343,7 @@ object CurationQueriesImpl {
             (col("max_tok") * col("n_docs")), 6).as("waste_frac"))
         .orderBy(col("bucket"))
     },
-    Some("""WITH d AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+    Some("""WITH d AS (SELECT len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS n_tok
         FROM documents),
       b AS (SELECT (n_tok - 1) // 8 AS bucket, n_tok FROM d),
       g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
@@ -434,7 +434,7 @@ object CurationQueriesImpl {
         .select(col("doc_id"), col("wt"), round(col("pr"), 4).as("priority"))
     },
     Some("""WITH w AS (SELECT doc_id,
-          CAST(len(regexp_split_to_array(trim(text), '\s+')) + 1 AS BIGINT) AS wt
+          CAST(len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) + 1 AS BIGINT) AS wt
         FROM documents),
       p AS (SELECT doc_id, wt,
           wt * 1000004.0 / CAST(((doc_id * 2654435761 + 12345) % 1000003 + 1000003) % 1000003 + 1 AS DOUBLE) AS pr
@@ -497,7 +497,7 @@ object CurationQueriesImpl {
             - col("st.slc") / col("st.n_tokens").cast("double"), 4).as("entropy"))
     },
     Some("""WITH t AS (SELECT doc_id,
-          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+          unnest(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS tok FROM documents),
         c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok)
       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         count(*) AS n_distinct,
@@ -549,8 +549,8 @@ object CurationQueriesImpl {
         .orderBy(col("stage"))
     },
     Some(s"""WITH d AS (SELECT length(text) AS len,
-          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
-          CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+          CAST(len(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS DOUBLE) AS n_tok,
+          CAST(len(list_filter(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+'),
             t -> t IN ($stopSql))) AS DOUBLE) AS stop_hits,
           length(text) AS n_chars
         FROM documents),
@@ -673,7 +673,7 @@ object CurationQueriesImpl {
           Tables.documents(s, dir).where(col("doc_id") < 100), "doc_id", "text")
         .orderBy(col("doc_id")),
     Some("""WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t
         FROM documents WHERE doc_id < 100),
       nb AS (SELECT doc_id, t, CAST(ceil(len(t) / 3.0) AS INT) AS nblk FROM toks),
       blk AS (SELECT doc_id, t,

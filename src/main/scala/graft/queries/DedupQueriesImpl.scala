@@ -85,7 +85,7 @@ object DedupQueriesImpl {
     Some("""WITH d AS (
         SELECT doc_id, list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
           for i in range(1, greatest(len(toks) - 1, 2))]) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS toks
               FROM documents WHERE doc_id < 200))
       SELECT a.doc_id AS a, b.doc_id AS b,
         round(len(list_intersect(a.grams, b.grams)) * 1.0 /
@@ -109,7 +109,7 @@ object DedupQueriesImpl {
     Some("""WITH d AS (
         SELECT doc_id, list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
           for i in range(1, greatest(len(toks) - 1, 2))]) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS toks
               FROM documents))
       SELECT a.doc_id AS a, b.doc_id AS b,
         round(len(list_intersect(a.grams, b.grams)) * 1.0 /
@@ -132,7 +132,7 @@ object DedupQueriesImpl {
     Some("""WITH d AS (
         SELECT doc_id, list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
           for i in range(1, greatest(len(toks) - 1, 2))]) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS toks
               FROM documents))
       SELECT a.doc_id AS a, b.doc_id AS b,
         round(len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams), 4)
@@ -177,7 +177,7 @@ object DedupQueriesImpl {
         SELECT doc_id, unnest(list_distinct(
           [list_aggregate(toks[i:i+2], 'string_agg', ' ')
            for i in range(1, greatest(len(toks) - 1, 2))])) AS g
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS toks
               FROM documents)),
       a AS (SELECT DISTINCT g FROM d WHERE doc_id % 2 = 0),
       b AS (SELECT DISTINCT g FROM d WHERE doc_id % 2 = 1),
@@ -213,7 +213,7 @@ object DedupQueriesImpl {
         SELECT doc_id, text,
           list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
             for i in range(1, greatest(len(toks) - 1, 2))]) AS grams
-        FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS toks
               FROM documents)),
       b AS (SELECT * FROM d WHERE doc_id % 10 = 0),
       c AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
@@ -408,7 +408,7 @@ object DedupQueriesImpl {
     Some(curationOracleSql))
 
   private lazy val curationOracleSql = """WITH t AS (
-        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS toks
         FROM documents),
       h AS (SELECT doc_id, text, toks,
         len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','ein','eine','zu','den','im'))) AS h_de,
@@ -504,7 +504,7 @@ object DedupQueriesImpl {
     * reachability ending in `comp(node, cluster_rep)` — shared by the
     * cluster-stats and canonical-selection oracles. */
   private def componentsCteSql: String = """WITH RECURSIVE
-      toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
       g AS (SELECT doc_id,
           list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
             for i in range(1, greatest(len(t) - 1, 2))]) AS grams
@@ -550,7 +550,7 @@ object DedupQueriesImpl {
         .orderBy(col("cluster_rep"))
     },
     Some(componentsCteSql + """,
-      ntok AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      ntok AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS BIGINT) AS n_tok
         FROM documents),
       m AS (SELECT c.cluster_rep, c.node, s.n_tok
         FROM comp c JOIN ntok s ON s.doc_id = c.node),
@@ -677,7 +677,7 @@ object DedupQueriesImpl {
         .orderBy(col("doc_id"))
     },
     Some("""WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
       g AS (SELECT doc_id,
           list_distinct([list_aggregate(t[i:i+2], 'string_agg', ' ')
             for i in range(1, greatest(len(t) - 1, 2))]) AS grams

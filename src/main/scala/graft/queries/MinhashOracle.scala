@@ -20,17 +20,18 @@ import graft.functions.Kernels
   * Unicode spaces like U+00A0 where Spark's strips U+0020 only). The
   * former second assumption — no leading/trailing CONTROL characters —
   * NARROWED in round 14: the kernels now tokenize with Spark's exact
-  * trim/split semantics (space-only trim, trailing empty fields kept),
-  * which is also DuckDB's on ASCII for [\t\n\f\r ], so "\ttext" or
-  * "text\n" replays identically in kernel, composed form, and DuckDB.
-  * Vertical tab U+000B is the remaining documented exclusion: Java/
-  * Spark's regex \s matches it (U+000B + "x" splits to ["", "x"]) but
-  * DuckDB's RE2 \s does not (one token, the VT kept) — VT, like non-ASCII
-  * whitespace, stays on the corpus-exclusion list rather than in the
-  * alignment claim. Empty, whitespace-only, and NULL text are handled
-  * exactly: tokenless docs get the kernel's all-MaxValue minhash signature
-  * / zero simhash, NULL text propagates NULL (OracleEdgeSpec pins the
-  * Spark side of these fixtures).
+  * trim/split semantics (space-only trim, trailing empty fields kept).
+  * Round 16 CLOSED the last separator divergence: every generated and
+  * hand-written oracle now tokenizes with the EXPLICIT class
+  * `[\t\n\x0B\f\r ]+` — exactly Java's `\s` on ASCII — instead of RE2's
+  * `\s`, which excludes vertical tab U+000B (Java splits "" + "x"
+  * to ["", "x"]; RE2 \s kept it one token). VT is therefore off the
+  * corpus-exclusion list: q_text_ws_specials plants VT/FF/CR separators
+  * and hash-matches the DuckDB replay, and KernelFuzzSpec generates VT.
+  * Empty, whitespace-only, and NULL text are handled exactly: tokenless
+  * docs get the kernel's all-MaxValue minhash signature / zero simhash,
+  * NULL text propagates NULL (OracleEdgeSpec pins the Spark side of
+  * these fixtures).
   */
 private[queries] object HashSqlParts {
   val M64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
@@ -73,7 +74,7 @@ private[queries] object HashSqlParts {
     * NULL and tokenless docs are excluded here; each oracle adds them back
     * with its kernel's exact semantics. */
   def tokenHashCtes: String =
-    s"""toks0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+    s"""toks0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+') AS tk
              FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
       tokpos AS (SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk)+1)) AS pos FROM toks0),
       thr AS (SELECT doc_id, pos, $fnvFold AS hu FROM tokpos)"""
@@ -208,7 +209,7 @@ object MinhashOracle {
       vids AS (SELECT a AS doc_id FROM candp UNION SELECT b FROM candp),
       g AS (SELECT doc_id, list_distinct([list_aggregate(gt[i:i+2], 'string_agg', ' ')
               for i in range(1, greatest(len(gt) - 1, 2))]) AS grams
-            FROM (SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\\s+') AS gt
+            FROM (SELECT d.doc_id, regexp_split_to_array(trim(d.text), '[\\t\\n\\x0B\\f\\r ]+') AS gt
                   FROM documents d JOIN vids USING (doc_id)))
       SELECT c.a, c.b,
         round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /

@@ -58,7 +58,7 @@ object RetrievalQueriesImpl {
     (s, dir) =>
       Retrieval.invertedIndexStats(Tables.documents(s, dir), "doc_id", "text"),
     Some("""WITH t AS (SELECT doc_id,
-        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+        unnest(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS tok FROM documents)
       SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
         count(*) AS tf,
         min(doc_id) AS first_doc, max(doc_id) AS last_doc,
@@ -75,7 +75,7 @@ object RetrievalQueriesImpl {
       Retrieval.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text", vocab),
     Some(s"""WITH p AS (
         SELECT DISTINCT doc_id, tok FROM (
-          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS tok
           FROM documents)
         WHERE tok IN ($vocabSql)),
       c AS (SELECT tok, count(*) AS n FROM p GROUP BY tok),

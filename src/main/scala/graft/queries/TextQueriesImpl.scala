@@ -39,7 +39,7 @@ object TextQueriesImpl {
         size(TextFunctions.subtokens(col("text"))).as("n_subtokens"))
     },
     Some("""SELECT doc_id,
-      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS n_tokens,
       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_subtokens
       FROM documents ORDER BY doc_id"""))
 
@@ -72,8 +72,8 @@ object TextQueriesImpl {
         (1.0 - CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END), 4) AS quality
       FROM (
         SELECT doc_id, text,
-          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
-          CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+          CAST(len(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS DOUBLE) AS n_tok,
+          CAST(len(list_filter(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+'),
             t -> t IN ($stopSqlList))) AS DOUBLE) AS stop_hits
         FROM documents)
       ORDER BY doc_id"""))
@@ -98,7 +98,7 @@ object TextQueriesImpl {
           greatest(len(toks) - 2, 1) AS total_grams,
           len(list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
             for i in range(1, greatest(len(toks) - 1, 2))])) AS distinct_grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS toks
               FROM documents))
       SELECT doc_id, total_grams, distinct_grams,
         round(1.0 - distinct_grams * 1.0 / total_grams, 4) AS rep_ratio
@@ -189,7 +189,7 @@ object TextQueriesImpl {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
     Some("""WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
       c AS (SELECT doc_id, t,
           unnest(range(0, 1 + greatest(CAST(ceil((len(t) - 40) / 32.0) AS INT), 0))) AS chunk_idx
         FROM toks)
@@ -292,7 +292,7 @@ object TextQueriesImpl {
       graft.operators.Curation.exactAuc(Tables.documents(s, dir),
         size(TextFunctions.tokens(col("text"))), col("n_chars") > 300),
     Some(s"""WITH b AS (
-        SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS sc,
+        SELECT len(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS sc,
           CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS pos
         FROM documents),
       lv AS (SELECT sc, CAST(sum(pos) AS BIGINT) AS p,
@@ -335,7 +335,7 @@ object TextQueriesImpl {
         .orderBy(col("n"))
     },
     Some("""WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
       g AS (
         SELECT 1 AS n, unnest([list_aggregate(t[i:i], 'string_agg', ' ')
             for i in range(1, len(t) + 1)]) AS gram FROM toks
@@ -363,7 +363,7 @@ object TextQueriesImpl {
         graft.functions.KernelExpressions.lang_id(col("text")).as("lang_pred"))
     },
     Some("""WITH t AS (
-        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS toks
         FROM documents),
       h AS (SELECT doc_id, lang,
         len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','ein','eine','zu','den','im'))) AS h_de,
@@ -478,7 +478,7 @@ object TextQueriesImpl {
           row_number().over(Window.orderBy(col("n").desc, col("bigram"))))
         .select(col("rank"), col("bigram"), col("n"))
     },
-    Some("""WITH toks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    Some("""WITH toks AS (SELECT regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
       b AS (SELECT [list_aggregate(t[i:i+1], 'string_agg', ' ')
           for i in range(1, greatest(len(t), 2))] AS grams FROM toks),
       u AS (SELECT unnest(grams) AS bigram FROM b),
@@ -496,7 +496,7 @@ object TextQueriesImpl {
         Tables.documents(s, dir), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id")),
-    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
       g AS (SELECT doc_id, unnest([list_aggregate(t[i:i+1], 'string_agg', ' ')
           for i in range(1, greatest(len(t), 2))]) AS bigram FROM toks),
       o AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS ctx FROM g),
@@ -594,7 +594,49 @@ object TextQueriesImpl {
         nfc_normalize(t) AS norm_text
       FROM aug ORDER BY doc_id"""))
 
+  /** Whitespace-separator alignment witness (round 16): Java/Spark's
+    * regex `\s` matches vertical tab U+000B; DuckDB's RE2 `\s` does not —
+    * the last documented tokenizer divergence. Round 16 moved every
+    * oracle to the explicit class `[\t\n\x0B\f\r ]+` (≡ Java `\s` on
+    * ASCII); this query PLANTS VT/CR/tab separators on the first 200
+    * docs (the fixture corpus is space-separated, so without planting the
+    * fix would be untested) — same planted-suffix pattern as
+    * `q_text_unicode_nfc` — and hash-pins the FULL token list of both
+    * engines, including the leading/trailing empty tokens that survive
+    * space-only trim. */
+  val wsSpecials = Q(
+    "q_text_ws_specials",
+    (s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      // explicit escapes, not raw control characters in the source
+      val sep = when(m === 0, lit("\u000B"))
+        .when(m === 1, lit("\u000B "))
+        .when(m === 2, lit("\t\u000B"))
+        .when(m === 3, lit("\r"))
+        .otherwise(lit(" "))
+      val aug = concat(sep, col("text"), sep, lit("tail"), sep)
+      val toks = graft.functions.TextFunctions.tokens(col("aug"))
+      Tables.documents(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, t => t === lit(""))).cast("long").as("n_empty"),
+          md5(concat_ws("|", toks)).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sep AS (SELECT doc_id, text, CASE CAST(doc_id % 5 AS INTEGER)
+        WHEN 0 THEN chr(11) WHEN 1 THEN chr(11) || ' '
+        WHEN 2 THEN chr(9) || chr(11) WHEN 3 THEN chr(13) ELSE ' ' END AS sp
+        FROM documents WHERE doc_id < 200),
+      aug AS (SELECT doc_id, sp || text || sp || 'tail' || sp AS t FROM sep),
+      tk AS (SELECT doc_id,
+          regexp_split_to_array(trim(t), '[\t\n\x0B\f\r ]+') AS toks FROM aug)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x = '')) AS BIGINT) AS n_empty,
+        md5(array_to_string(toks, '|')) AS tok_md5
+      FROM tk ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(tokenCount, quality, repetition, langId, fingerprintMd5,
     fingerprintFnv, jsonMeta, piiRedact, chunkOverlap, chunkCdc, distinctNgrams, scoreAuc, bigramMining,
-    bigramLm, unicodeNfc, variantShred)
+    bigramLm, unicodeNfc, variantShred, wsSpecials)
 }

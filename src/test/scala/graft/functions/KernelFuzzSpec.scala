@@ -65,7 +65,7 @@ class KernelFuzzSpec extends AnyFunSuite {
   // controls ≤ U+0020 (Java trims, Spark keeps) and Unicode spaces
   // (DuckDB trims, both JVMs keep)
   private val edge: Gen[String] = Gen.oneOf("", "", "", " ", "  ", "\t",
-    "\n", " \t", "", " ", "\f ", "\r\n")
+    "\n", " \t", "", " ", "\f ", "\r\n", "\u000B", "\u000B ")
   private val text: Gen[String] = for {
     n <- Gen.frequency(1 -> Gen.const(0), 2 -> Gen.const(1), 7 -> Gen.chooseNum(2, 12))
     ws <- Gen.listOfN(n, word)
@@ -77,7 +77,10 @@ class KernelFuzzSpec extends AnyFunSuite {
 
   private lazy val fuzzTexts: Seq[String] = sample(text, 400, 14L) ++ Seq(
     "", " ", "\t", "\n", "   \t  ", "a\t", "\ta", " a ", "", " ",
-    "the la de un il o que en", "a  b\tc \t d")
+    "the la de un il o que en", "a  b\tc \t d",
+    // vertical tab: Java \s matches it; r16 moved the ORACLES to the
+    // explicit class [\t\n\x0B\f\r ]+ so VT is off the exclusion list
+    "\u000B", "a\u000Bb", "a\u000B", "\u000Ba", "a \u000B b")
 
   test("fuzz: word_ngrams(2,3) == composed HOF form on adversarial text") {
     val df = fuzzTexts.toDF("text")
