@@ -44,6 +44,17 @@ gates on noise, not plans.
 import json
 import sys
 
+# Queries that err BY DESIGN at scale fixtures (query -> required message
+# fragment). q_dedup_embedding is the exact all-pairs oracle-baseline tier:
+# its row-cap guard refuses O(N^2) input at the 100x fixture and points at
+# the LSH scale path (Dedup.exactEmbeddingTopPairs). The gate accepts a
+# both-sides error ONLY for these, and ONLY while the message still
+# matches — any other query erring in both records fails loudly instead
+# of passing by accident of erring twice.
+EXPECTED_REFUSALS = {
+    "q_dedup_embedding": "exact all-pairs embedding tier is O(N",
+}
+
 
 def load(path):
     with open(path) as f:
@@ -103,13 +114,34 @@ def main():
                 out[k] = None  # "err" marker
         return out
 
+    def errmsg(d, q):
+        v = d.get("queries", {}).get(q)
+        return v.get("err", "") if isinstance(v, dict) else None
+
     qo, qn = qmap(old), qmap(new)
     so, sn = staged(old), staged(new)
+    # corrupt-record screen (staging charge >= the query's total seconds):
+    # the max(v-sv, 0) clamp above would silently zero such a query, and a
+    # regression living INSIDE staged-view build time never trips the
+    # per-query gate — surface both instead of hiding them
+    corrupt = []
+    for name, d, sv in (("OLD", old, so), ("NEW", new, sn)):
+        for q, s_sec in sv.items():
+            v = d.get("queries", {}).get(q)
+            if isinstance(v, (int, float)) and s_sec >= v:
+                corrupt.append(f"{name} {q}: staged charge {s_sec:.2f}s >= "
+                               f"query time {v:.2f}s (inconsistent record)")
+    for w in corrupt:
+        print(f"!! {w}")
     if so or sn:
         tot_o, tot_n = sum(so.values()), sum(sn.values())
         print(f"staged-view builds charged in-query (subtracted before "
               f"diffing): OLD {tot_o:.2f}s/{len(so)} queries, "
               f"NEW {tot_n:.2f}s/{len(sn)} queries")
+        if tot_n > max(2.0, 1.5 * tot_o):
+            print(f"!! NEW staged build total {tot_n:.2f}s is >1.5x OLD "
+                  f"{tot_o:.2f}s — staging-time regression (the per-query "
+                  f"gate subtracts it; check the staging writes themselves)")
     only_old = sorted(set(qo) - set(qn))
     only_new = sorted(set(qn) - set(qo))
     if only_old:
@@ -151,10 +183,28 @@ def main():
             flagged.append(f"{q}: present in OLD, missing from NEW")
         for q in sorted(set(qo) & set(qn)):
             a, b = qo[q], qn[q]
-            if a is None:
-                # erred before too (e.g. a deliberate O(N^2) gate refusal
-                # like q_dedup_embedding at 100x) or runs now: not a
-                # regression either way
+            if a is None and b is None:
+                # errs on BOTH sides: acceptable ONLY for a DECLARED
+                # expected refusal whose message still matches — before
+                # r16 any both-sides error passed silently, so a query
+                # that started failing for a NEW reason (and stayed
+                # failing) could never trip the gate
+                exp = EXPECTED_REFUSALS.get(q)
+                msg = errmsg(new, q) or ""
+                if exp is None:
+                    flagged.append(f"{q}: errs in BOTH records but is not a "
+                                   f"declared expected refusal ({msg[:90]})")
+                elif exp not in msg:
+                    flagged.append(f"{q}: declared refusal message drifted — "
+                                   f"expected '{exp}', got '{msg[:90]}'")
+                continue
+            elif a is None:
+                # erred before, runs now: an improvement, not a regression
+                # — but a DECLARED refusal that suddenly runs means its
+                # guard stopped firing; warn without failing
+                if q in EXPECTED_REFUSALS:
+                    print(f"  ?? {q}: declared expected refusal now RUNS "
+                          f"({b}s) — did its row-cap guard stop firing?")
                 continue
             elif b is None:
                 flagged.append(f"{q}: errs in NEW (old {a}s)")
