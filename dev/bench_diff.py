@@ -105,11 +105,19 @@ def main():
         # explained by a cold staging root is a staging-state difference,
         # not a plan change, and must not trip the gate. The raw seconds
         # stay visible via the "+Ns staged" annotation in the table.
+        # Bench reports best-of-2 minima and staged builds are disk-
+        # memoized, so a build paid in run 1 is usually NOT inside the
+        # reported min at all: when sv >= v the build provably isn't in
+        # v, and subtracting would clamp the query to 0 — masking any
+        # real regression in v itself. Subtract only a charge smaller
+        # than the reported value (partial inclusion plausible); keep v
+        # untouched otherwise (the excluded charges are listed below).
         sv = staged(d)
         out = {}
         for k, v in d.get("queries", {}).items():
             if isinstance(v, (int, float)):
-                out[k] = max(v - sv.get(k, 0.0), 0.0)
+                s_sec = sv.get(k, 0.0)
+                out[k] = v - s_sec if s_sec < v else v
             else:
                 out[k] = None  # "err" marker
         return out
@@ -120,19 +128,13 @@ def main():
 
     qo, qn = qmap(old), qmap(new)
     so, sn = staged(old), staged(new)
-    # corrupt-record screen (staging charge >= the query's total seconds):
-    # the max(v-sv, 0) clamp above would silently zero such a query, and a
-    # regression living INSIDE staged-view build time never trips the
-    # per-query gate — surface both instead of hiding them
-    corrupt = []
     for name, d, sv in (("OLD", old, so), ("NEW", new, sn)):
         for q, s_sec in sv.items():
             v = d.get("queries", {}).get(q)
             if isinstance(v, (int, float)) and s_sec >= v:
-                corrupt.append(f"{name} {q}: staged charge {s_sec:.2f}s >= "
-                               f"query time {v:.2f}s (inconsistent record)")
-    for w in corrupt:
-        print(f"!! {w}")
+                print(f"{name} {q}: staged charge {s_sec:.2f}s >= best-of-2 "
+                      f"min {v:.2f}s — build excluded from the min, "
+                      f"NOT subtracted")
     if so or sn:
         tot_o, tot_n = sum(so.values()), sum(sn.values())
         print(f"staged-view builds charged in-query (subtracted before "

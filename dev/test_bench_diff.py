@@ -93,11 +93,20 @@ new = record({**base, "q_slow": 20.0})
 rc, out = run_gate(old, new)
 check("2x regression -> FAIL", rc == 1 and "gate)" in out, out)
 
-# 7. corrupt record: staged charge >= query seconds is surfaced
+# 7. staged charge >= best-of-2 min: surfaced, and NOT subtracted — the
+# build provably isn't inside the min, and clamping the query to 0 would
+# mask a real regression in v itself
 old = record(dict(base))
-new = record(dict(base), staged={"q_slow": {"view": 11.0}})
+new = record({**base, "q_slow": 20.0}, staged={"q_slow": {"view": 21.0}})
 rc, out = run_gate(old, new)
-check("staged charge >= query time -> warned", "inconsistent record" in out,
-      out)
+check("oversized staged charge -> excluded, regression still gates",
+      rc == 1 and "NOT subtracted" in out and "q_slow" in out, out)
+
+# 8. staged charge < value: subtracted as before (cold-staging record
+# diffable against warm without tripping the gate)
+old = record(dict(base))
+new = record({**base, "q_slow": 12.0}, staged={"q_slow": {"view": 4.0}})
+rc, out = run_gate(old, new)
+check("partial staged charge -> subtracted, no false gate", rc == 0, out)
 
 print("all bench_diff gate tests passed")

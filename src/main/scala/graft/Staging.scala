@@ -231,6 +231,47 @@ object Staging {
     out.toList
   }
 
+  /** Write-once TEXT staging with the same atomic-publish + lock +
+    * build-accounting discipline as [[publishParquet]], for tiny
+    * driver-side artifacts (one-line corpus profiles): the first caller
+    * per `path` evaluates `build` (typically one Spark aggregate),
+    * writes it to a temp file and renames into place; every later
+    * caller — in this or any JVM — reads the file back with NO Spark
+    * job. Build seconds feed `staged_views_built` like any staged
+    * view. */
+  def publishText(path: String)(build: => String): String = {
+    val target = new java.io.File(path)
+    if (!target.isFile) synchronized {
+      if (!target.isFile) {
+        val parent = target.getParentFile
+        parent.mkdirs()
+        val lockCh = java.nio.channels.FileChannel.open(
+          new java.io.File(parent, s".${target.getName}.lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = lockCh.lock()
+        try {
+          if (!target.isFile) {
+            val buildT0 = System.nanoTime()
+            val content = build
+            val tmp = new java.io.File(parent,
+              s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
+            java.nio.file.Files.write(tmp.toPath,
+              content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            recordBuild(path, (System.nanoTime() - buildT0) / 1e9)
+            require(tmp.renameTo(target) || target.isFile,
+              s"staging publishText cannot rename into $path")
+          }
+        } finally {
+          lock.release()
+          lockCh.close()
+        }
+      }
+    }
+    new String(java.nio.file.Files.readAllBytes(target.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   def publishParquet(s: SparkSession, path: String,
       partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val target = new java.io.File(path)

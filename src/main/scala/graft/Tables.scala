@@ -35,7 +35,20 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  /** Loading the documents corpus also installs its measured duplication
+    * ratio ([[CorpusProfile]], staged once per fixture — later calls are
+    * a memoized driver-side read, no job) into the session conf, so the
+    * collapse-first operators' tier choice
+    * ([[graft.operators.Dedup.collapseWorthwhile]]) is per-corpus and
+    * job-free at plan construction. `spark.graft.collapse.mode`
+    * (always/never) overrides the auto decision — Verify pins `always`
+    * so the collapsed scale path stays oracle-gated on the
+    * distinct-text fixtures. */
+  def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set(graft.operators.Dedup.DuplicationRatioConf,
+      CorpusProfile.duplicationRatio(spark, sfDir).toString)
+    load(spark, sfDir, "documents")
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** Bucketed managed-table variant of a table, written once per

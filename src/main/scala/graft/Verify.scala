@@ -11,6 +11,15 @@ object Verify {
     // GraftSession, pinned by SessionConfigSpec
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pin the COLLAPSED tier for the correctness gate: the sf0.01 fixture
+    // is ~all-distinct, so the auto tier would verify only the identity
+    // (textbook) forms and leave the 100-TB collapse path oracle-ungated.
+    // Both tiers are row-identical (CollapseDifferentialSpec); gating the
+    // nontrivial one is the point. Bench runs "auto" — what production
+    // would. SPARK_GRAFT_COLLAPSE_MODE overrides for builder-local
+    // both-tier sweeps (never|auto), as run for the r16 record.
+    spark.conf.set(graft.operators.Dedup.CollapseModeConf,
+      sys.env.getOrElse("SPARK_GRAFT_COLLAPSE_MODE", "always"))
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q_a,q_b — builder-local subset iteration (same
     // convention as Bench); the driver runs unfiltered.

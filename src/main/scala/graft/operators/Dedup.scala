@@ -45,6 +45,50 @@ object Dedup {
   def classDigest(text: Column): Column =
     substring(unhex(sha2(text, 256)), 1, 16)
 
+  /** Session conf: collapse tier selection for the text-class family.
+    * `"always"` — collapse regardless (the r15 behavior; what Verify
+    * pins so the scale path stays oracle-gated); `"never"` — identity
+    * mapping regardless (differential testing); `"auto"` (default) —
+    * collapse unless [[DuplicationRatioConf]] says the corpus is ~all
+    * distinct. */
+  val CollapseModeConf = "spark.graft.collapse.mode"
+
+  /** Session conf: measured corpus duplication ratio (rows / distinct
+    * texts), set per fixture by [[graft.Tables.documents]] from the
+    * staged [[graft.CorpusProfile]] — a frozen offline measurement, so
+    * reading it keeps plan construction job-free (the same contract as
+    * ivfScreenAuto's Catalyst-stats tier choice). Absent ⇒ collapse:
+    * the safe default for the duplication-heavy population these
+    * operators exist for. */
+  val DuplicationRatioConf = "spark.graft.collapse.duplicationRatio"
+
+  /** Below this measured duplication ratio the class mapping's two
+    * small shuffles cannot pay for themselves (an all-distinct corpus
+    * maps one class per doc — pure overhead, the measured +0.07–0.2 s
+    * per sf0.1 query). 1.05 leaves margin for the profile's ±1%
+    * approx-distinct error; near the boundary both tiers are
+    * row-identical anyway (CollapseDifferentialSpec), so the choice is
+    * purely a plan-shape decision. */
+  val MinCollapseDuplication = 1.05
+
+  /** The collapse-or-identity tier decision. The IDENTITY tier maps
+    * every doc to its own class (rep = id, m = 1): that is a valid
+    * text-class partition — every consumer reduces additively over
+    * (rep, m), so the identity mapping computes exactly the uncollapsed
+    * doc-level form, row-identically — with the fp aggregate and both
+    * mapping shuffles GONE from the plan. */
+  private[graft] def collapseWorthwhile(docs: DataFrame): Boolean = {
+    val conf = docs.sparkSession.conf
+    conf.getOption(CollapseModeConf).getOrElse("auto") match {
+      case "always" => true
+      case "never" => false
+      case _ =>
+        conf.getOption(DuplicationRatioConf)
+          .flatMap(v => scala.util.Try(v.toDouble).toOption)
+          .forall(_ >= MinCollapseDuplication)
+    }
+  }
+
   /** The ONE aggregate that defines "text class": the per-doc
     * `(doc, fp)` digest projection and its grouped form
     * `(fp, rep = min id, m = copies)`. Every class consumer —
@@ -84,8 +128,15 @@ object Dedup {
     *
     * Null text forms its own class (the digest-null group survives the
     * null-safe self-join), so the mapping is TOTAL over the input.
-    * Determinism contract: see [[classAggregate]]. */
+    * Determinism contract: see [[classAggregate]]. Tier: on a measured
+    * ~all-distinct corpus ([[collapseWorthwhile]]) the mapping is the
+    * IDENTITY (rep = id, m = 1) — a valid class partition that turns
+    * every consumer into its uncollapsed doc-level form with zero
+    * mapping shuffles; outputs are row-identical either way. */
   def textClasses(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    if (!collapseWorthwhile(docs))
+      return docs.select(col(idCol).as("doc"), col(idCol).as("rep"),
+        lit(1L).as("m"))
     val (fp, classes) = classAggregate(docs, idCol, textCol)
     fp.alias("d").join(classes.alias("c"), col("d.fp") <=> col("c.fp"))
       .select(col("d.doc").as("doc"), col("c.rep").as("rep"), col("c.m").as("m"))
@@ -96,6 +147,8 @@ object Dedup {
     * computation. The id equi-join selects exactly the representative
     * rows (rep is a real doc id, unique by construction). */
   def classReps(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    if (!collapseWorthwhile(docs))
+      return docs.select(col(idCol).as("rep"), lit(1L).as("m"), col(textCol))
     val (_, classes) = classAggregate(docs, idCol, textCol)
     docs.join(classes.select(col("rep"), col("m")), col(idCol) === col("rep"))
       .select(col("rep"), col("m"), col(textCol))
@@ -112,6 +165,9 @@ object Dedup {
     * physically computed once (ReusedExchange). */
   private def perClassValue(docs: DataFrame, idCol: String, textCol: String,
       kernel: Column => Column, valueName: String): DataFrame = {
+    // identity tier: kernel straight per row — the uncollapsed form
+    if (!collapseWorthwhile(docs))
+      return docs.select(col(idCol), kernel(col(textCol)).as(valueName))
     // m-less aggregate ON PURPOSE: the mapping join needs (fp, rep) and
     // the rep selection needs (rep) — with count(m) in the aggregate,
     // column pruning gives the rep-selection consumer a min-only

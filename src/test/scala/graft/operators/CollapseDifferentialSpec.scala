@@ -96,6 +96,29 @@ class CollapseDifferentialSpec extends AnyFunSuite {
     assert(sortedRows(collapsed) == sortedRows(reference))
   }
 
+  test("identity tier == collapsed tier, row-for-row, on the duplicated corpus " +
+      "(the r16 auto-bypass's correctness contract)") {
+    // The bypass fires on measured ~all-distinct corpora, but its
+    // correctness must hold on ANY corpus: the identity mapping
+    // (rep = id, m = 1) is a valid text-class partition, so both tiers
+    // must agree even here, where classes run up to 37 copies. Pin it
+    // mechanically for one consumer of each shape: textClasses+classReps
+    // corpus stats (bigram LM, inverted index) and perClassValue
+    // (simhash table).
+    def withMode[A](mode: String)(body: => A): A = {
+      spark.conf.set(Dedup.CollapseModeConf, mode)
+      try body finally spark.conf.unset(Dedup.CollapseModeConf)
+    }
+    for (build <- Seq[DataFrame => DataFrame](
+        NgramLm.bigramCorpusScore(_, "doc_id", "text"),
+        Retrieval.invertedIndexStats(_, "doc_id", "text"),
+        Dedup.simhashTable(_, "doc_id", "text"))) {
+      val collapsed = withMode("always")(sortedRows(build(corpus)))
+      val identity = withMode("never")(sortedRows(build(corpus)))
+      assert(collapsed == identity)
+    }
+  }
+
   test("invertedIndexStats == uncollapsed form: df/tf/bounds/checksum") {
     val collapsed = Retrieval.invertedIndexStats(corpus, "doc_id", "text")
     val posting = corpus

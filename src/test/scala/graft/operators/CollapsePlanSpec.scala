@@ -33,6 +33,15 @@ class CollapsePlanSpec extends AnyFunSuite {
     .parquet("/root/testdata/sf0.001/documents.parquet")
     .select(col("doc_id"), col("text"))
 
+  /** Pin the collapse tier for a plan assertion: the shared test session
+    * may carry a duplication-ratio conf installed by another suite's
+    * Tables.documents call, and the auto tier would then bypass the very
+    * plan shape under test. */
+  private def withCollapseMode[A](mode: String)(body: => A): A = {
+    spark.conf.set(Dedup.CollapseModeConf, mode)
+    try body finally spark.conf.unset(Dedup.CollapseModeConf)
+  }
+
   test("classDigest is BinaryType and exactly 16 bytes; null text -> null") {
     val out = docs.select(Dedup.classDigest(col("text")).as("fp"))
     assert(out.schema.head.dataType == BinaryType,
@@ -53,13 +62,24 @@ class CollapsePlanSpec extends AnyFunSuite {
 
   test("textClasses shuffles the binary digest — sha2 below the exchange, " +
       "text never a shuffle key") {
-    val p = Dedup.textClasses(pdocs, "doc_id", "text")
-      .queryExecution.executedPlan.toString
+    val p = withCollapseMode("always") {
+      Dedup.textClasses(pdocs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+    }
     assert(p.contains("sha2("), "digest must be computed below the exchange:\n" + p.take(1500))
     val parts = "hashpartitioning\\(([^)]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
     assert(parts.nonEmpty, p.take(1500))
     assert(parts.forall(k => !k.contains("text#")),
       s"class mapping must shuffle digests, not text: $parts")
+  }
+
+  test("identity tier (mode=never): textClasses plans ZERO exchanges and no digest") {
+    val p = withCollapseMode("never") {
+      Dedup.textClasses(pdocs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+    }
+    assert(!p.contains("Exchange") && !p.contains("sha2("),
+      "identity mapping must be a pure projection:\n" + p.take(1500))
   }
 
   test("ExactDeduper keeps the binary class key (no md5 hex string in the plan)") {
@@ -77,7 +97,9 @@ class CollapsePlanSpec extends AnyFunSuite {
 
   test("perClassValue consumers physically reuse ONE digest-aggregate exchange " +
       "(simhashTable: mapping join + rep selection)") {
-    val df = Dedup.simhashTable(pdocs, "doc_id", "text")
+    val df = withCollapseMode("always") {
+      Dedup.simhashTable(pdocs, "doc_id", "text")
+    }
     df.collect() // finalize AQE so stage reuse materializes
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),

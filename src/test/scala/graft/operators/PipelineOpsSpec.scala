@@ -31,20 +31,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       (Option.empty[Long], Option.empty[String]),
       (Some(9L), Option.empty[String]))
       .toDF("doc_id", "text").select(col("doc_id"), col("text")))
-    val mapping = Dedup.textClasses(withNull, "doc_id", "text").collect()
-      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
-        (r.getLong(1), r.getLong(2)))).toMap
-    assert(mapping.size == 7, "mapping must be total over the input")
-    assert(mapping(0L) == (0L, 2L) && mapping(1L) == (0L, 2L),
-      "exact dups share the min-id rep with m = 2")
-    assert(mapping(2L) == (2L, 1L) && mapping(3L) == (3L, 1L) &&
-      mapping(4L) == (4L, 1L), "unique texts are their own class")
-    assert(mapping(9L) == (9L, 2L) && mapping(-1L)._2 == 2L,
-      "null texts form one class (null-min rep skips the null id)")
-    val reps = Dedup.classReps(withNull, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(reps == Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 2L),
-      "one row per class keyed by its representative doc")
+    // this test pins the COLLAPSED tier's semantics; the shared session
+    // may carry an all-distinct duplication ratio from another suite's
+    // Tables.documents call, which would flip auto mode to identity
+    spark.conf.set(Dedup.CollapseModeConf, "always")
+    try {
+      val mapping = Dedup.textClasses(withNull, "doc_id", "text").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          (r.getLong(1), r.getLong(2)))).toMap
+      assert(mapping.size == 7, "mapping must be total over the input")
+      assert(mapping(0L) == (0L, 2L) && mapping(1L) == (0L, 2L),
+        "exact dups share the min-id rep with m = 2")
+      assert(mapping(2L) == (2L, 1L) && mapping(3L) == (3L, 1L) &&
+        mapping(4L) == (4L, 1L), "unique texts are their own class")
+      assert(mapping(9L) == (9L, 2L) && mapping(-1L)._2 == 2L,
+        "null texts form one class (null-min rep skips the null id)")
+      val reps = Dedup.classReps(withNull, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reps == Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 2L),
+        "one row per class keyed by its representative doc")
+    } finally spark.conf.unset(Dedup.CollapseModeConf)
   }
 
   test("exact dedup groups identical texts") {
