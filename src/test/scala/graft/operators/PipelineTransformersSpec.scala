@@ -138,6 +138,53 @@ class PipelineTransformersSpec extends AnyFunSuite {
       s"MinHashDeduper cache survived its consuming action: $persists")
   }
 
+  test("cache lifecycle, CONCURRENT listeners: two live transformers with " +
+      "interleaved actions release each cache on ITS OWN consuming action " +
+      "— acting on one must not free (or strand) the other's") {
+    // Two transforms over DISTINCT inputs -> two registered listeners
+    // alive at once. The release matches by plan sameResult, so the
+    // hazard under test is cross-talk: listener A firing on B's action
+    // (would unpersist A's cache while A's lazy output still needs it)
+    // or A's listener unregistering without releasing (a stranded
+    // entry). Interleaving: transform A, transform B, act on B, assert
+    // A's cache alive; act on A, assert all released.
+    val docsA = Seq(
+      (20L, "concurrent alpha corpus first text body"),
+      (21L, "concurrent alpha corpus first text body"),
+      (22L, "concurrent alpha corpus second unique body")
+    ).toDF("doc_id", "text")
+    val docsB = Seq(
+      (30L, "concurrent beta corpus completely different words"),
+      (31L, "concurrent beta corpus completely different words")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.storage.StorageLevel
+    // Dataset.storageLevel consults the CacheManager by plan equality, so
+    // it sees the transformer's internal persist of the same input plan
+    // even BEFORE materialization (getPersistentRDDs only lists RDDs
+    // after a first action creates them)
+    def awaitReleased(d: org.apache.spark.sql.DataFrame): Boolean = {
+      val deadline = System.currentTimeMillis() + 20000
+      while (d.storageLevel != StorageLevel.NONE &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      d.storageLevel == StorageLevel.NONE
+    }
+    spark.catalog.clearCache()
+
+    val outA = new ExactDeduper().transform(docsA)
+    val outB = new ExactDeduper().transform(docsB)
+    assert(docsA.storageLevel != StorageLevel.NONE &&
+      docsB.storageLevel != StorageLevel.NONE,
+      "expected both transformer inputs cached")
+
+    assert(outB.count() == 1)
+    assert(awaitReleased(docsB), "B's action must release B's cache")
+    assert(docsA.storageLevel != StorageLevel.NONE,
+      "B's action must NOT release A's cache (A's lazy output still needs it)")
+    // A's output still computes correctly against its live cache
+    assert(outA.count() == 2)
+    assert(awaitReleased(docsA), "A's action must release the remaining cache")
+  }
+
   test("quality filter inlines exactly ONE TextQuality kernel (fusion pin)") {
     // The reason the scorer emits GetStructFields of one fused kernel
     // instead of TermCounts + arithmetic: ProjectCollapse inlines the
