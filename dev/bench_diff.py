@@ -88,6 +88,23 @@ def main():
         print("!! probe identity differs — totals NOT COMPARABLE "
               "(per-query deltas show the probe skew)")
 
+    def calib_worst(d):
+        vals = [v for v in [d.get("calib_pre_sec"), d.get("calib_post_sec")]
+                + list(d.get("calib_mid", [])) if isinstance(v, (int, float))]
+        return max(vals) if vals else None
+
+    co, cn = calib_worst(old), calib_worst(new)
+    if co and cn and max(co, cn) / min(co, cn) > 1.10:
+        # round-16 lesson: three same-HEAD 100x runs spanned 592-662 s
+        # purely on host contention, with the flagged-mover SET flipping
+        # between runs — a gate FAIL between records whose calibration
+        # sentinels disagree is a box-state statement until proven
+        # otherwise (isolated re-probes of the flagged movers)
+        print(f"!! calibration sentinels differ (worst OLD {co:.3f}s vs "
+              f"NEW {cn:.3f}s, >10%): records are not box-comparable — "
+              f"adjudicate gate flags with isolated re-probes before "
+              f"reading them as plan regressions")
+
     def staged(d):
         # BASELINE.md "Staged-view provenance": per-query one-time staged
         # parquet build seconds charged inside the timed window. Absence
