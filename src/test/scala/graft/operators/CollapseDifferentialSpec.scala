@@ -54,8 +54,19 @@ class CollapseDifferentialSpec extends AnyFunSuite {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** Pin a collapse tier for the duration of `body`. The collapsed-vs-
+    * uncollapsed tests MUST run the collapsed tier explicitly: the
+    * shared session may carry an ~all-distinct duplication ratio from
+    * another suite's Tables.documents call, and under auto mode the
+    * operator side would silently run the identity tier — making the
+    * differential near-vacuous (identity ≈ the reference form). */
+  private def withMode[A](mode: String)(body: => A): A = {
+    spark.conf.set(Dedup.CollapseModeConf, mode)
+    try body finally spark.conf.unset(Dedup.CollapseModeConf)
+  }
+
   test("bigramCorpusScore == uncollapsed doc-level form on a duplicated corpus") {
-    val collapsed = NgramLm.bigramCorpusScore(corpus, "doc_id", "text")
+    val collapsed = withMode("always")(NgramLm.bigramCorpusScore(corpus, "doc_id", "text"))
     // the pre-round-15 form, verbatim
     val occ = corpus.select(col("doc_id").as("doc"),
       explode(graft.functions.KernelExpressions.word_ngrams_all(col("text"), 2)).as("bigram"))
@@ -81,7 +92,7 @@ class CollapseDifferentialSpec extends AnyFunSuite {
   test("vocabOovRate == uncollapsed form, including the top-K tie-break") {
     // K chosen to land INSIDE the frequency distribution so the n-then-
     // token tie-break is exercised, not vacuous
-    val collapsed = Curation.vocabOovRate(corpus, "doc_id", "text", 7)
+    val collapsed = withMode("always")(Curation.vocabOovRate(corpus, "doc_id", "text", 7))
     val occ = corpus.select(col("doc_id").as("doc"),
       explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
     val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("n"))
@@ -105,10 +116,6 @@ class CollapseDifferentialSpec extends AnyFunSuite {
     // mechanically for one consumer of each shape: textClasses+classReps
     // corpus stats (bigram LM, inverted index) and perClassValue
     // (simhash table).
-    def withMode[A](mode: String)(body: => A): A = {
-      spark.conf.set(Dedup.CollapseModeConf, mode)
-      try body finally spark.conf.unset(Dedup.CollapseModeConf)
-    }
     for (build <- Seq[DataFrame => DataFrame](
         NgramLm.bigramCorpusScore(_, "doc_id", "text"),
         Retrieval.invertedIndexStats(_, "doc_id", "text"),
@@ -120,7 +127,7 @@ class CollapseDifferentialSpec extends AnyFunSuite {
   }
 
   test("invertedIndexStats == uncollapsed form: df/tf/bounds/checksum") {
-    val collapsed = Retrieval.invertedIndexStats(corpus, "doc_id", "text")
+    val collapsed = withMode("always")(Retrieval.invertedIndexStats(corpus, "doc_id", "text"))
     val posting = corpus
       .select(col("doc_id").as("doc"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
