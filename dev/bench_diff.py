@@ -38,11 +38,35 @@ committed 100x record after any plan-affecting change:
 (Bench writes the fresh record to BENCH_DETAIL__tmp_sfbig100.json in
 the repo root — copy the committed one aside first, or diff against
 `git show HEAD:BENCH_DETAIL__tmp_sfbig100.json` written to a temp file.)
-Check the sentinel first: a contaminated record (calib >=3x idle)
-gates on noise, not plans.
+
+CONTAMINATION REFUSAL (round 17): --gate REFUSES to gate (exit 2, no
+per-query verdict) when either record is machine-detectably contaminated:
+  (a) its parallel contention index — worst pairwise
+      calib_par_*/calib_* ratio — exceeds 1.35 (idle ~1.2 on the 32-cpu
+      box, ~1.5 under just 8 external busy threads; BASELINE.md
+      "parallel contention index"), or
+  (b) [records predating the par probe] the pair shows UNIFORM
+      inflation: the median per-query NEW/OLD ratio over >=30 shared
+      queries exceeds 1.15 — codeless queries don't all slow down 15%+
+      together for plan reasons (BENCH_r16's driver record inflated 71
+      codeless queries 1.3-2.7x while its serial calib read clean).
+--force-gate gates anyway (prints the contamination verdict first).
+A refusal is loud by design: adjudicate the box, don't read the flags.
 """
 import json
+import statistics
 import sys
+
+# Parallel contention index above which a record is CONTAMINATED: worst
+# pairwise calib_par/calib ratio. Measured on the 32-cpu box (r17):
+# idle 1.14-1.22; 8 external busy threads -> 1.48-1.53. 1.35 splits the
+# two populations with margin on both sides.
+CONTENTION_IDX_MAX = 1.35
+# Uniform-inflation fallback for record PAIRS without the par probe:
+# median per-query ratio above this (over >=30 shared queries) means the
+# pair is box-skewed, not plan-changed.
+UNIFORM_INFLATION_MEDIAN = 1.15
+UNIFORM_INFLATION_MIN_QUERIES = 30
 
 # Queries that err BY DESIGN at scale fixtures (query -> required message
 # fragment). q_dedup_embedding is the exact all-pairs oracle-baseline tier:
@@ -89,12 +113,29 @@ def main():
               "(per-query deltas show the probe skew)")
 
     def calib_worst(d):
+        # `or []` / `or None`: a record carrying an explicit null for any
+        # of these fields must read as "absent", not crash list(None)
         vals = [v for v in [d.get("calib_pre_sec"), d.get("calib_post_sec")]
-                + list(d.get("calib_mid", [])) if isinstance(v, (int, float))]
+                + list(d.get("calib_mid") or []) if isinstance(v, (int, float))]
         return max(vals) if vals else None
 
+    def contention_index(d):
+        # Worst pairwise parallel/serial calibration ratio — the r17
+        # multicore contention signal (None when the record predates the
+        # par probe). Pairs: (pre, par_pre), (post, par_post), and
+        # zip(calib_mid, calib_par_mid) positionally.
+        pairs = [(d.get("calib_pre_sec"), d.get("calib_par_pre_sec")),
+                 (d.get("calib_post_sec"), d.get("calib_par_post_sec"))]
+        pairs += list(zip(d.get("calib_mid") or [], d.get("calib_par_mid") or []))
+        ratios = [p / s for s, p in pairs
+                  if isinstance(s, (int, float)) and isinstance(p, (int, float))
+                  and s > 0]
+        return max(ratios) if ratios else None
+
     co, cn = calib_worst(old), calib_worst(new)
-    if co and cn and max(co, cn) / min(co, cn) > 1.10:
+    # `is not None`: a legitimate 0.0 must not silently skip the check
+    if co is not None and cn is not None and min(co, cn) > 0 \
+            and max(co, cn) / min(co, cn) > 1.10:
         # round-16 lesson: three same-HEAD 100x runs spanned 592-662 s
         # purely on host contention, with the flagged-mover SET flipping
         # between runs — a gate FAIL between records whose calibration
@@ -104,6 +145,18 @@ def main():
               f"NEW {cn:.3f}s, >10%): records are not box-comparable — "
               f"adjudicate gate flags with isolated re-probes before "
               f"reading them as plan regressions")
+
+    contaminated = []  # (record name, reason) — drives the gate refusal
+    for name, d in (("OLD", old), ("NEW", new)):
+        idx = contention_index(d)
+        if idx is not None:
+            verdict = "CONTAMINATED" if idx > CONTENTION_IDX_MAX else "clean"
+            print(f"{name}: parallel contention index {idx:.2f} "
+                  f"(max pairwise calib_par/calib; idle ~1.2, "
+                  f"threshold {CONTENTION_IDX_MAX}) -> {verdict}")
+            if idx > CONTENTION_IDX_MAX:
+                contaminated.append((name, f"parallel contention index "
+                                     f"{idx:.2f} > {CONTENTION_IDX_MAX}"))
 
     def staged(d):
         # BASELINE.md "Staged-view provenance": per-query one-time staged
@@ -196,7 +249,43 @@ def main():
             print(f"{q:40s} {sa:>12s} {sb:>12s} {b - a:>+8.3f} {ratio:>7s}")
         shown += 1
 
+    # Uniform-inflation fallback: for pairs where EITHER record predates
+    # the par probe, a box-skewed pair is still detectable from the shape
+    # of the deltas themselves — the median per-query ratio over a wide
+    # shared set should sit ~1.0 between comparable records; >1.15 means
+    # the box inflated everything (BENCH_r16: 71 codeless movers).
+    # Only the inflation side refuses the gate (the gate flags
+    # regressions); a uniform SPEEDUP is reported but gates normally.
+    shared_ratios = [qn[q] / qo[q] for q in set(qo) & set(qn)
+                     if isinstance(qo.get(q), (int, float))
+                     and isinstance(qn.get(q), (int, float))
+                     and qo[q] >= 0.15 and qn[q] >= 0.0 and qo[q] > 0]
+    both_probed = (contention_index(old) is not None
+                   and contention_index(new) is not None)
+    if len(shared_ratios) >= UNIFORM_INFLATION_MIN_QUERIES:
+        med = statistics.median(shared_ratios)
+        if abs(med - 1.0) > 0.10:
+            print(f"median per-query ratio over {len(shared_ratios)} shared "
+                  f"queries: {med:.2f} (comparable records sit ~1.0)")
+        if med > UNIFORM_INFLATION_MEDIAN and not both_probed:
+            contaminated.append(
+                ("PAIR", f"uniform inflation: median per-query ratio "
+                 f"{med:.2f} > {UNIFORM_INFLATION_MEDIAN} over "
+                 f"{len(shared_ratios)} shared queries (no par probe to "
+                 f"adjudicate) — box-skewed pair, not a plan change"))
+
     if gate:
+        if contaminated and "--force-gate" not in flags:
+            print(f"\nGATE REFUSED — contaminated record(s), per-query "
+                  f"flags would be box noise:")
+            for name, reason in contaminated:
+                print(f"  !! {name}: {reason}")
+            print("re-record on a quiet box (or --force-gate to override)")
+            sys.exit(2)
+        if contaminated:
+            print("\n?? --force-gate: gating despite contamination:")
+            for name, reason in contaminated:
+                print(f"  ?? {name}: {reason}")
         flagged = []
         for q in only_old:
             flagged.append(f"{q}: present in OLD, missing from NEW")

@@ -24,22 +24,23 @@ REFUSAL = ("requirement failed: exact all-pairs embedding tier is O(N2): "
            "n=200000 rows would score ~19999900000 pairs (cap 10000 rows).")
 
 
-def record(queries, staged=None):
+def record(queries, staged=None, **extra):
     d = {"metric": "total",
          "value": sum(v for v in queries.values() if isinstance(v, (int, float))),
          "unit": "sec", "probe": "toRdd", "sf": "/tmp/sfbig100",
          "queries": queries}
     if staged:
         d["staged_views_built"] = staged
+    d.update(extra)
     return d
 
 
-def run_gate(old, new):
+def run_gate(old, new, *more):
     with tempfile.TemporaryDirectory() as td:
         po, pn = os.path.join(td, "o.json"), os.path.join(td, "n.json")
         json.dump(old, open(po, "w"))
         json.dump(new, open(pn, "w"))
-        r = subprocess.run([sys.executable, DIFF, po, pn, "--gate"],
+        r = subprocess.run([sys.executable, DIFF, po, pn, "--gate", *more],
                            capture_output=True, text=True)
         return r.returncode, r.stdout + r.stderr
 
@@ -108,5 +109,65 @@ old = record(dict(base))
 new = record({**base, "q_slow": 12.0}, staged={"q_slow": {"view": 4.0}})
 rc, out = run_gate(old, new)
 check("partial staged charge -> subtracted, no false gate", rc == 0, out)
+
+# --- round-17 contamination refusal ---------------------------------------
+
+CLEAN_CAL = dict(calib_pre_sec=0.80, calib_post_sec=0.81,
+                 calib_par_pre_sec=0.96, calib_par_post_sec=0.97)
+DIRTY_CAL = dict(calib_pre_sec=0.82, calib_post_sec=0.85,   # serial reads clean
+                 calib_par_pre_sec=1.30, calib_par_post_sec=1.28)  # idx ~1.59
+
+# 9. NEW record with a contaminated parallel contention index: gate
+# REFUSES (exit 2) even though per-query ratios would flag regressions
+old = record({"q_a": 3.0, "q_b": 5.0}, **CLEAN_CAL)
+new = record({"q_a": 5.0, "q_b": 8.0}, **DIRTY_CAL)
+rc, out = run_gate(old, new)
+check("contaminated par index -> REFUSED exit 2", rc == 2 and
+      "GATE REFUSED" in out and "parallel contention index" in out, out)
+
+# 10. --force-gate overrides the refusal and the regression still flags
+rc, out = run_gate(old, new, "--force-gate")
+check("--force-gate gates anyway", rc == 1 and "force-gate" in out and
+      "gate)" in out, out)
+
+# 11. clean par indexes on BOTH sides: no refusal, regression gates normally
+new = record({"q_a": 5.0, "q_b": 8.0}, **CLEAN_CAL)
+rc, out = run_gate(old, new)
+check("clean par index -> normal gate FAIL", rc == 1 and
+      "GATE REFUSED" not in out, out)
+
+# 12. contaminated calib_par_mid (serial brackets clean): still refused —
+# the mid-suite burst is exactly the r10/r11 forensic blind spot
+old = record({"q_a": 3.0}, **CLEAN_CAL)
+new = record({"q_a": 3.0}, calib_mid=[0.80], calib_par_mid=[1.40], **CLEAN_CAL)
+rc, out = run_gate(old, new)
+check("contaminated calib_par_mid -> REFUSED", rc == 2, out)
+
+# 13. uniform inflation on a probe-less pair (the BENCH_r16 driver-record
+# shape: serial calib clean, every query up ~1.4x): REFUSED
+wide_old = {f"q_{i:03d}": 3.0 for i in range(40)}
+wide_new = {f"q_{i:03d}": 4.2 for i in range(40)}
+rc, out = run_gate(record(wide_old), record(wide_new))
+check("probe-less uniform inflation -> REFUSED", rc == 2 and
+      "uniform inflation" in out, out)
+
+# 14. same uniform shape but BOTH records carry clean par probes: the
+# probes are authoritative — no refusal, the movers gate as regressions
+rc, out = run_gate(record(wide_old, **CLEAN_CAL), record(wide_new, **CLEAN_CAL))
+check("uniform shape but clean probes -> gates normally", rc == 1 and
+      "GATE REFUSED" not in out, out)
+
+# 15. uniform SPEEDUP never refuses (the gate flags regressions only)
+wide_fast = {f"q_{i:03d}": 1.8 for i in range(40)}
+rc, out = run_gate(record(wide_old), record(wide_fast))
+check("uniform speedup -> PASS, no refusal", rc == 0, out)
+
+# 16. ADVICE r16: explicit "calib_mid": null must not crash calib_worst,
+# and a 0.0 calib reading must not silently skip the sentinel comparison
+old = record({"q_a": 1.0}, calib_mid=None, calib_pre_sec=0.8, calib_post_sec=0.8)
+new = record({"q_a": 1.0}, calib_pre_sec=0.0, calib_post_sec=0.0)
+rc, out = run_gate(old, new)
+check("null calib_mid + zero calib -> no crash", rc == 0 and
+      "Traceback" not in out, out)
 
 print("all bench_diff gate tests passed")

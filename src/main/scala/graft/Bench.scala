@@ -36,7 +36,12 @@ object Bench {
     * be dead-code-eliminated. */
   private[graft] def calibrate(): Double = {
     val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
+    if (calibrateChain(0x9E3779B97F4A7C15L) == 42L) print("") // observe: defeat DCE
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def calibrateChain(seed: Long): Long = {
+    var x = seed
     var acc = 0L
     var i = 0
     while (i < 400000000) {
@@ -44,9 +49,49 @@ object Bench {
       acc += x
       i += 1
     }
-    if (acc == 42L) print("") // observe acc: defeat dead-code elimination
+    acc
+  }
+
+  /** PARALLEL calibration probe: `calibParThreads` threads of the same
+    * xorshift chain, timed as one wall-clock span. The SERIAL sentinel is
+    * blind to multicore contention — external load that leaves ≥1 core
+    * free barely touches one thread while crushing a 32-way suite
+    * (round 16: driver record read calib 0.82/0.85 ≈ clean while 71
+    * codeless queries inflated 1.3–2.7×). This probe demands every core
+    * at once, exactly like the suite: the CONTENTION INDEX
+    * `calib_par/calib` reads ~1.2 on this box idle (31 threads on 32
+    * cpus, measured r17: 1.14–1.22) and ~1.5 under just 8 external busy
+    * threads — a >1.35 reading means the record is contaminated
+    * (BASELINE.md "parallel contention index"; `bench_diff --gate`
+    * REFUSES such records). */
+  private[graft] val calibParThreads: Int =
+    math.max(2, Runtime.getRuntime.availableProcessors() - 1)
+
+  private[graft] def calibratePar(): Double = {
+    val n = calibParThreads
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { k =>
+      val t = new Thread(() => { sink.addAndGet(calibrateChain(0x9E3779B97F4A7C15L + k)): Unit })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (sink.get() == 42L) print("") // observe: defeat DCE
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** 1-minute load average from /proc/loadavg — box-state provenance
+    * alongside the probes (the probes measure cycles actually delivered;
+    * loadavg names the competing demand). -1 when unreadable. NOTE: mid-
+    * suite readings include OUR OWN 32-way Spark work — only `pre`
+    * (taken before the timed suite) discriminates external load on its
+    * own; `mid`/`post` are interpretable relative to the suite's own
+    * expected load. */
+  private[graft] def loadavg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
 
   /** Force FULL-result execution for timing. `df.count()` is the wrong
     * probe: Catalyst optimizes the count-aggregate plan, which legally
@@ -95,7 +140,9 @@ object Bench {
     // only wanted for builds charged inside a TIMED window below
     Staging.drainBuildEvents()
 
+    val loadPre = loadavg1()
     val calibPre = calibrate()
+    val calibParPre = calibratePar()
     val cachePre = pageCacheGb()
     val suiteT0 = System.nanoTime()
 
@@ -114,6 +161,8 @@ object Bench {
     // Name-sorted order makes the t_end offsets comparable across runs.
     val tEnd = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val calibMid = scala.collection.mutable.ListBuffer.empty[Double]
+    val calibParMid = scala.collection.mutable.ListBuffer.empty[Double]
+    val loadMid = scala.collection.mutable.ListBuffer.empty[Double]
     // staged-view provenance (VERDICT r14 #3): any publishParquet build
     // that ran during a query's timed window is attributed to that query
     // in the detail line, so a cold-staging record is diffable against a
@@ -122,7 +171,11 @@ object Bench {
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     val results: Map[String, Either[String, Double]] =
       selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), idx) =>
-        if (idx > 0 && idx % 25 == 0) calibMid += calibrate()
+        if (idx > 0 && idx % 25 == 0) {
+          loadMid += loadavg1()
+          calibMid += calibrate()
+          calibParMid += calibratePar()
+        }
         // progress marker to STDERR (stdout is parsed by the round driver):
         // a task-thread OOM kills the whole local-mode JVM before the detail
         // JSON is written, and without this line the dead query is
@@ -155,6 +208,8 @@ object Bench {
         name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
       }.toMap
     val calibPost = calibrate()
+    val calibParPost = calibratePar()
+    val loadPost = loadavg1()
     val cachePost = pageCacheGb()
 
     // A SPARK_GRAFT_ONLY probe is a PARTIAL run: mark both JSON lines
@@ -164,7 +219,10 @@ object Bench {
     val (fullLine, compactLine) = lines(results, sfDir, filtered = only.isDefined,
       calib = Some((calibPre, calibPost)), tEnd = tEnd.toMap,
       calibMid = calibMid.toList, cacheGb = Some((cachePre, cachePost)),
-      stagedBuilds = stagedBuilds.toMap)
+      stagedBuilds = stagedBuilds.toMap,
+      calibPar = Some((calibParPre, calibParPost)),
+      calibParMid = calibParMid.toList,
+      loadavg = Some((loadPre, loadPost)), loadavgMid = loadMid.toList)
     val detailPath = detailFile(only.isDefined, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -244,7 +302,11 @@ object Bench {
       tEnd: Map[String, Double] = Map.empty,
       calibMid: Seq[Double] = Nil,
       cacheGb: Option[(Double, Double)] = None,
-      stagedBuilds: Map[String, Seq[(String, Double)]] = Map.empty): (String, String) = {
+      stagedBuilds: Map[String, Seq[(String, Double)]] = Map.empty,
+      calibPar: Option[(Double, Double)] = None,
+      calibParMid: Seq[Double] = Nil,
+      loadavg: Option[(Double, Double)] = None,
+      loadavgMid: Seq[Double] = Nil): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -264,6 +326,22 @@ object Bench {
     val calibField = calib.fold("") { case (pre, post) =>
       s""","calib_pre_sec":${fmt(pre)},"calib_post_sec":${fmt(post)}"""
     }
+    // parallel contention probe (see calibratePar doc): same loop on
+    // (cpus-1) threads; calib_par/calib is the contention index —
+    // ~1.2 idle on a 32-cpu box, >1.35 ⇒ record contaminated. In BOTH
+    // lines so the driver's compact record is self-diagnosing about the
+    // multicore contention the serial sentinel cannot see.
+    val calibParField = calibPar.fold("") { case (pre, post) =>
+      s""","calib_par_pre_sec":${fmt(pre)},"calib_par_post_sec":${fmt(post)},"calib_par_threads":$calibParThreads"""
+    }
+    // box-load provenance: /proc/loadavg 1-min readings (detail only;
+    // mid-suite values include our own Spark work — see loadavg1 doc)
+    val loadavgField = loadavg.fold("") { case (pre, post) =>
+      s""","loadavg_pre":${fmt(pre)},"loadavg_post":${fmt(post)}"""
+    }
+    val loadavgMidField =
+      if (loadavgMid.isEmpty) ""
+      else loadavgMid.map(fmt).mkString(""","loadavg_mid":[""", ",", "]")
     // box-state provenance (detail line only): page-cache GiB before and
     // after the suite, so a gate diff across records taken in different
     // cache states is visible as such instead of reading as a plan change
@@ -287,6 +365,9 @@ object Bench {
     val calibMidField =
       if (calibMid.isEmpty) ""
       else calibMid.map(fmt).mkString(""","calib_mid":[""", ",", "]")
+    val calibParMidField =
+      if (calibParMid.isEmpty) ""
+      else calibParMid.map(fmt).mkString(""","calib_par_mid":[""", ",", "]")
     // staged-view provenance (detail line only): per-query map of
     // root-relative staged view → one-time build seconds charged inside
     // that query's timed window; absent when the staging root was warm.
@@ -300,13 +381,15 @@ object Bench {
         }.mkString("{", ",", "}")
       }.mkString(""","staged_views_built":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$cacheField$calibMidField$stagedField$tEndField$probeField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$calibParField$loadavgField$cacheField$calibMidField$calibParMidField$loadavgMidField$stagedField$tEndField$probeField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
-    // 500-byte queries map keeps the whole line ≤ ~750 B, so emitBlock's
-    // copy spacing (line + pad) stays under the 2 KB window minus one line
-    // — the condition for every window position to contain a full copy.
-    val budget = 500 // bytes for the queries map
+    // 420-byte queries map keeps the whole line ≤ ~790 B even with the
+    // r17 parallel-probe fields, so emitBlock's copy spacing (line + pad)
+    // stays under the 2 KB window minus one line — the condition for
+    // every window position to contain a full copy (BenchLineSpec pins
+    // the 800-byte ceiling).
+    val budget = 420 // bytes for the queries map
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
     slowest.foreach { case (k, v) =>
@@ -315,7 +398,7 @@ object Bench {
     }
     val detail = detailFile(filtered, sfDir)
     val compactLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField$filteredField$calibField$probeField,"sf":"$sfDir","detail":"$detail"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nqueries":${results.size}$errField$filteredField$calibField$calibParField$probeField,"sf":"$sfDir","detail":"$detail"}"""
     (fullLine, compactLine)
   }
 }

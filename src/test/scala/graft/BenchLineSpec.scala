@@ -77,6 +77,34 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.calibrate() > 0)
   }
 
+  test("parallel contention probe and loadavg provenance (r17) are recorded") {
+    val (full, compact) = Bench.lines(results(200), "/x",
+      calib = Some((0.82, 0.84)),
+      calibPar = Some((0.98, 1.51)), calibParMid = Seq(1.02, 1.44),
+      loadavg = Some((0.12, 8.5)), loadavgMid = Seq(31.2))
+    // the par probe goes in BOTH lines: the driver's compact record must
+    // be self-diagnosing about multicore contention (the serial sentinel
+    // read ~1.1x idle in BENCH_r16 while 71 codeless queries inflated)
+    for (l <- Seq(full, compact)) {
+      assert(l.contains("\"calib_par_pre_sec\":0.980"), l.take(300))
+      assert(l.contains("\"calib_par_post_sec\":1.510"), l.take(300))
+      assert(l.contains("\"calib_par_threads\":" + Bench.calibParThreads), l.take(300))
+    }
+    // loadavg + mid arrays are detail-line-only (size budget)
+    assert(full.contains("\"loadavg_pre\":0.120") && full.contains("\"loadavg_post\":8.500"))
+    assert(full.contains("\"calib_par_mid\":[1.020,1.440]"))
+    assert(full.contains("\"loadavg_mid\":[31.200]"))
+    assert(!compact.contains("loadavg") && !compact.contains("calib_par_mid"))
+    assert(compact.length < 800, s"par-probe fields pushed compact line to ${compact.length} bytes")
+    // all omitted when not measured
+    val (fullNo, compactNo) = Bench.lines(results(3), "/x")
+    assert(!fullNo.contains("calib_par") && !fullNo.contains("loadavg"))
+    assert(!compactNo.contains("calib_par"))
+    // structural: the parallel loop runs, returns positive wall, and uses
+    // at least 2 threads (no timing assertion — see the serial-probe note)
+    assert(Bench.calibParThreads >= 2)
+  }
+
   test("probe identity, per-query t_end, and mid-suite calibrations are recorded") {
     val (full, compact) = Bench.lines(results(5), "/x",
       calib = Some((0.7, 0.7)),
