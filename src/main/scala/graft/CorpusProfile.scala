@@ -19,34 +19,88 @@ import org.apache.spark.sql.functions._
   * sidecar with ZERO Spark jobs. The same recipe as the staged IVF
   * index: measure offline once, decide from the frozen measurement.
   *
+  * Measured ratios are additionally registered in a per-JVM registry
+  * keyed by the corpus parquet's CANONICAL PATH, so the tier decision
+  * can be resolved from a plan's own scan provenance
+  * ([[ratioForPlan]]) instead of a mutable session-global conf — two
+  * corpora with different duplication in one session each tier off
+  * their own measurement regardless of load order (VERDICT r16 #3 /
+  * ADVICE r16: the last-loaded-corpus-wins coupling).
+  *
   * On a production 100 TB pipeline this is a table property the ingest
   * job records (it already scans every row); the threshold consumer is
   * [[graft.operators.Dedup.collapseWorthwhile]].
   */
 object CorpusProfile {
-  val ProfileVersion = 1
+  /** v2 (round 17): the NULL-text class is counted explicitly — v1
+    * divided count(*) (includes NULL rows) by approx_count_distinct
+    * (excludes NULLs), overstating duplication on null-heavy corpora
+    * and degenerating to the forced 1.0 fallback on an all-NULL corpus
+    * (whose true shape is ONE class, i.e. maximal duplication). */
+  val ProfileVersion = 2
 
+  // memo keyed by the fixture CONTENT key, not the directory path: an
+  // in-place fixture regeneration within one JVM must read a fresh
+  // measurement, not the dead generation's (VERDICT r16 #3)
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
-  /** rows / approx-distinct-texts of `<sfDir>/documents.parquet`.
+  // canonical documents.parquet path -> measured ratio, for plan-
+  // provenance resolution (ratioForPlan). Per-JVM like the memo; the
+  // cross-JVM source of truth stays the staged sidecar.
+  private val byPath = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private[graft] def canonical(p: String): String =
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: java.io.IOException => p }
+
+  /** rows / text classes of `<sfDir>/documents.parquet`, where the class
+    * count is approx-distinct non-null texts plus one shared class for
+    * ALL null-text rows (they collapse together under the null-safe
+    * class joins, so that is their true dedup shape).
     * approx_count_distinct at rsd 0.01 — the consumer compares against
     * a 1.05 threshold, so a ±1% estimate cannot flip a corpus that is
     * clearly on either side, and a corpus near the boundary is correct
     * (row-identical) under both tiers by construction. Empty corpus →
     * ratio 1.0 (collapse is a no-op either way). */
-  def duplicationRatio(s: SparkSession, sfDir: String): Double =
-    memo.computeIfAbsent(sfDir, _ => {
-      val key = Fixtures.key(sfDir, "documents.parquet")
+  def duplicationRatio(s: SparkSession, sfDir: String): Double = {
+    val key = Fixtures.key(sfDir, "documents.parquet")
+    val ratio = memo.computeIfAbsent(key, _ => {
       val line = Staging.publishText(
         s"${Staging.dir("profile")}/v$ProfileVersion/$key/documents.ratio") {
         val r = s.read.parquet(s"$sfDir/documents.parquet")
           .agg(count(lit(1)).cast("double").as("n"),
-            approx_count_distinct(col("text"), 0.01).cast("double").as("nd"))
+            approx_count_distinct(col("text"), 0.01).cast("double").as("nd"),
+            max(when(col("text").isNull, 1).otherwise(0)).as("hasNull"))
           .head
-        val (n, nd) = (r.getDouble(0), r.getDouble(1))
-        val ratio = if (nd > 0) n / nd else 1.0
+        val n = r.getDouble(0)
+        val classes = r.getDouble(1) + (if (!r.isNullAt(2) && r.getInt(2) > 0) 1 else 0)
+        val ratio = if (classes > 0) n / classes else 1.0
         f"$ratio%.6f"
       }
       line.trim.toDouble
     })
+    byPath.put(canonical(new java.io.File(sfDir, "documents.parquet").getPath), ratio)
+    ratio
+  }
+
+  /** Resolve a measured duplication ratio from a DataFrame's OWN scan
+    * provenance: the parquet root paths of its plan's file-scan leaves,
+    * matched against the registry of measured corpora. Some(ratio) iff
+    * the leaves name exactly ONE measured corpus (a self-join of the
+    * same corpus still resolves; a join of two DIFFERENT measured
+    * corpora is ambiguous → None → caller falls back to the session
+    * conf). Plan-construction-time only, zero jobs. */
+  def ratioForPlan(df: org.apache.spark.sql.DataFrame): Option[Double] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val ratios = df.queryExecution.analyzed.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.flatMap(p =>
+            Option(byPath.get(canonical(p.toUri.getPath))))
+        case _ => Nil
+      }
+      case _ => Nil
+    }.distinct
+    if (ratios.size == 1) Some(ratios.head) else None
+  }
 }

@@ -35,15 +35,18 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
   }
-  /** Loading the documents corpus also installs its measured duplication
-    * ratio ([[CorpusProfile]], staged once per fixture — later calls are
-    * a memoized driver-side read, no job) into the session conf, so the
-    * collapse-first operators' tier choice
-    * ([[graft.operators.Dedup.collapseWorthwhile]]) is per-corpus and
-    * job-free at plan construction. `spark.graft.collapse.mode`
-    * (always/never) overrides the auto decision — Verify pins `always`
-    * so the collapsed scale path stays oracle-gated on the
-    * distinct-text fixtures. */
+  /** Loading the documents corpus measures (once, staged — later calls
+    * are a memoized driver-side read, no job) its duplication ratio and
+    * registers it in [[CorpusProfile]]'s path-keyed registry: the
+    * collapse-first tier choice
+    * ([[graft.operators.Dedup.collapseWorthwhile]]) resolves the ratio
+    * from each plan's OWN scan provenance, so two corpora loaded in one
+    * session each tier off their own measurement — load order cannot
+    * flip a global switch. The session conf set here is only the
+    * FALLBACK for inputs whose provenance doesn't name a measured
+    * corpus. `spark.graft.collapse.mode` (always/never) overrides the
+    * auto decision — Verify pins `always` so the collapsed scale path
+    * stays oracle-gated on the distinct-text fixtures. */
   def documents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set(graft.operators.Dedup.DuplicationRatioConf,
       CorpusProfile.duplicationRatio(spark, sfDir).toString)

@@ -83,8 +83,18 @@ object Dedup {
       case "always" => true
       case "never" => false
       case _ =>
-        conf.getOption(DuplicationRatioConf)
-          .flatMap(v => scala.util.Try(v.toDouble).toOption)
+        // Resolve from the plan's OWN scan provenance first: the corpus
+        // this DataFrame actually reads carries its measured ratio in
+        // the CorpusProfile registry, so two corpora with different
+        // duplication in one session each tier off their own
+        // measurement regardless of load order. The session conf is the
+        // fallback for externally-constructed inputs (in-memory test
+        // frames, non-fixture paths) — absent ⇒ collapse, the safe
+        // default for the duplication-heavy population these operators
+        // exist for.
+        graft.CorpusProfile.ratioForPlan(docs)
+          .orElse(conf.getOption(DuplicationRatioConf)
+            .flatMap(v => scala.util.Try(v.toDouble).toOption))
           .forall(_ >= MinCollapseDuplication)
     }
   }

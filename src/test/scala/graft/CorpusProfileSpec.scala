@@ -59,21 +59,77 @@ class CorpusProfileSpec extends AnyFunSuite {
   }
 
   test("an in-place corpus rewrite that changes the content key gets a FRESH " +
-      "measurement (the staleness story is the fixture key, not the memo)") {
+      "measurement (r17: the memo is keyed by content key, not path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-profile-spec2").toString
     writeCorpus(dir, Seq("x", "x", "y", "y"))
     val r1 = CorpusProfile.duplicationRatio(spark, dir)
     assert(math.abs(r1 - 2.0) < 0.1, s"expected ~2.0, got $r1")
     // rewrite with all-distinct texts: new parquet bytes -> new
-    // Fixtures.key -> new sidecar. The in-JVM memo is keyed by sfDir, so
-    // THIS JVM keeps the frozen first measurement (documented contract:
-    // a profile is measured once per corpus VERSION; same-path
-    // regeneration is picked up by the next session, exactly like the
-    // staged IVF index). Verify the memo freeze rather than pretending
-    // in-place mutation is supported:
+    // Fixtures.key -> new memo entry AND new sidecar, so THIS JVM reads
+    // the fresh generation's measurement (pre-r17 the memo was keyed by
+    // the directory path and served the dead generation's ratio)
     writeCorpus(dir, Seq("a", "b", "c", "d"))
-    assert(CorpusProfile.duplicationRatio(spark, dir) == r1,
-      "within one session the first measurement is frozen")
+    val r2 = CorpusProfile.duplicationRatio(spark, dir)
+    assert(math.abs(r2 - 1.0) < 0.1,
+      s"in-place regeneration must re-measure (got $r2, stale would be $r1)")
     Staging.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("NULL texts form ONE shared class: ratio counts them as a single " +
+      "class, and an all-NULL corpus reads as maximally duplicated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile-spec3").toString
+    // 4 NULL texts + 2 distinct non-null -> 6 rows / 3 classes = 2.0
+    // (v1 formula read 6/2 = 3.0: overstated duplication on null-heavy
+    // corpora; an all-NULL corpus degenerated to the forced 1.0 fallback)
+    Seq((0L, null), (1L, null), (2L, null), (3L, null), (4L, "a"), (5L, "b"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CorpusProfile.duplicationRatio(spark, dir)
+    assert(math.abs(r - 2.0) < 0.1, s"expected ~2.0 (6 rows / 3 classes), got $r")
+    // all-NULL corpus: one class, ratio = n/1 — collapse fires (its true
+    // dedup shape IS one class), instead of the v1 forced 1.0
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-profile-spec4").toString
+    Seq((0L, null: String), (1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r2 = CorpusProfile.duplicationRatio(spark, dir2)
+    assert(math.abs(r2 - 3.0) < 0.01, s"all-NULL corpus: expected 3.0, got $r2")
+    Staging.deleteRecursively(new java.io.File(dir))
+    Staging.deleteRecursively(new java.io.File(dir2))
+  }
+
+  test("two corpora in ONE session each tier off their OWN measured ratio, " +
+      "regardless of load order (plan provenance, not a global conf)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-profile-dup").toString
+    val distinctDir = java.nio.file.Files.createTempDirectory("graft-profile-dis").toString
+    writeCorpus(dupDir, Seq("t", "t", "t", "t", "u", "u"))        // ratio 3.0
+    writeCorpus(distinctDir, (1 to 50).map(i => s"text-$i"))      // ratio 1.0
+    val prevMode = spark.conf.getOption(graft.operators.Dedup.CollapseModeConf)
+    spark.conf.set(graft.operators.Dedup.CollapseModeConf, "auto")
+    try {
+      // adversarial order: load the DUP corpus FIRST, the distinct one
+      // SECOND — under the r16 global conf the last load won and the dup
+      // corpus would have planned off ratio 1.0 (identity tier)
+      val dupDocs = Tables.documents(spark, dupDir)
+      val disDocs = Tables.documents(spark, distinctDir)
+      def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty
+      val dupMapping = graft.operators.Dedup.textClasses(dupDocs, "doc_id", "text")
+      val disMapping = graft.operators.Dedup.textClasses(disDocs, "doc_id", "text")
+      assert(hasJoin(dupMapping),
+        "duplication-heavy corpus must plan the COLLAPSED tier (mapping join)")
+      assert(!hasJoin(disMapping),
+        "all-distinct corpus must plan the IDENTITY tier (no join) even " +
+          "though the dup corpus was loaded in the same session")
+      // outputs agree with the tiers: dup corpus has classes of size >1
+      assert(dupMapping.where($"m" > 1).count() == 6)
+      assert(disMapping.where($"m" =!= 1).count() == 0)
+    } finally {
+      prevMode.fold(spark.conf.unset(graft.operators.Dedup.CollapseModeConf))(
+        v => spark.conf.set(graft.operators.Dedup.CollapseModeConf, v))
+      Staging.deleteRecursively(new java.io.File(dupDir))
+      Staging.deleteRecursively(new java.io.File(distinctDir))
+    }
   }
 }
