@@ -90,6 +90,24 @@ object Plans {
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name — $why\n\n```\n${redact(plan)}```\n")
     }
+    // Collapse tier comparison (VERDICT r16 #2): ONE collapse-first query
+    // explained under both tiers, so the adaptive bypass's plan delta is
+    // reviewable — `always` carries the digest aggregate + mapping joins
+    // (with the ReusedExchange pin), `never` is the identity tier the
+    // measured ~all-distinct fixtures actually run (zero mapping
+    // shuffles). Output row-identity between the tiers is pinned by
+    // CollapseTierQuerySpec over every collapse consumer.
+    sb.append("\n# Collapse tier comparison — q_dup_gram_coverage\n")
+    for ((mode, note) <- Seq(
+        "always" -> "collapsed tier: ONE fp digest aggregate, ReusedExchange, class mapping joins",
+        "never" -> "identity tier (measured duplication < 1.05): mapping gone, doc-level plan")) {
+      spark.conf.set(graft.operators.Dedup.CollapseModeConf, mode)
+      try {
+        val df = SparkEntry.queries("q_dup_gram_coverage")(spark, sfDir)
+        val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        sb.append(s"\n## collapse.mode=$mode — $note\n\n```\n${redact(plan)}```\n")
+      } finally spark.conf.unset(graft.operators.Dedup.CollapseModeConf)
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote $outFile (${Headline.size} plans)")

@@ -603,16 +603,27 @@ object TextQueriesImpl {
     * fix would be untested) — same planted-suffix pattern as
     * `q_text_unicode_nfc` — and hash-pins the FULL token list of both
     * engines, including the leading/trailing empty tokens that survive
-    * space-only trim. */
+    * space-only trim. Round 17 adds the complement pins: NEL (U+0085)
+    * and NBSP (U+00A0) are NOT separators under Java `\s` or the
+    * oracle's explicit class, and a NULL text yields a NULL tok_md5 on
+    * both engines (Spark needs an explicit guard — its concat_ws treats
+    * a NULL array as empty). */
   val wsSpecials = Q(
     "q_text_ws_specials",
     (s, dir) => {
-      val m = pmod(col("doc_id"), lit(5))
-      // explicit escapes, not raw control characters in the source
+      val m = pmod(col("doc_id"), lit(7))
+      // explicit escapes, not raw control characters in the source.
+      // Cases 5/6 plant NEL (U+0085) and NBSP (U+00A0): Java's \s
+      // excludes BOTH (no UNICODE_CHARACTER_CLASS in play), as does the
+      // oracle's explicit [\t\n\x0B\f\r ] class -- pinned here as
+      // NON-separators (they glue onto adjacent tokens), the complement
+      // of the VT separator pin.
       val sep = when(m === 0, lit("\u000B"))
         .when(m === 1, lit("\u000B "))
         .when(m === 2, lit("\t\u000B"))
         .when(m === 3, lit("\r"))
+        .when(m === 5, lit("\u0085"))
+        .when(m === 6, lit("\u00A0"))
         .otherwise(lit(" "))
       val aug = concat(sep, col("text"), sep, lit("tail"), sep)
       val toks = graft.functions.TextFunctions.tokens(col("aug"))
@@ -621,16 +632,26 @@ object TextQueriesImpl {
         .select(col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           size(filter(toks, t => t === lit(""))).cast("long").as("n_empty"),
-          md5(concat_ws("|", toks)).as("tok_md5"))
+          // NULL-text guard (ADVICE r16): for NULL aug, Spark's
+          // concat_ws treats the NULL token array as EMPTY (md5(''))
+          // while the oracle's md5(array_to_string(...)) null-propagates
+          // -- emit NULL symmetrically. Fixtures carry no NULL texts, so
+          // this closes a latent divergence without changing output.
+          when(col("aug").isNull, lit(null).cast("string"))
+            .otherwise(md5(concat_ws("|", toks))).as("tok_md5"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH sep AS (SELECT doc_id, text, CASE CAST(doc_id % 5 AS INTEGER)
+    Some("""WITH sep AS (SELECT doc_id, text, CASE CAST(doc_id % 7 AS INTEGER)
         WHEN 0 THEN chr(11) WHEN 1 THEN chr(11) || ' '
-        WHEN 2 THEN chr(9) || chr(11) WHEN 3 THEN chr(13) ELSE ' ' END AS sp
+        WHEN 2 THEN chr(9) || chr(11) WHEN 3 THEN chr(13)
+        WHEN 5 THEN chr(133) WHEN 6 THEN chr(160) ELSE ' ' END AS sp
         FROM documents WHERE doc_id < 200),
       aug AS (SELECT doc_id, sp || text || sp || 'tail' || sp AS t FROM sep),
       tk AS (SELECT doc_id,
-          regexp_split_to_array(trim(t), '[\t\n\x0B\f\r ]+') AS toks FROM aug)
+          -- trim(t, ' '): DuckDB's default trim strips Unicode Zs (space
+          -- AND NBSP) while Spark's trim strips ASCII space only -- the
+          -- explicit char set keeps the planted NBSP, like Spark does
+          regexp_split_to_array(trim(t, ' '), '[\t\n\x0B\f\r ]+') AS toks FROM aug)
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(list_filter(toks, x -> x = '')) AS BIGINT) AS n_empty,
         md5(array_to_string(toks, '|')) AS tok_md5
