@@ -462,50 +462,63 @@ object Dedup {
     * construction (the popular grams never enter prefixes).
     *
     * Plan — built for corpora where duplication is the POINT (CC-style
-    * crawls duplicate heavily): (1) EXACT-COLLAPSE first — group docs by
-    * their full gram-set, keep one representative per distinct set (the
-    * 20× probe corpus collapses 100k docs → 4,992 sets); (2) run the
+    * crawls duplicate heavily): (1) EXACT-COLLAPSE first on the 16-byte
+    * TEXT digest ([[classDigest]]) — r17: the pre-r17 form grouped on
+    * the full gram ARRAY, which ran the gram kernel on every copy and
+    * shuffled each doc's whole hash array as both grouping key and
+    * value; the digest collapse shuffles 24-byte (digest, id) rows and
+    * runs the kernel once per DISTINCT text (two texts with equal
+    * gram-sets but different bytes now verify as a 1.0-scoring cross
+    * pair instead of pre-collapsing — same output); (2) run the
     * prefix-filter candidate join over REPRESENTATIVES only, so the
     * quadratic candidate cost scales with distinct content, never with
-    * raw row count; (3) expand set-level results back to doc pairs:
-    * within-set pairs are J = 1.0 by construction (identical gram-sets),
-    * cross-set pairs inherit their representatives' kernel-verified
-    * score. Stage (2) computes gram df by hash aggregation (map-side
-    * partials) and per-rep prefix selection as collect_list → array_sort
-    * → slice — no global sort anywhere. Docs with empty gram-sets score
-    * 0.0 against everything (kernel semantics) and are dropped up front,
-    * which a positive threshold makes exact. */
+    * raw row count — with the ppjoin POSITION and LENGTH bounds in the
+    * join condition (see below); (3) expand class-level results back to
+    * doc pairs: within-class pairs are J = 1.0 by construction
+    * (identical texts), cross-class pairs inherit their
+    * representatives' kernel-verified score. Stage (2) computes gram df
+    * by hash aggregation (map-side partials) and per-rep prefix
+    * selection as collect_list → array_sort → slice — no global sort
+    * anywhere. Docs with empty gram-sets score 0.0 against everything
+    * (kernel semantics) and are dropped up front, which a positive
+    * threshold makes exact. Tier: on a measured ~all-distinct corpus
+    * ([[collapseWorthwhile]]) the digest aggregate is skipped — every
+    * doc is its own representative (CollapseTierQuerySpec pins output
+    * identity between the tiers).
+    *
+    * Candidate-join bounds (both safe-by-margin against IEEE rounding —
+    * the 1e-9 slack only ever KEEPS a borderline candidate):
+    *   - LENGTH: J ≥ t ⟹ min(|x|,|y|) ≥ t·max(|x|,|y|);
+    *   - POSITION (ppjoin): for the FIRST common gram g in the global
+    *     rare-first order, every gram before g in x is non-common, so
+    *     |x∩y| ≤ 1 + min(|x|−pos_x(g), |y|−pos_y(g)); J ≥ t needs
+    *     |x∩y| ≥ ⌈t/(1+t)·(|x|+|y|)⌉. g provably sits inside both
+    *     prefixes, so pruning every shared-gram row that fails the
+    *     bound keeps recall 1.0 (the pair survives if ANY row passes,
+    *     and g's row passes). */
   def prefixFilteredJaccardJoin(docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
-    val d = docs.select(col(idCol).as("doc"),
-      sortedGramHashes(col(textCol), n).as("grams"))
-      .where(size(col("grams")) > 0)
-    // 1. exact collapse: one representative doc per distinct gram-set.
-    //    Reused by the candidate join AND both expansion joins. Eager
-    //    localCheckpoint, not persist(): the materialized copy is owned
-    //    by the returned plan's RDD lineage and released by the
-    //    ContextCleaner when it goes out of scope — no CacheManager
-    //    entry survives the call for callers to know about.
-    val sets = d.groupBy(col("grams"))
-      .agg(min(col("doc")).as("rep"),
-        sort_array(collect_list(col("doc"))).as("docs"))
-      .localCheckpoint(true)
-    val r = sets.select(col("rep").as("doc"), col("grams"))
-    // 2. prefix-filtered candidate join over representatives
-    val posting = r.select(col("doc"), size(col("grams")).as("sz"),
-      explode(col("grams")).as("gram"))
-    val dfTab = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
-    val prefix = posting.join(dfTab, "gram")
-      .groupBy(col("doc"), col("sz"))
-      .agg(collect_list(struct(col("df"), col("gram"))).as("pg"))
-      .select(col("doc"),
-        explode(slice(array_sort(col("pg")), lit(1), prefixLen)).as("p"))
-      .select(col("doc"), col("p.gram").as("gram"))
+    // 1. text-digest collapse (tier-aware), one checkpointed row per
+    //    class: (rep, docs, grams). Eager localCheckpoint, not
+    //    persist(): the materialized copy is owned by the returned
+    //    plan's RDD lineage and released by the ContextCleaner when it
+    //    goes out of scope — no CacheManager entry survives the call
+    //    for callers to know about.
+    val classes = gramClassReps(docs, idCol, textCol, n)
+    val r = classes.where(size(col("grams")) > 0)
+      .select(col("rep").as("doc"), col("grams"))
+    // 2. prefix-filtered candidate join over representatives, with
+    //    per-gram rare-first positions for the ppjoin bound
+    val (posting, prefix) = postingAndPrefix(r, threshold)
+    val eps = 1e-9
+    val alpha = ceil((col("x.sz") + col("y.sz")) * lit(threshold / (1 + threshold)) - lit(eps))
     val cands = prefix.alias("x")
       .join(prefix.alias("y"),
-        col("x.gram") === col("y.gram") && col("x.doc") < col("y.doc"))
+        col("x.gram") === col("y.gram") && col("x.doc") < col("y.doc") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >=
+            greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(eps) &&
+          (lit(1) + least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))) >= alpha)
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .dropDuplicates("a", "b")
     val setPairs = cands
@@ -515,22 +528,80 @@ object Dedup {
         round(graft.functions.KernelExpressions.jaccard_sorted(
           col("ga"), col("gb")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    // 3. expand: identical-set pairs at exactly 1.0, cross-set pairs at
-    //    their representatives' score (same gram-sets ⇒ same jaccard)
-    val within = sets.where(size(col("docs")) > 1)
+    // 3. expand: identical-text pairs at exactly 1.0 (classes whose text
+    //    yields NO grams are excluded — they score 0.0 against
+    //    everything, including their own copies), cross-class pairs at
+    //    their representatives' score (same text ⇒ same jaccard)
+    val gramClasses = classes.where(size(col("grams")) > 0)
+      .select(col("rep"), col("docs"))
+    val within = gramClasses.where(size(col("docs")) > 1)
       .select(col("docs"))
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     val cross = setPairs
-      .join(sets.select(col("rep").as("a"), col("docs").as("da")), "a")
-      .join(sets.select(col("rep").as("b"), col("docs").as("db")), "b")
+      .join(gramClasses.select(col("rep").as("a"), col("docs").as("da")), "a")
+      .join(gramClasses.select(col("rep").as("b"), col("docs").as("db")), "b")
       .select(explode(col("da")).as("x"), col("db"), col("jaccard"))
       .select(col("x"), explode(col("db")).as("y"), col("jaccard"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"), col("jaccard"))
     within.unionByName(cross)
+  }
+
+  /** Shared collapse stage of the exact set-similarity joins: ONE row
+    * per text class — (rep, docs, grams of the representative's text) —
+    * eagerly materialized via localCheckpoint (it feeds the posting,
+    * the verification joins, and both expansions; uncheckpointed, the
+    * gram kernel would re-run per consumer AND per global-sort sampling
+    * pass). The representative's text rides the digest aggregate itself
+    * as `min_by(text, id)` — map-side partial aggregation keeps ONE
+    * text per (class × partition) on the exchange, so text never
+    * shuffles at row volume and no rep-selection join is needed (a join
+    * against the checkpoint is statless ⇒ Spark picks a sort-merge join
+    * and shuffles the whole corpus's text by id — measured +6 s at the
+    * 100× fixture). The gram kernel runs inside the same job, once per
+    * class. Identity tier: no aggregate, every doc its own class.
+    * Classes whose text yields no grams stay in the frame — consumers
+    * filter `size(grams) > 0` per their own semantics. */
+  private def gramClassReps(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    if (!collapseWorthwhile(docs))
+      docs.select(col(idCol).as("rep"), array(col(idCol)).as("docs"),
+        sortedGramHashes(col(textCol), n).as("grams"))
+        .localCheckpoint(true)
+    else
+      docs
+        .select(classDigest(col(textCol)).as("fp"), col(idCol).as("doc"),
+          col(textCol).as("__t"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc")).as("rep"),
+          sort_array(collect_list(col("doc"))).as("docs"),
+          min_by(col("__t"), col("doc")).as("__t"))
+        .select(col("rep"), col("docs"),
+          sortedGramHashes(col("__t"), n).as("grams"))
+        .localCheckpoint(true)
+  }
+
+  /** Shared prefix stage: posting = (doc, sz, gram) exploded rep grams;
+    * prefix = the rare-first prefix rows with each gram's 1-based
+    * position in the doc's (df, gram) order — the input to the ppjoin
+    * position bound. */
+  private def postingAndPrefix(r: DataFrame, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val posting = r.select(col("doc"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val dfTab = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
+    val prefix = posting.join(dfTab, "gram")
+      .groupBy(col("doc"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("gram"))).as("pg"))
+      .select(col("doc"), col("sz"),
+        posexplode(slice(array_sort(col("pg")), lit(1), prefixLen)))
+      .select(col("doc"), col("sz"), (col("pos") + 1).as("pos"),
+        col("col.gram").as("gram"))
+    (posting, prefix)
   }
 
   /** EXACT Jaccard edge list by COUNT AGGREGATION: every undirected pair
@@ -628,27 +699,22 @@ object Dedup {
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
-    val d = docs.select(col(idCol).as("doc"),
-      sortedGramHashes(col(textCol), n).as("grams"))
-      .where(size(col("grams")) > 0)
-    val sets = d.groupBy(col("grams"))
-      .agg(min(col("doc")).as("rep"),
-        sort_array(collect_list(col("doc"))).as("docs"))
-      .localCheckpoint(true) // see exactJaccardEdges: no cache-entry leak
-    val r = sets.select(col("rep").as("doc"), col("grams"))
-    val posting = r.select(col("doc"), size(col("grams")).as("sz"),
-      explode(col("grams")).as("gram"))
-    val dfTab = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
-    val prefix = posting.join(dfTab, "gram")
-      .groupBy(col("doc"), col("sz"))
-      .agg(collect_list(struct(col("df"), col("gram"))).as("pg"))
-      .select(col("doc"),
-        explode(slice(array_sort(col("pg")), lit(1), prefixLen)).as("p"))
-      .select(col("doc"), col("p.gram").as("gram"))
+    // r17: text-digest collapse + shared prefix stage (see
+    // prefixFilteredJaccardJoin — same kernel-once-per-distinct-text and
+    // 24-byte-shuffle wins). The container side posts ALL its grams, so
+    // only two bounds apply here: the x-prefix itself (position bound
+    // degenerates to the prefix length when the y position is unknown)
+    // and the LENGTH bound |B| ≥ ⌈t·|A|⌉ (overlap ≥ ⌈t·|A|⌉ needs at
+    // least that many grams in B) — 1e-9 slack keeps IEEE-borderline
+    // candidates rather than ever dropping one.
+    val classes = gramClassReps(docs, idCol, textCol, n)
+    val r = classes.where(size(col("grams")) > 0)
+      .select(col("rep").as("doc"), col("grams"))
+    val (posting, prefix) = postingAndPrefix(r, threshold)
     val cands = prefix.alias("x")
-      .join(posting.select(col("doc"), col("gram")).alias("y"),
-        col("x.gram") === col("y.gram") && col("x.doc") =!= col("y.doc"))
+      .join(posting.select(col("doc"), col("sz"), col("gram")).alias("y"),
+        col("x.gram") === col("y.gram") && col("x.doc") =!= col("y.doc") &&
+          col("y.sz").cast("double") >= ceil(col("x.sz") * lit(threshold) - lit(1e-9)))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .dropDuplicates("a", "b")
     val repPairs = cands
@@ -658,15 +724,18 @@ object Dedup {
         round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(col("ga")), 4).as("containment"))
       .where(col("containment") >= threshold)
-    // identical gram-sets contain each other fully, in both directions
-    val within = sets.where(size(col("docs")) > 1)
+    // identical texts contain each other fully, in both directions
+    // (classes with empty gram-sets excluded — kernel scores them 0.0)
+    val gramClasses = classes.where(size(col("grams")) > 0)
+      .select(col("rep"), col("docs"))
+    val within = gramClasses.where(size(col("docs")) > 1)
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))
       .where(col("a") =!= col("b"))
       .select(col("a"), col("b"), lit(1.0).as("containment"))
     val cross = repPairs
-      .join(sets.select(col("rep").as("a"), col("docs").as("da")), "a")
-      .join(sets.select(col("rep").as("b"), col("docs").as("db")), "b")
+      .join(gramClasses.select(col("rep").as("a"), col("docs").as("da")), "a")
+      .join(gramClasses.select(col("rep").as("b"), col("docs").as("db")), "b")
       .select(explode(col("da")).as("x"), col("db"), col("containment"))
       .select(col("x").as("a"), explode(col("db")).as("b"), col("containment"))
     within.unionByName(cross)
