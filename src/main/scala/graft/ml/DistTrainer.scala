@@ -54,6 +54,19 @@ object DistTrainer {
     @transient var gCache: Array[Float] = _
     @transient var hCache: Array[Float] = _
     @transient var cacheRound: Int = -1
+    // row → current node of the tree UNDER GROWTH (one per (round, cls)):
+    // each level advances a row by the one new step instead of re-routing
+    // from the root (O(1) vs O(depth) binned reads per row per level —
+    // a measured ~6-8% off q_ml_train_predict_scale at 100×; the
+    // remaining cost is the histogram accumulate + per-round gradient
+    // passes, linear in rows by contract — SCALE.md r17). The partial
+    // tree only appends nodes, so resuming from the stored node reaches
+    // the same leaf a root walk would; on eviction/recompute the cache
+    // is null and the walk restarts from the root — same result, the
+    // determinism story margins already have.
+    @transient var nodePos: Array[Int] = _
+    @transient var posRound: Int = -1
+    @transient var posCls: Int = -1
   }
 
   /** C7: skip the shuffle iff the optimized plan already ends in a
@@ -416,12 +429,22 @@ object DistTrainer {
     val m = mat.numCols
     val g = ps.gCache
     val h = ps.hCache
+    // position cache for the tree under growth (see PartState.nodePos):
+    // reset to the root when a new (round, cls) tree starts
+    if (ps.nodePos == null || ps.nodePos.length != n) ps.nodePos = new Array[Int](n)
+    if (ps.posRound != round || ps.posCls != cls) {
+      java.util.Arrays.fill(ps.nodePos, 0)
+      ps.posRound = round; ps.posCls = cls
+    }
+    val pos = ps.nodePos
 
     var i = 0
     while (i < n) {
       if (p.subsample >= 1.0 || sampledRow(p.seed, round, i, mat, p.subsample)) {
-        // route through partial tree on bins
-        var node = 0
+        // resume routing from the stored node: only the steps the levels
+        // since the last visit appended are walked (amortized one step
+        // per level instead of a root walk)
+        var node = pos(i)
         var depth = 0
         while (tLeft(node) >= 0 && depth < 64) {
           val b = ps.binned(i * m + tFeature(node)) & 0xff
@@ -431,6 +454,7 @@ object DistTrainer {
           node = if (goLeft) tLeft(node) else tRight(node)
           depth += 1
         }
+        pos(i) = node
         if (node >= levelStart && node < levelEnd) {
           val gi = g(i * k + cls)
           val hi = h(i * k + cls)
