@@ -588,19 +588,20 @@ object Dedup {
     * prefix = the rare-first prefix rows with each gram's 1-based
     * position in the doc's (df, gram) order — the input to the ppjoin
     * position bound. */
-  private def postingAndPrefix(r: DataFrame, threshold: Double)
-      : (DataFrame, DataFrame) = {
-    val posting = r.select(col("doc"), size(col("grams")).as("sz"),
-      explode(col("grams")).as("gram"))
+  private def postingAndPrefix(r: DataFrame, threshold: Double,
+      extra: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val ex = extra.map(col)
+    val posting = r.select(col("doc") +: ex :+ size(col("grams")).as("sz")
+      :+ explode(col("grams")).as("gram"): _*)
     val dfTab = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
     val prefix = posting.join(dfTab, "gram")
-      .groupBy(col("doc"), col("sz"))
+      .groupBy(col("doc") +: ex :+ col("sz"): _*)
       .agg(collect_list(struct(col("df"), col("gram"))).as("pg"))
-      .select(col("doc"), col("sz"),
-        posexplode(slice(array_sort(col("pg")), lit(1), prefixLen)))
-      .select(col("doc"), col("sz"), (col("pos") + 1).as("pos"),
-        col("col.gram").as("gram"))
+      .select(col("doc") +: ex :+ col("sz")
+        :+ posexplode(slice(array_sort(col("pg")), lit(1), prefixLen)): _*)
+      .select(col("doc") +: ex :+ col("sz") :+ (col("pos") + 1).as("pos")
+        :+ col("col.gram").as("gram"): _*)
     (posting, prefix)
   }
 
@@ -749,28 +750,101 @@ object Dedup {
     * combined `is_dup` verdict. Id sets must be disjoint across the two
     * inputs (they are row identities, not join keys).
     *
-    * Exact tier: 16-byte digest join — text never shuffles. Near tier:
-    * the exact-collapsed prefix-filter join over corpus ∪ batch, kept to
-    * cross-side pairs; the collapse means re-screening shared content
-    * costs set-level work, and a batch that is mostly dups of the corpus
-    * (the common case) collapses INTO the corpus's existing gram-sets. */
+    * Exact tier: 16-byte digest join — text never shuffles. Near tier
+    * (r17, ASYMMETRIC): classes are collapsed over corpus ∪ batch with
+    * per-class batch membership and min-corpus-id riding the digest
+    * aggregate, and only BATCH-TOUCHING classes post prefixes into the
+    * candidate join — corpus×corpus candidates never form, so the
+    * screen scales with the batch (×gram df), not the corpus², which is
+    * the whole point of incremental ingest against a 100 TB clean
+    * corpus (the pre-r17 form ran the full self-join and DISCARDED the
+    * corpus-side pairs). Recall: a qualifying (batch, corpus) pair's
+    * first common gram sits in both prefixes (see
+    * [[prefixFilteredJaccardJoin]]), and the batch side's prefix row is
+    * always posted. Partners reduce CLASS-level (min corpus id of each
+    * verified partner class, plus the own class for identical texts
+    * with non-empty grams), so no doc-pair relation ever materializes —
+    * each batch doc gets its min partner through one class join. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
     val corpusMin = corpus
       .select(classDigest(col(textCol)).as("digest"), col(idCol).as("cid"))
       .groupBy(col("digest")).agg(min(col("cid")).as("exact_dup_of"))
     val exact = batch.select(col(idCol).as("doc"), classDigest(col(textCol)).as("digest"))
       .join(corpusMin, Seq("digest"), "left")
       .select(col("doc"), col("exact_dup_of"))
-    val u = corpus.select(col(idCol), col(textCol))
-      .unionByName(batch.select(col(idCol), col(textCol)))
-    val pairs = prefixFilteredJaccardJoin(u, idCol, textCol, n, threshold)
-    val bids = batch.select(col(idCol).as("doc"))
-    val cids = corpus.select(col(idCol).as("partner"))
-    val near = pairs.select(col("b").as("doc"), col("a").as("partner"))
-      .unionByName(pairs.select(col("a").as("doc"), col("b").as("partner")))
-      .join(bids, "doc").join(cids, "partner")
-      .groupBy(col("doc")).agg(min(col("partner")).as("near_dup_of"))
+
+    // side-tagged union → one digest aggregate carrying per-class batch
+    // docs + min corpus id + the representative's text (min_by — see
+    // gramClassReps for why the text rides the aggregate)
+    val tagged = corpus.select(col(idCol).as("doc"), col(textCol).as("__t"),
+        lit(false).as("isB"))
+      .unionByName(batch.select(col(idCol).as("doc"), col(textCol).as("__t"),
+        lit(true).as("isB")))
+    val classes =
+      if (!collapseWorthwhile(corpus)) // identity tier: one class per doc
+        tagged.select(col("doc").as("rep"),
+          when(!col("isB"), col("doc")).as("minCorpus"),
+          when(col("isB"), array(col("doc")))
+            .otherwise(slice(array(col("doc")), 1, 0)).as("batchDocs"),
+          sortedGramHashes(col("__t"), n).as("grams"))
+          .localCheckpoint(true)
+      else
+        tagged
+          .select(classDigest(col("__t")).as("fp"), col("doc"), col("__t"), col("isB"))
+          .groupBy(col("fp"))
+          .agg(min(when(!col("isB"), col("doc"))).as("minCorpus"),
+            sort_array(collect_list(when(col("isB"), col("doc")))).as("batchDocs"),
+            min_by(col("__t"), col("doc")).as("__t"),
+            min(col("doc")).as("rep"))
+          .select(col("rep"), col("minCorpus"), col("batchDocs"),
+            sortedGramHashes(col("__t"), n).as("grams"))
+          .localCheckpoint(true)
+
+    val r = classes.where(size(col("grams")) > 0)
+      .select(col("rep").as("doc"), (size(col("batchDocs")) > 0).as("isB"),
+        col("grams"))
+    val (_, prefix) = postingAndPrefix(r, threshold, extra = Seq("isB"))
+    val eps = 1e-9
+    val alpha = ceil((col("x.sz") + col("y.sz")) * lit(threshold / (1 + threshold)) - lit(eps))
+    // x side: batch-touching classes only; y side: everyone (the corpus
+    // partner class need not touch the batch)
+    val cands = prefix.where(col("isB")).alias("x")
+      .join(prefix.alias("y"),
+        col("x.gram") === col("y.gram") && col("x.doc") =!= col("y.doc") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >=
+            greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(eps) &&
+          (lit(1) + least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))) >= alpha)
+      .select(least(col("x.doc"), col("y.doc")).as("a"),
+        greatest(col("x.doc"), col("y.doc")).as("b"))
+      .dropDuplicates("a", "b")
+    val g = r.select(col("doc"), col("grams"))
+    val verified = cands
+      .join(g.select(col("doc").as("a"), col("grams").as("ga")), "a")
+      .join(g.select(col("doc").as("b"), col("grams").as("gb")), "b")
+      .where(round(graft.functions.KernelExpressions.jaccard_sorted(
+        col("ga"), col("gb")), 4) >= threshold)
+      .select(col("a"), col("b"))
+    // class-level partner reduction: min corpus id per batch-touching class
+    val info = classes.select(col("rep"), col("minCorpus"), col("batchDocs"),
+      (size(col("grams")) > 0).as("hasG"))
+    val within = info
+      .where(col("hasG") && size(col("batchDocs")) > 0 && col("minCorpus").isNotNull)
+      .select(col("rep"), col("minCorpus").as("partner"))
+    val crossA = verified
+      .join(info.select(col("rep").as("b"), col("minCorpus")), "b")
+      .select(col("a").as("rep"), col("minCorpus").as("partner"))
+    val crossB = verified
+      .join(info.select(col("rep").as("a"), col("minCorpus")), "a")
+      .select(col("b").as("rep"), col("minCorpus").as("partner"))
+    val nearClass = within.unionByName(crossA).unionByName(crossB)
+      .where(col("partner").isNotNull)
+      .groupBy(col("rep")).agg(min(col("partner")).as("near_dup_of"))
+    val near = info.where(size(col("batchDocs")) > 0)
+      .join(nearClass, "rep")
+      .select(explode(col("batchDocs")).as("doc"), col("near_dup_of"))
+
     exact.join(near, Seq("doc"), "left")
       .select(col("doc"), col("exact_dup_of"), col("near_dup_of"),
         (col("exact_dup_of").isNotNull || col("near_dup_of").isNotNull)
