@@ -268,6 +268,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((None, None, false)))
   }
 
+  test("incremental dedup: batch-internal duplicates NEVER set a verdict — " +
+      "partners come from the corpus only (r17 asymmetric-screen edges)") {
+    val corpus = Seq(
+      (10L, "completely separate corpus material about spark join planning")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // 0/1: exact duplicates of each other, no corpus relative
+      (0L, "two arriving documents that duplicate one another exactly today"),
+      (1L, "two arriving documents that duplicate one another exactly today"),
+      // 2/3: near duplicates of each other, no corpus relative
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river pier"),
+      // 4: near dup OF THE CORPUS doc (one token swap)
+      (4L, "completely separate corpus material about spark query planning")
+    ).toDF("doc_id", "text")
+    for (mode <- Seq("always", "never")) {
+      spark.conf.set(Dedup.CollapseModeConf, mode)
+      val got =
+        try Dedup.incrementalDedup(corpus, batch, "doc_id", "text", 3, 0.5)
+          .collect().map(r => r.getLong(0) ->
+            (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+        finally spark.conf.unset(Dedup.CollapseModeConf)
+      // batch-batch relations (exact or near) are NOT dup verdicts
+      for (id <- Seq(0L, 1L, 2L, 3L))
+        assert(got(id) === ((None, None, false)),
+          s"mode=$mode: batch-internal relation leaked a verdict for doc $id")
+      // a genuine corpus near-dup still resolves to the corpus partner
+      assert(got(4L) === ((None, Some(10L), true)), s"mode=$mode: ${got(4L)}")
+    }
+  }
+
   test("simhash: identical docs get identical fingerprints; near dups are close") {
     val t = Dedup.simhashTable(docs, "doc_id", "text")
       .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
