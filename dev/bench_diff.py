@@ -133,9 +133,11 @@ def main():
         return max(ratios) if ratios else None
 
     co, cn = calib_worst(old), calib_worst(new)
-    # `is not None`: a legitimate 0.0 must not silently skip the check
-    if co is not None and cn is not None and min(co, cn) > 0 \
-            and max(co, cn) / min(co, cn) > 1.10:
+    # `is not None`: a legitimate 0.0 must not silently skip the check —
+    # a zero on ONE side is an infinite sentinel divergence, not a skip
+    if co is not None and cn is not None and \
+            (min(co, cn) == 0 < max(co, cn) or
+             (min(co, cn) > 0 and max(co, cn) / min(co, cn) > 1.10)):
         # round-16 lesson: three same-HEAD 100x runs spanned 592-662 s
         # purely on host contention, with the flagged-mover SET flipping
         # between runs — a gate FAIL between records whose calibration

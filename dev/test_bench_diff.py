@@ -163,11 +163,18 @@ rc, out = run_gate(record(wide_old), record(wide_fast))
 check("uniform speedup -> PASS, no refusal", rc == 0, out)
 
 # 16. ADVICE r16: explicit "calib_mid": null must not crash calib_worst,
-# and a 0.0 calib reading must not silently skip the sentinel comparison
+# and a 0.0 calib reading on ONE side is an infinite sentinel divergence
+# -- the not-box-comparable warning must print, not silently skip
 old = record({"q_a": 1.0}, calib_mid=None, calib_pre_sec=0.8, calib_post_sec=0.8)
 new = record({"q_a": 1.0}, calib_pre_sec=0.0, calib_post_sec=0.0)
 rc, out = run_gate(old, new)
-check("null calib_mid + zero calib -> no crash", rc == 0 and
-      "Traceback" not in out, out)
+check("null calib_mid + one-sided zero calib -> warns, no crash",
+      rc == 0 and "Traceback" not in out and "not box-comparable" in out, out)
+
+# 16b. zero calib on BOTH sides: equal sentinels, no divergence warning
+rc, out = run_gate(record({"q_a": 1.0}, calib_pre_sec=0.0, calib_post_sec=0.0),
+                   record({"q_a": 1.0}, calib_pre_sec=0.0, calib_post_sec=0.0))
+check("both-sides zero calib -> no warning, no crash",
+      rc == 0 and "not box-comparable" not in out, out)
 
 print("all bench_diff gate tests passed")

@@ -62,8 +62,20 @@ object CorpusProfile {
     * clearly on either side, and a corpus near the boundary is correct
     * (row-identical) under both tiers by construction. Empty corpus →
     * ratio 1.0 (collapse is a no-op either way). */
+  // (canonical corpus path, mtime) → content key: Fixtures.key reads the
+  // source file's edge bytes (and, for a directory corpus, walks every
+  // contained file) — fine once, not once per QUERY CONSTRUCTION, which
+  // is how often Tables.documents calls in here. The mtime in the memo
+  // key keeps the in-place-regeneration story: a rewrite bumps mtime and
+  // re-fingerprints.
+  private val keyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
   def duplicationRatio(s: SparkSession, sfDir: String): Double = {
-    val key = Fixtures.key(sfDir, "documents.parquet")
+    val src = new java.io.File(sfDir, "documents.parquet")
+    val key = keyMemo.computeIfAbsent(
+      (canonical(src.getPath), src.lastModified()),
+      _ => Fixtures.key(sfDir, "documents.parquet"))
     val ratio = memo.computeIfAbsent(key, _ => {
       val line = Staging.publishText(
         s"${Staging.dir("profile")}/v$ProfileVersion/$key/documents.ratio") {

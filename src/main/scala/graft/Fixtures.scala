@@ -43,7 +43,11 @@ object Fixtures {
       var totalLen = 0L
       var maxMtime = 0L
       files.foreach { c =>
-        crc.update(c.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // fold the dir-RELATIVE path, not the leaf name: a renamed
+        // value-bearing subdirectory (hive partition dirs) must change
+        // the key even when the leaf files are byte-identical
+        crc.update(f.toPath.relativize(c.toPath).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val mtime = java.nio.file.Files
           .getLastModifiedTime(c.toPath).toInstant.toEpochMilli
         crc.update(java.nio.ByteBuffer.allocate(16)

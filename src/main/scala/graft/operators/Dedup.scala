@@ -511,14 +511,10 @@ object Dedup {
     // 2. prefix-filtered candidate join over representatives, with
     //    per-gram rare-first positions for the ppjoin bound
     val (posting, prefix) = postingAndPrefix(r, threshold)
-    val eps = 1e-9
-    val alpha = ceil((col("x.sz") + col("y.sz")) * lit(threshold / (1 + threshold)) - lit(eps))
     val cands = prefix.alias("x")
       .join(prefix.alias("y"),
         col("x.gram") === col("y.gram") && col("x.doc") < col("y.doc") &&
-          least(col("x.sz"), col("y.sz")).cast("double") >=
-            greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(eps) &&
-          (lit(1) + least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))) >= alpha)
+          jaccardCandidateBounds(threshold))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .dropDuplicates("a", "b")
     val setPairs = cands
@@ -588,13 +584,38 @@ object Dedup {
     * prefix = the rare-first prefix rows with each gram's 1-based
     * position in the doc's (df, gram) order — the input to the ppjoin
     * position bound. */
+  /** Slack subtracted inside every ceil/≥ candidate bound: IEEE products
+    * like 100 × 0.07 land a half-ulp HIGH of the exact integer, and a
+    * bound that rounds up over-prunes — the slack can only ever KEEP a
+    * borderline candidate (verification stays exact). */
+  private val BoundEps = 1e-9
+
+  /** The ppjoin candidate bounds for the SYMMETRIC Jaccard join, shared
+    * verbatim by [[prefixFilteredJaccardJoin]] and [[incrementalDedup]]
+    * (one home so a bound-math fix cannot drift between them):
+    * LENGTH — J ≥ t ⟹ min(|x|,|y|) ≥ t·max(|x|,|y|); POSITION — the
+    * first common gram g satisfies |x∩y| ≤ 1 + min(|x|−pos_x, |y|−pos_y)
+    * and J ≥ t needs |x∩y| ≥ ⌈t/(1+t)·(|x|+|y|)⌉ (recall argument on
+    * [[prefixFilteredJaccardJoin]]). Expects the join sides aliased
+    * `x`/`y` with (sz, pos) from [[postingAndPrefix]]. */
+  private def jaccardCandidateBounds(threshold: Double): Column = {
+    val alpha = ceil((col("x.sz") + col("y.sz")) * lit(threshold / (1 + threshold)) - lit(BoundEps))
+    least(col("x.sz"), col("y.sz")).cast("double") >=
+      greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(BoundEps) &&
+      (lit(1) + least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))) >= alpha
+  }
+
   private def postingAndPrefix(r: DataFrame, threshold: Double,
       extra: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val ex = extra.map(col)
     val posting = r.select(col("doc") +: ex :+ size(col("grams")).as("sz")
       :+ explode(col("grams")).as("gram"): _*)
     val dfTab = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
+    // 1e-9 slack like every other bound: an IEEE-inflated product
+    // (e.g. 100 × 0.07 = 7.000000000000001) would ceil one too high and
+    // SHORTEN the prefix by one — silently dropping exactly-at-threshold
+    // pairs (JaccardBoundarySpec pins the t = 0.07 adversarial case)
+    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold) - lit(BoundEps)) + 1).cast("int")
     val prefix = posting.join(dfTab, "gram")
       .groupBy(col("doc") +: ex :+ col("sz"): _*)
       .agg(collect_list(struct(col("df"), col("gram"))).as("pg"))
@@ -715,7 +736,7 @@ object Dedup {
     val cands = prefix.alias("x")
       .join(posting.select(col("doc"), col("sz"), col("gram")).alias("y"),
         col("x.gram") === col("y.gram") && col("x.doc") =!= col("y.doc") &&
-          col("y.sz").cast("double") >= ceil(col("x.sz") * lit(threshold) - lit(1e-9)))
+          col("y.sz").cast("double") >= ceil(col("x.sz") * lit(threshold) - lit(BoundEps)))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .dropDuplicates("a", "b")
     val repPairs = cands
@@ -806,16 +827,12 @@ object Dedup {
       .select(col("rep").as("doc"), (size(col("batchDocs")) > 0).as("isB"),
         col("grams"))
     val (_, prefix) = postingAndPrefix(r, threshold, extra = Seq("isB"))
-    val eps = 1e-9
-    val alpha = ceil((col("x.sz") + col("y.sz")) * lit(threshold / (1 + threshold)) - lit(eps))
     // x side: batch-touching classes only; y side: everyone (the corpus
     // partner class need not touch the batch)
     val cands = prefix.where(col("isB")).alias("x")
       .join(prefix.alias("y"),
         col("x.gram") === col("y.gram") && col("x.doc") =!= col("y.doc") &&
-          least(col("x.sz"), col("y.sz")).cast("double") >=
-            greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(eps) &&
-          (lit(1) + least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))) >= alpha)
+          jaccardCandidateBounds(threshold))
       .select(least(col("x.doc"), col("y.doc")).as("a"),
         greatest(col("x.doc"), col("y.doc")).as("b"))
       .dropDuplicates("a", "b")

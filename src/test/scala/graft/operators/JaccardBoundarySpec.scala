@@ -6,11 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Boundary pins for the r17 ppjoin candidate bounds in
   * [[Dedup.prefixFilteredJaccardJoin]] / [[Dedup.containmentJoin]].
   *
-  * The position bound (1 + min(|x|−px, |y|−py) ≥ ⌈t/(1+t)·(|x|+|y|)⌉)
-  * and the length bounds involve `ceil` over IEEE products like
-  * 0.8 × 10 — which evaluates to 8.000000000000002 and ceils to 9,
-  * silently over-pruning EXACTLY-at-threshold pairs unless the bound
-  * carries the documented 1e-9 slack. These tests plant pairs whose
+  * The position bound (1 + min(|x|−px, |y|−py) ≥ ⌈t/(1+t)·(|x|+|y|)⌉),
+  * the length bounds, AND the prefix length itself involve `ceil` over
+  * IEEE products; some land a half-ulp HIGH of the exact integer (e.g.
+  * 100 × 0.07 = 7.000000000000001 — while 10 × 0.8 happens to be exact)
+  * and ceil one too far, silently over-pruning EXACTLY-at-threshold
+  * pairs unless the bound carries the documented 1e-9 slack. These tests plant pairs whose
   * Jaccard / containment is exactly the threshold (the worst case for
   * the rounding) at several sizes and require them found; sub-threshold
   * variants must stay absent; and the whole pair set must equal the
@@ -99,6 +100,28 @@ class JaccardBoundarySpec extends AnyFunSuite {
         s"mode=$mode: containment(A→B) = 0.8 exactly must be found")
       assert(!got.contains((0L, 2L)),
         s"mode=$mode: containment(A→C) = 0.7 must be absent")
+    }
+  }
+
+  test("IEEE-inflating threshold (t = 0.07, 100 grams): the prefix LENGTH " +
+      "keeps its last gram, so the subset-at-threshold pair is found") {
+    // 100 × 0.07 = 7.000000000000001 in IEEE: without slack inside
+    // ceil, prefixLen = 100 − 8 + 1 = 93 and x's prefix misses ALL its
+    // common grams — which sort LAST in rare-first order here because
+    // x's 93 unique grams have df 1 while the 7 shared grams have df 2.
+    // J = 7 / (100 + 7 − 7) = 0.07 exactly ≥ t: the pair MUST be found.
+    val x = toks(20, 102)               // 100 grams
+    val y = x.take(9)                   // 7 grams, all ⊂ x
+    val docs = Seq((0L, x.mkString(" ")), (1L, y.mkString(" ")))
+      .toDF("doc_id", "text")
+    for (mode <- Seq("always", "never")) {
+      val got = withMode(mode) {
+        Dedup.prefixFilteredJaccardJoin(docs, "doc_id", "text", 3, 0.07)
+          .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      }
+      assert(got.contains((0L, 1L)),
+        s"mode=$mode: subset pair at J = 0.07 exactly was over-pruned " +
+          "(prefix length lost its last gram to IEEE ceil inflation)")
     }
   }
 
