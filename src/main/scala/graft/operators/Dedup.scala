@@ -562,11 +562,21 @@ object Dedup {
     * Classes whose text yields no grams stay in the frame — consumers
     * filter `size(grams) > 0` per their own semantics. */
   private def gramClassReps(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    gramClassesPlan(docs, idCol, textCol, n).localCheckpoint(true)
+
+  /** The UNCHECKPOINTED collapse plan behind [[gramClassReps]], exposed
+    * for plan pinning: the collapsed tier must be ONE digest aggregate
+    * carrying the rep text via min_by, with NO JOIN anywhere — the
+    * join-based rep-text selection is the measured dead end (a stat-less
+    * checkpoint side makes Spark plan a sort-merge join that ships the
+    * whole corpus's text by id; +6 s at the 100× fixture, SCALE.md r17).
+    * CollapsePlanSpec pins join-freedom and the single aggregate. */
+  private[operators] def gramClassesPlan(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     if (!collapseWorthwhile(docs))
       docs.select(col(idCol).as("rep"), array(col(idCol)).as("docs"),
         sortedGramHashes(col(textCol), n).as("grams"))
-        .localCheckpoint(true)
     else
       docs
         .select(classDigest(col(textCol)).as("fp"), col(idCol).as("doc"),
@@ -577,7 +587,6 @@ object Dedup {
           min_by(col("__t"), col("doc")).as("__t"))
         .select(col("rep"), col("docs"),
           sortedGramHashes(col("__t"), n).as("grams"))
-        .localCheckpoint(true)
   }
 
   /** Shared prefix stage: posting = (doc, sz, gram) exploded rep grams;

@@ -113,4 +113,29 @@ class CollapsePlanSpec extends AnyFunSuite {
     assert(fpExchanges <= 1,
       s"expected at most one physical fp exchange, got $fpExchanges:\n" + p.take(3000))
   }
+
+  test("gramClassesPlan (the set-similarity collapse stage) is ONE digest " +
+      "aggregate with min_by rep text and NO JOIN — the r17 dead end stays out") {
+    // The join-based rep-text selection (docs JOIN classes(rep)) planned
+    // as a sort-merge join against a stat-less checkpoint and shipped the
+    // WHOLE corpus's text by id (+6 s at the 100× fixture, SCALE.md r17).
+    // The collapse stage must carry the rep text THROUGH the aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = withCollapseMode("always") {
+      Dedup.gramClassesPlan(pdocs, "doc_id", "text", 3)
+    }.queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      "collapse stage must be join-free:\n" + plan.toString.take(2000))
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.size == 1, s"expected ONE digest aggregate, got ${aggs.size}")
+    assert(plan.toString.contains("min_by"),
+      "rep text must ride the aggregate via min_by:\n" + plan.toString.take(2000))
+    // identity tier: no aggregate, no join — a pure projection
+    val idPlan = withCollapseMode("never") {
+      Dedup.gramClassesPlan(pdocs, "doc_id", "text", 3)
+    }.queryExecution.optimizedPlan
+    assert(idPlan.collect { case j: Join => j }.isEmpty
+      && idPlan.collect { case a: Aggregate => a }.isEmpty,
+      "identity tier must be a pure projection:\n" + idPlan.toString.take(2000))
+  }
 }
