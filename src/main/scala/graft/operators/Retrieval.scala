@@ -43,7 +43,10 @@ object Retrieval {
     * composed `size(filter(split(...)))` form costs K interpreted
     * split+filter chains per row (measured 10.2 s → 1.7 s for
     * q_bm25_topk at the 20× probe). Tokenization semantics are pinned to
-    * `split(trim(text), '\\s+')`, which is what the oracles replay. */
+    * `split(trim(text), '\\s+')` under JAVA regex; the oracles replay it
+    * with the explicit class `[\\t\\n\\x0B\\f\\r ]+` (RE2's `\\s`
+    * excludes U+000B -- the round-16 sweep missed these two generated
+    * oracles; the r17 review closed them). */
   private[graft] def termCountsPerDoc(docs: DataFrame, idCol: String,
       textCol: String, terms: Seq[String]): DataFrame = {
     val tc = graft.functions.KernelExpressions.term_counts(col(textCol), terms)
@@ -106,7 +109,7 @@ object Retrieval {
   def bm25OracleSql(docsRel: String, idCol: String, textCol: String,
       terms: Seq[String]): String = {
     val tfDefs = terms.map(t =>
-      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '\\s+'),
+      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '[\\t\\n\\x0B\\f\\r ]+'),
          |      t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}""".stripMargin).mkString(",\n    ")
     val dfDefs = terms.map(t =>
       s"CAST(sum(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${dfCol(t)}")
@@ -117,7 +120,7 @@ object Retrieval {
     }.mkString("\n    + ")
     s"""WITH d AS (
        |  SELECT $idCol,
-       |    CAST(len(regexp_split_to_array(trim($textCol), '\\s+')) AS BIGINT) AS dl,
+       |    CAST(len(regexp_split_to_array(trim($textCol), '[\\t\\n\\x0B\\f\\r ]+')) AS BIGINT) AS dl,
        |    $tfDefs
        |  FROM $docsRel),
        |tot AS (
@@ -193,7 +196,7 @@ object Retrieval {
       budgetTokens: Long): String = {
     val allTerms = queries.flatMap(_._2).distinct
     val tfDefs = allTerms.map(t =>
-      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '\\s+'),
+      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '[\\t\\n\\x0B\\f\\r ]+'),
          |      t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}""".stripMargin).mkString(",\n    ")
     val dfDefs = allTerms.map(t =>
       s"CAST(sum(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${dfCol(t)}")
@@ -209,7 +212,7 @@ object Retrieval {
     }.mkString("\n  UNION ALL ")
     s"""WITH d AS (
        |  SELECT $idCol,
-       |    CAST(len(regexp_split_to_array(trim($textCol), '\\s+')) AS BIGINT) AS dl,
+       |    CAST(len(regexp_split_to_array(trim($textCol), '[\\t\\n\\x0B\\f\\r ]+')) AS BIGINT) AS dl,
        |    $tfDefs
        |  FROM $docsRel),
        |tot AS (

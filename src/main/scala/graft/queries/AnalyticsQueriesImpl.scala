@@ -23,7 +23,11 @@ object AnalyticsQueriesImpl {
         .withColumn("o_year", year(col("o_orderdate")))
       o.rollup(col("o_year"), col("o_orderpriority"))
         .agg(
-          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          // DECIMAL sum like q_sql_q1/q_cube: a raw double groupBy-sum is
+          // order-dependent across partition partials and could round
+          // differently per engine at a half-cent boundary (r17 review)
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
           count(lit(1)).as("n_orders"),
           grouping_id(col("o_year"), col("o_orderpriority")).as("gid"))
         .orderBy(col("gid"),
@@ -31,7 +35,7 @@ object AnalyticsQueriesImpl {
           col("o_orderpriority").asc_nulls_first)
     },
     Some("""SELECT year(o_orderdate) AS o_year, o_orderpriority,
-      round(sum(o_totalprice), 2) AS sum_price,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       count(*) AS n_orders,
       GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority) AS gid
       FROM orders

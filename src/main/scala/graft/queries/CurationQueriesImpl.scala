@@ -478,7 +478,15 @@ object CurationQueriesImpl {
     * partial-aggregable form H = log2(n) - sum(c*log2(c))/n, so the plan
     * is explode -> (doc,token) count -> ONE groupBy(doc) carrying two
     * sums — no second window/join to bring n alongside c, which is what
-    * keeps it two map-side-combinable shuffles at 100 TB. */
+    * keeps it two map-side-combinable shuffles at 100 TB.
+    *
+    * ACCEPTED transcendental hazard (r17 review, same class as
+    * q_s10_scalar_udf): log2 is not correctly-rounded, so an entropy
+    * landing within an ulp of a 4-dp boundary could round differently
+    * per engine. Kept because log2 IS the entropy definition and the
+    * inputs are small-integer counts (c, n ≤ tokens/doc) — log2 over
+    * small integers is exact or near-exact in both libms, and the gate
+    * re-checks the full fixture every round. */
   val tokenEntropy = Q(
     "q_token_entropy",
     (s, dir) => {
@@ -640,6 +648,11 @@ object CurationQueriesImpl {
     (s, dir) => {
       val words = split(col("text"), " ")
       Tables.documents(s, dir)
+        // NULL-text symmetry (r17 review): Spark's concat_ws turns the
+        // NULL word array into '' and emits a row, while the oracle's
+        // unnest produces ZERO rows and drops the doc_id — filter NULLs
+        // on BOTH sides (fixtures carry none; latent-divergence closure)
+        .where(col("text").isNotNull)
         .select(col("doc_id"),
           concat_ws(" ", array_distinct(words)).as("dedup_text"),
           (size(words) - size(array_distinct(words))).cast("long").as("n_removed"))
@@ -649,7 +662,7 @@ object CurationQueriesImpl {
         SELECT doc_id,
           unnest(string_split(text, ' ')) AS word,
           unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       f AS (SELECT doc_id, word, min(ord) AS ord FROM w GROUP BY doc_id, word),
       c AS (SELECT doc_id, count(*) AS n_tot FROM w GROUP BY doc_id)
       SELECT f.doc_id,

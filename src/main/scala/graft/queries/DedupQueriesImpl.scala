@@ -7,6 +7,22 @@ import graft.operators.Dedup
 /** Dedup operators as registered queries over documents/embeddings. */
 object DedupQueriesImpl {
 
+  /** Deterministic near-dup twins planted over the embeddings fixture:
+    * ids < 40 re-keyed +100000, first coordinate +0.5 (cos ≈ 0.99 to the
+    * original). The raw corpus has NO pairs above cos 0.51, so without
+    * the twins a ≥ 0.8 screen would hash-pass on zero rows. This exact
+    * arithmetic is replayed bit-exactly by the oracle generators
+    * (LshOracle.pairsSql, SemDedupOracle.sql/incrementalSql/streamSql) —
+    * ONE definition so the Spark side cannot drift from the replays
+    * (was four inline copies before the r17 review). */
+  private def plantedTwins(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.where(col("vec_id") < 40).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      concat(
+        array(element_at(col("embedding"), 1) + lit(0.5d)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+
+
   /** Exact dedup: group on a 128-bit text digest (shuffle moves 16-byte
     * keys, not documents). Oracle-checked. */
   val exact = Q(
@@ -268,11 +284,7 @@ object DedupQueriesImpl {
       // verifies the LSH tier actually FINDS them.
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      val planted = e.where(col("vec_id") < 40).select(
-        (col("vec_id") + 100000L).as("vec_id"),
-        concat(
-          array(element_at(col("embedding"), 1) + lit(0.5d)),
-          slice(col("embedding"), 2, 63)).as("embedding"))
+      val planted = plantedTwins(e)
       graft.operators.Similarity.embeddingNearDupPairs(
           e.unionByName(planted), "vec_id", "embedding", 0.8)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
@@ -292,11 +304,7 @@ object DedupQueriesImpl {
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      val planted = e.where(col("vec_id") < 40).select(
-        (col("vec_id") + 100000L).as("vec_id"),
-        concat(
-          array(element_at(col("embedding"), 1) + lit(0.5d)),
-          slice(col("embedding"), 2, 63)).as("embedding"))
+      val planted = plantedTwins(e)
       graft.operators.Similarity.semanticDedupPinned(
           e.unionByName(planted), "vec_id", "embedding",
           IvfOracle.pinnedCentroids, 0.8)
@@ -314,11 +322,7 @@ object DedupQueriesImpl {
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      val batch = e.where(col("vec_id") < 40).select(
-        (col("vec_id") + 100000L).as("vec_id"),
-        concat(
-          array(element_at(col("embedding"), 1) + lit(0.5d)),
-          slice(col("embedding"), 2, 63)).as("embedding"))
+      val batch = plantedTwins(e)
       graft.operators.Similarity.semanticDedupIncremental(
           e, batch, "vec_id", "embedding", IvfOracle.pinnedCentroids, 0.8)
         .withColumnRenamed("vid", "vec_id")
@@ -716,11 +720,7 @@ object DedupQueriesImpl {
       val docs = Tables.documents(s, dir)
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      val planted = e.where(col("vec_id") < 40).select(
-        (col("vec_id") + 100000L).as("vec_id"),
-        concat(
-          array(element_at(col("embedding"), 1) + lit(0.5d)),
-          slice(col("embedding"), 2, 63)).as("embedding"))
+      val planted = plantedTwins(e)
       val corpus = e.unionByName(planted)
 
       val docPipe = new Pipeline().setStages(Array(

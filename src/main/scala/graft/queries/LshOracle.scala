@@ -17,8 +17,7 @@ import graft.operators.Similarity
   * every other embedding oracle in the suite.
   */
 object LshOracle {
-  private def arr(p: Array[Double]): String =
-    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+  import HashSqlParts.arr
 
   /** `b`-bit sign bucket of DOUBLE[] column `v` under seeded planes —
     * bit i set iff plane_i · v > 0, exactly the kernel's rule. */

@@ -34,6 +34,14 @@ import graft.functions.Kernels
   * these fixtures).
   */
 private[queries] object HashSqlParts {
+
+  /** Double-array SQL literal via java.lang.Double.toString — the
+    * shortest-round-trip form DuckDB parses back to the identical IEEE
+    * bits; the whole bit-exact vector-replay story rests on it. ONE
+    * definition (was four copies before the r17 review). */
+  def arr(p: Array[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
   val M64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
   val HALF = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
 

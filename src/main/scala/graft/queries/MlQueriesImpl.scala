@@ -60,8 +60,12 @@ object MlQueriesImpl {
   val parquetRoundtrip = Q(
     "q_s14_parquet_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(graft.Staging.dir("s14")), "rt").toString + "/model"
+      // jvmDir, not a fresh createTempDirectory per execution: the old
+      // form stranded one tmpfs directory per run (best-of-2 × sweeps ×
+      // rounds) under the persistent staging root with no cleanup; the
+      // per-JVM dir is stable across this JVM's runs (mode=overwrite
+      // rewrites in place) and removed on JVM exit (r17 review)
+      val tmp = graft.Staging.jvmDir("s14") + "/model"
       s.createDataFrame(Seq(Tuple1("graft-model-roundtrip"))).toDF("model_json")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).select(col("model_json").as("tag"))

@@ -28,28 +28,39 @@ object Relational {
 
   /** TPC-H Q1-style aggregate — the flagship query (entry()). Scans one
     * table, map-side partial aggregation, 6-group result: at 100 TB this is
-    * a single shuffle of 6 rows per partition. */
+    * a single shuffle of 6 rows per partition.
+    *
+    * DECIMAL(18,2) money math like q_sql_q1, not raw double sums: a
+    * double sum is ORDER-DEPENDENT (Spark merges partition partials in
+    * task order, DuckDB sums sequentially), so a group sum near a
+    * half-cent boundary could round differently per engine and flake the
+    * hash at larger fixtures. Decimal sums are exact; averages divide
+    * the exact sum in double on both sides (r17 review). */
   val q1Agg = Q(
     "q1_agg",
     (s, dir) => {
       import s.implicits._
+      def dec(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec($"l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      round(sum(l_quantity), 2) AS sum_qty,
-      round(sum(l_extendedprice), 2) AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      round(avg(l_quantity), 4) AS avg_qty,
-      round(avg(l_discount), 4) AS avg_disc,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
       count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
@@ -204,7 +215,17 @@ object Relational {
 
   /** S10: scalar UDF — the reference's vectorized scoring UDF family
     * (xgboost_core.py:590-612); here the same sigmoid post-processing
-    * math as a registered Scala UDF. */
+    * math as a registered Scala UDF.
+    *
+    * ACCEPTED transcendental hazard (r17 review): exp is not
+    * IEEE-correctly-rounded, so JVM Math.exp and DuckDB libm can differ
+    * by an ulp, and an input whose sigmoid lands within that ulp of a
+    * 6-dp rounding boundary would hash-differ. Kept because sigmoid IS
+    * the S10 reference contract, and the input domain here is the ~11
+    * quantized l_discount values (0.00–0.10 step 0.01) — a finite set
+    * the gate re-checks every round, not an open-ended corpus. The
+    * no-transcendentals policy (q_decay_score) still governs queries
+    * over open-ended inputs. */
   val s10ScalarUdf = Q(
     "q_s10_scalar_udf",
     (s, dir) => {

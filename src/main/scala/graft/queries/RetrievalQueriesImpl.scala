@@ -14,6 +14,20 @@ import graft.operators.{Retrieval, Sessions}
   */
 object RetrievalQueriesImpl {
 
+  /** events.ts is epoch-NANOS long on the driver fixtures (parquet
+    * TIMESTAMP(NANOS) + nanosAsLong) but a plain µs TIMESTAMP on rebuilt
+    * probe fixtures — normalize either to epoch MICROS. One definition
+    * for every event query (the dispatch was copy-pasted 11 times before
+    * the r17 review; a third ts encoding now lands in exactly one place).
+    * µs fixtures surface as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    * writer; the cast unifies both before unix_micros. */
+  private def eventMicros(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+    ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+
   /** The fixed query-term set: three common terms plus the rare 'dup'
     * (df 25 of 500 docs at sf0.01) so idf actually separates ranks. */
   private val qterms = Seq("spark", "join", "window", "dup")
@@ -138,10 +152,7 @@ object RetrievalQueriesImpl {
     "q_event_seasonality",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       ev0.select(us.as("us"), col("value"))
         .select(pmod(expr("us div 86400000000") + 4, lit(7)).as("dow"),
           expr("(us % 86400000000) div 3600000000").as("hour"), col("value"))
@@ -165,12 +176,7 @@ object RetrievalQueriesImpl {
       // events.ts is epoch-NANOS long on the driver fixtures (parquet
       // TIMESTAMP(NANOS) + nanosAsLong) but a plain µs TIMESTAMP on
       // rebuilt probe fixtures — normalize either to epoch micros
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        // µs fixtures surface as TIMESTAMP or TIMESTAMP_NTZ depending on
-        // the writer; the cast unifies both before unix_micros
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val ev = ev0.select(col("user_id"), col("event_id"), us.as("us"))
       Sessions.sessionize(ev, "user_id", "us", "event_id", gapMicros = 1800000000L)
         .withColumn("dur_sec", expr("(end_us - start_us) div 1000000"))
@@ -209,10 +215,7 @@ object RetrievalQueriesImpl {
     "q_event_funnel",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val ev = ev0.select(col("user_id"), col("event_type"), us.as("us"))
       Sessions.funnel(ev, "user_id", "us", "event_type",
           Seq("view", "click", "purchase"))
@@ -248,10 +251,7 @@ object RetrievalQueriesImpl {
     "q_event_retention",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val ev = ev0.select(col("user_id"), us.as("us"))
       Sessions.retentionCohorts(ev, "user_id", "us", 604800000000L)
         .orderBy(col("cohort_week"), col("week_offset"))
@@ -274,10 +274,7 @@ object RetrievalQueriesImpl {
     "q_event_dau",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       Sessions.dailyActiveUsers(
           ev0.select(col("user_id"), us.as("us")), "user_id", "us")
         .orderBy(col("day"))
@@ -306,10 +303,7 @@ object RetrievalQueriesImpl {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val hc = ev0.select(col("event_type"), us.as("us"))
         .groupBy(col("event_type"), expr("us div 3600000000").as("h"))
         .agg(count(lit(1)).as("n"))
@@ -355,10 +349,7 @@ object RetrievalQueriesImpl {
     "q_session_funnel",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val ev = ev0.select(col("user_id"), col("event_id"), col("event_type"),
         us.as("us"))
       Sessions.sessionFunnel(ev, "user_id", "us", "event_id", "event_type",
@@ -407,10 +398,7 @@ object RetrievalQueriesImpl {
     "q_event_transitions",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val ev = ev0.select(col("user_id"), col("event_id"), col("event_type"),
         us.as("us"))
       Sessions.transitionMatrix(ev, "user_id", "us", "event_id", "event_type")
@@ -441,10 +429,7 @@ object RetrievalQueriesImpl {
     "q_rolling_active_users",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val ud = ev0.select(col("user_id"), (us.cast("long")).as("us"))
         .select(col("user_id"), expr("us div 86400000000").as("day"))
         .distinct()
@@ -474,10 +459,7 @@ object RetrievalQueriesImpl {
     "q_gap_histogram",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       val gaps = ev0.select(col("user_id"), col("event_id"), us.as("us"))
         .select((col("us") - lag(col("us"), 1).over(w)).as("gap"))
@@ -517,10 +499,7 @@ object RetrievalQueriesImpl {
     "q_decay_score",
     (s, dir) => {
       val ev0 = Tables.events(s, dir)
-      val us = ev0.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
+      val us = eventMicros(ev0)
       val ev = ev0.select(col("user_id"), us.as("us"),
         col("value").cast("decimal(18,6)").as("v"))
       val anchor = ev.agg(max(col("us")).as("max_us"))

@@ -14,8 +14,7 @@ package graft.queries
   * replay bit-exactly — hash-checked, not recall-pinned.
   */
 object SemDedupOracle {
-  private def arr(p: Array[Double]): String =
-    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+  import HashSqlParts.arr
 
   def sql(minCos: Double): String = {
     val cents = IvfOracle.pinnedCentroids

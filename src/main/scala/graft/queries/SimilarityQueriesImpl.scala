@@ -180,7 +180,7 @@ object SimilarityQueriesImpl {
     },
     Some {
       val cols = projPlanes.zipWithIndex.map { case (p, i) =>
-        val arr = p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+        val arr = HashSqlParts.arr(p)
         s"round(list_dot_product(embedding::DOUBLE[], $arr), 6) AS p${i + 1}"
       }.mkString(",\n        ")
       s"""SELECT vec_id,

@@ -40,7 +40,11 @@ object TextQueriesImpl {
     },
     Some("""SELECT doc_id,
       len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS n_tokens,
-      len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_subtokens
+      -- [^\w\t\n\x0B\f\r ], not [^\w\s]: RE2's \s excludes U+000B, so a
+      -- VT would count as a punctuation subtoken here while Spark's Java
+      -- \s (which includes VT) skips it -- the explicit class keeps both
+      -- engines skipping it (r17 review; same closure as the r16 sweep)
+      len(regexp_extract_all(text, '\w+|[^\w\t\n\x0B\f\r ]')) AS n_subtokens
       FROM documents ORDER BY doc_id"""))
 
   /** Quality scoring: length/stopword/char-per-token signals composed into
