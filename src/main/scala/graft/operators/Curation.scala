@@ -125,7 +125,13 @@ object Curation {
     * heaps then one k-row merge, no global sort at any scale. */
   def prioritySample(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
-    val uNum = pmod(col(idCol) * 2654435761L + 12345L, lit(1000003L)) + 1L
+    // pmod-bound the id BEFORE the large multiply (like spanCorrupt):
+    // (id·c) mod m ≡ ((id mod m)·c) mod m exactly, and the raw product
+    // overflows int64 under the session's pinned ANSI mode for ids past
+    // ~3.47e9 — billion-row corpora are this operator's whole use case
+    // (r17 review). Bounded: 1000002 × 2654435761 ≈ 2.7e15, safe.
+    val uNum = pmod(pmod(col(idCol), lit(1000003L)) * 2654435761L + 12345L,
+      lit(1000003L)) + 1L
     val priority = weight.cast("double") * lit(1000004.0) / uNum.cast("double")
     df.select(col(idCol), weight.as("wt"), priority.as("pr"))
       .orderBy(col("pr").desc, col(idCol))
@@ -298,8 +304,14 @@ object Curation {
   def softDedupWeights(df: DataFrame, textCol: String): DataFrame = {
     val counts = df.select(Dedup.classDigest(col(textCol)).as("__digest"))
       .groupBy(col("__digest")).agg(count(lit(1)).as("n_copies"))
+    // null-SAFE join like the rest of the text-class family
+    // (Dedup.textClasses): classDigest null-propagates and NULL != NULL
+    // under a plain equi-join, so null-text rows silently vanished from
+    // the output — violating the TOTAL contract above (r17 review; the
+    // q_soft_dedup oracle now replays the null class symmetrically)
     df.withColumn("__digest", Dedup.classDigest(col(textCol)))
-      .join(counts, "__digest")
+      .alias("d")
+      .join(counts.alias("c"), col("d.__digest") <=> col("c.__digest"))
       .withColumn("weight", lit(1.0) / col("n_copies"))
       .drop("__digest")
   }
@@ -316,7 +328,16 @@ object Curation {
     * vocabulary is then BOUNDED BY PARAMETER, so broadcasting it to the
     * occurrence scan is justified at any corpus size. One occurrence
     * shuffle total (the count), and the per-doc reduce ships narrow
-    * integer rows. */
+    * integer rows.
+    *
+    * NULL-text docs are ABSENT from the output by contract (adjudicated
+    * r17 review): they have no token occurrences and an OOV rate is
+    * 0/0-undefined for them — unlike [[NgramLm.bigramCorpusScore]],
+    * whose zero defaults are meaningful, a total form here would
+    * manufacture NaN/NULL rate rows. Whitespace-only and empty texts DO
+    * appear (space-only trim keeps one empty token, Spark semantics).
+    * The q_vocab_oov oracle drops NULL texts identically (unnest of the
+    * NULL token array). */
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")

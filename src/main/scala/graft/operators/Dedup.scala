@@ -661,26 +661,19 @@ object Dedup {
   def exactJaccardEdges(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
-    val d = docs.select(col(idCol).as("doc"),
-      wordNgrams(col(textCol), n).as("grams"))
-      .where(size(col("grams")) > 0)
-    // EXACT-COLLAPSE first, like [[prefixFilteredJaccardJoin]]: one
-    // representative per distinct gram-set. On a deduplicated corpus
-    // this is a no-op (5000 → 4992 at sf0.1); on a duplicated one it is
-    // the difference between Σ C(df,2) over raw dfs and over distinct-
-    // content dfs — a corpus replicated k× otherwise pays k² in the
-    // self-join (the 20× probe would be ~400× the pair volume).
-    // materialized once (three consumers: candidate join, within- and
-    // cross-expansion) via eager localCheckpoint — the copy rides the
-    // returned plan's lineage and is ContextCleaner-released when
-    // unreferenced, instead of leaking a CacheManager entry that only
-    // an explicit clearCache() sweep would free. It is small: one row
-    // per DISTINCT gram-set.
-    val sets = d.groupBy(col("grams"))
-      .agg(min(col("doc")).as("rep"),
-        sort_array(collect_list(col("doc"))).as("docs"))
-      .localCheckpoint(true)
-    val r = sets.select(col("rep").as("doc"), col("grams"))
+    // EXACT-COLLAPSE first via the SAME digest stage the prefix joins
+    // use ([[gramClassReps]] — r17: this operator still grouped on the
+    // full gram ARRAY, the measured dead-end shape: gram kernel per copy
+    // plus the array riding the exchange as both key and value; the
+    // digest aggregate shuffles 24-byte rows and runs the kernel once
+    // per DISTINCT text). Text classes are FINER than gram-set classes:
+    // two different texts with equal gram-sets become a cross pair the
+    // count aggregation scores at J = c/(su+sv−c) = 1.0 ≥ t — output
+    // identical. Pair J values are over the distinct HASHED grams
+    // (injective at corpus scale, like dup_gram_coverage's df).
+    val classes = gramClassReps(docs, idCol, textCol, n)
+    val gramClasses = classes.where(size(col("grams")) > 0)
+    val r = gramClasses.select(col("rep").as("doc"), col("grams"))
     val sz = r.select(col("doc"), size(col("grams")).as("sz"))
     val eg = r.select(col("doc"), explode(col("grams")).as("gram"))
     val inter = eg.as("x").join(eg.as("y"),
@@ -693,16 +686,17 @@ object Dedup {
       .where(col("c").cast("double") /
         (col("su") + col("sv") - col("c")).cast("double") >= threshold)
       .select(col("u"), col("v"))
-    // expand set-level edges back to doc pairs: within-set pairs are
-    // J = 1.0 (identical gram-sets, always >= t), cross-set pairs
-    // inherit their representatives' decision
-    val within = sets.where(size(col("docs")) > 1)
+    // expand class-level edges back to doc pairs: within-class pairs are
+    // J = 1.0 (identical texts, always >= t; empty-gram classes excluded
+    // — the kernel scores them 0.0), cross-class pairs inherit their
+    // representatives' decision
+    val within = gramClasses.where(size(col("docs")) > 1)
       .select(explode(col("docs")).as("u"), col("docs"))
       .select(col("u"), explode(col("docs")).as("v"))
       .where(col("u") < col("v"))
     val cross = repEdges
-      .join(sets.select(col("rep").as("u"), col("docs").as("du")), "u")
-      .join(sets.select(col("rep").as("v"), col("docs").as("dv")), "v")
+      .join(gramClasses.select(col("rep").as("u"), col("docs").as("du")), "u")
+      .join(gramClasses.select(col("rep").as("v"), col("docs").as("dv")), "v")
       .select(explode(col("du")).as("x"), col("dv"))
       .select(col("x"), explode(col("dv")).as("y"))
       .select(least(col("x"), col("y")).as("u"),

@@ -81,9 +81,14 @@ object Graph {
       .join(side(nbrs.select(col("src").as("dst"), col("ns").as("nv"))), "dst")
       .select(col("src").as("x"), col("dst").as("y"),
         explode(array_intersect(col("nu"), col("nv"))).as("z"))
-    triangles
+    val result = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    // release the persisted adjacency after the result's first action —
+    // without this every triangleCorners call leaked one CacheManager
+    // entry for the session's lifetime (r17 review; the same
+    // long-lived-session leak CacheLifecycle was built to close)
+    CacheLifecycle.releaseAfterFirstAction(oriented, result)
   }
 
   /** Fixed-point PageRank over an undirected edge list `(a, b)`: the
@@ -150,6 +155,9 @@ object Graph {
         .select(col("dst").as("node"),
           (lit(base) + expr(s"($dampingPct * s) div 100")).as("pr"))
     }
-    ranks
+    // all `iters` references to the cached adjacency live inside the ONE
+    // returned plan, so releasing after its first action is safe — and
+    // closes the per-call CacheManager leak (r17 review)
+    CacheLifecycle.releaseAfterFirstAction(adjDeg, ranks)
   }
 }

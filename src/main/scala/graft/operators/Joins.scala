@@ -68,8 +68,13 @@ object Joins {
       (taggedRight.columns.map(col).toSeq ++
         leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
+    // asc_nulls_FIRST: a right row with a NULL tieBreak must LOSE to any
+    // non-null tieBreak at equal time (nulls_last sorted it after the
+    // greatest value and the forward fill picked it — r17 review). The
+    // left rows' padded NULL __tb is inert either way: __side is the
+    // higher-priority key, so they sort after all right rows at a time.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     rightPadded.unionByName(leftCarried)

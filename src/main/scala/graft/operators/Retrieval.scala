@@ -59,6 +59,49 @@ object Retrieval {
           }: _*)
   }
 
+  /** The shared BM25 scoring input: per-doc term counts cross-joined
+    * with the broadcast 1-row corpus totals (n, sum_dl, per-term df).
+    * ONE home for bm25 and bm25ContextAssembly (r17 review — the copies
+    * are exactly how the r16 tokenizer sweep missed a generator). */
+  private def scoredBase(perDoc: DataFrame, terms: Seq[String]): DataFrame = {
+    val totalCols =
+      count(lit(1)).as("n") +: sum(col("dl")).as("sum_dl") +:
+        terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(dfCol(t)))
+    perDoc.crossJoin(broadcast(perDoc.agg(totalCols.head, totalCols.tail: _*)))
+  }
+
+  /** One term's BM25 contribution over [[scoredBase]] columns — mirrors
+    * the oracle's SQL text token for token: idf = (n − df + 0.5)/(df +
+    * 0.5), tf-part = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). */
+  private def termScoreCol(t: String): Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    val tf = col(tfCol(t))
+    val df = col(dfCol(t))
+    val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+    idf * ((tf * lit(K1 + 1)) /
+      (tf + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / avgdl))))
+  }
+
+  /** Shared oracle-SQL fragment builders for the two BM25 generators —
+    * one home for the tokenizer class, the df counters, and the score
+    * text (r17 review: the r16 RE2-\\s tokenizer fix had to be applied
+    * to BOTH generators precisely because these were duplicated). */
+  private def sqlTfDefs(textCol: String, terms: Seq[String]): String =
+    terms.map(t =>
+      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '[\\t\\n\\x0B\\f\\r ]+'),
+         |      t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}""".stripMargin).mkString(",\n    ")
+
+  private def sqlDfDefs(terms: Seq[String]): String =
+    terms.map(t =>
+      s"CAST(sum(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${dfCol(t)}")
+      .mkString(",\n    ")
+
+  private def sqlScoreText(terms: Seq[String]): String =
+    terms.map { t =>
+      s"""((CAST(n AS DOUBLE) - ${dfCol(t)} + 0.5) / (${dfCol(t)} + 0.5))
+         | * ((${tfCol(t)} * ${K1 + 1}) / (${tfCol(t)} + $K1 * (${1 - B} + $B * (dl / (CAST(sum_dl AS DOUBLE) / n)))))""".stripMargin
+    }.mkString("\n    + ")
+
   /** Per-document BM25 score against `terms`, one row per input row:
     * (doc_id, score). Plan: scan → codegen'd tf/dl projection → 1-row
     * totals aggregate → broadcast-crossJoin → scalar score arithmetic.
@@ -70,22 +113,11 @@ object Retrieval {
     require(terms.nonEmpty && terms.size == terms.distinct.size,
       s"bm25 needs a non-empty, duplicate-free term set; got $terms")
     val perDoc = termCountsPerDoc(docs, idCol, textCol, terms)
-    val totalCols =
-      count(lit(1)).as("n") +: sum(col("dl")).as("sum_dl") +:
-        terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(dfCol(t)))
-    val totals = perDoc.agg(totalCols.head, totalCols.tail: _*)
-    val j = perDoc.crossJoin(broadcast(totals))
+    val j = scoredBase(perDoc, terms)
     // avgdl and the per-term scores mirror the oracle's SQL text token for
     // token: CAST(sum_dl AS DOUBLE)/n, idf = (n - df + 0.5)/(df + 0.5),
     // tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*(dl/avgdl)))
-    val avgdl = col("sum_dl").cast("double") / col("n")
-    def termScore(t: String): Column = {
-      val tf = col(tfCol(t))
-      val df = col(dfCol(t))
-      val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
-      idf * ((tf * lit(K1 + 1)) /
-        (tf + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / avgdl))))
-    }
+    def termScore(t: String): Column = termScoreCol(t)
     j.select(col(idCol),
       round(terms.map(termScore).reduceLeft(_ + _), 4).as("score"))
   }
@@ -108,16 +140,9 @@ object Retrieval {
     * dialect; `docsRel` must expose (doc_id, text). */
   def bm25OracleSql(docsRel: String, idCol: String, textCol: String,
       terms: Seq[String]): String = {
-    val tfDefs = terms.map(t =>
-      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '[\\t\\n\\x0B\\f\\r ]+'),
-         |      t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}""".stripMargin).mkString(",\n    ")
-    val dfDefs = terms.map(t =>
-      s"CAST(sum(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${dfCol(t)}")
-      .mkString(",\n    ")
-    val scoreTerms = terms.map { t =>
-      s"""((CAST(n AS DOUBLE) - ${dfCol(t)} + 0.5) / (${dfCol(t)} + 0.5))
-         | * ((${tfCol(t)} * ${K1 + 1}) / (${tfCol(t)} + $K1 * (${1 - B} + $B * (dl / (CAST(sum_dl AS DOUBLE) / n)))))""".stripMargin
-    }.mkString("\n    + ")
+    val tfDefs = sqlTfDefs(textCol, terms)
+    val dfDefs = sqlDfDefs(terms)
+    val scoreTerms = sqlScoreText(terms)
     s"""WITH d AS (
        |  SELECT $idCol,
        |    CAST(len(regexp_split_to_array(trim($textCol), '[\\t\\n\\x0B\\f\\r ]+')) AS BIGINT) AS dl,
@@ -156,19 +181,8 @@ object Retrieval {
       "need at least one query, each with at least one term")
     val allTerms = queries.flatMap(_._2).distinct
     val perDoc = termCountsPerDoc(docs, idCol, textCol, allTerms)
-    val totalCols =
-      count(lit(1)).as("n") +: sum(col("dl")).as("sum_dl") +:
-        allTerms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(dfCol(t)))
-    val totals = perDoc.agg(totalCols.head, totalCols.tail: _*)
-    val j = perDoc.crossJoin(broadcast(totals))
-    val avgdl = col("sum_dl").cast("double") / col("n")
-    def termScore(t: String): Column = {
-      val tf = col(tfCol(t))
-      val df = col(dfCol(t))
-      val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
-      idf * ((tf * lit(K1 + 1)) /
-        (tf + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / avgdl))))
-    }
+    val j = scoredBase(perDoc, allTerms)
+    def termScore(t: String): Column = termScoreCol(t)
     val qScores = array(queries.map { case (qid, ts) =>
       struct(lit(qid).as("qid"),
         round(ts.map(termScore).reduceLeft(_ + _), 4).as("score"))
@@ -195,16 +209,9 @@ object Retrieval {
       queries: Seq[(String, Seq[String])], k: Int,
       budgetTokens: Long): String = {
     val allTerms = queries.flatMap(_._2).distinct
-    val tfDefs = allTerms.map(t =>
-      s"""CAST(len(list_filter(regexp_split_to_array(trim($textCol), '[\\t\\n\\x0B\\f\\r ]+'),
-         |      t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}""".stripMargin).mkString(",\n    ")
-    val dfDefs = allTerms.map(t =>
-      s"CAST(sum(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${dfCol(t)}")
-      .mkString(",\n    ")
-    def scoreText(ts: Seq[String]): String = ts.map { t =>
-      s"""((CAST(n AS DOUBLE) - ${dfCol(t)} + 0.5) / (${dfCol(t)} + 0.5))
-         | * ((${tfCol(t)} * ${K1 + 1}) / (${tfCol(t)} + $K1 * (${1 - B} + $B * (dl / (CAST(sum_dl AS DOUBLE) / n)))))""".stripMargin
-    }.mkString("\n    + ")
+    val tfDefs = sqlTfDefs(textCol, allTerms)
+    val dfDefs = sqlDfDefs(allTerms)
+    def scoreText(ts: Seq[String]): String = sqlScoreText(ts)
     val scSelects = queries.map { case (qid, ts) =>
       s"""SELECT '$qid' AS qid, $idCol, dl, round(
          |    ${scoreText(ts)}, 4) AS score

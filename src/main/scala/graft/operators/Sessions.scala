@@ -67,7 +67,22 @@ object Sessions {
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2 && steps.size == steps.distinct.size,
       s"funnel needs >= 2 distinct ordered steps; got $steps")
-    val arrays = events.groupBy(col(userCol))
+    funnelStages(events, Seq(col(userCol)), tsMicrosCol, typeCol, steps,
+      countLabel = "users")
+  }
+
+  /** Shared funnel pipeline over a pre-grouped frame: per-step
+    * collect_list arrays keyed by `groupCols`, the strictly-after
+    * step-chaining fold, the 1-row stage totals, and the inline stage
+    * rows. ONE home for [[funnel]] and [[sessionFunnel]] (r17 review —
+    * a step-chaining fix applied to one 20-line copy could silently
+    * miss the other); only the grouping key and the count's column
+    * name differ between the two. */
+  private def funnelStages(events: DataFrame,
+      groupCols: Seq[org.apache.spark.sql.Column],
+      tsMicrosCol: String, typeCol: String, steps: Seq[String],
+      countLabel: String): DataFrame = {
+    val arrays = events.groupBy(groupCols: _*)
       .agg(steps.zipWithIndex.map { case (st, i) =>
         collect_list(when(col(typeCol) === st, col(tsMicrosCol))).as(s"a$i")
       }.head, steps.zipWithIndex.tail.map { case (st, i) =>
@@ -83,7 +98,7 @@ object Sessions {
       steps.indices.tail.map(i => count(col(s"t$i")).as(s"u$i")): _*)
     totals.select(inline(array(steps.zipWithIndex.map { case (st, i) =>
       struct(lit(i + 1).as("stage"), lit(st).as("step"),
-        col(s"u$i").as("users"),
+        col(s"u$i").as(countLabel),
         when(col("u0") > 0, round(col(s"u$i").cast("double") / col("u0"), 6))
           .as("conv_from_first"))
     }: _*)))
@@ -102,26 +117,8 @@ object Sessions {
     require(steps.size >= 2 && steps.size == steps.distinct.size,
       s"sessionFunnel needs >= 2 distinct ordered steps; got $steps")
     val sess = assignSessions(events, userCol, tsMicrosCol, seqCol, gapMicros)
-    val arrays = sess.groupBy(col(userCol), col("session_id"))
-      .agg(steps.zipWithIndex.map { case (st, i) =>
-        collect_list(when(col(typeCol) === st, col(tsMicrosCol))).as(s"a$i")
-      }.head, steps.zipWithIndex.tail.map { case (st, i) =>
-        collect_list(when(col(typeCol) === st, col(tsMicrosCol))).as(s"a$i")
-      }: _*)
-    val staged = steps.indices.foldLeft(arrays) { (df, i) =>
-      if (i == 0) df.withColumn("t0", array_min(col("a0")))
-      else df.withColumn(s"t$i",
-        array_min(filter(col(s"a$i"), x => x > col(s"t${i - 1}"))))
-    }
-    val totals = staged.agg(
-      count(col("t0")).as("u0"),
-      steps.indices.tail.map(i => count(col(s"t$i")).as(s"u$i")): _*)
-    totals.select(inline(array(steps.zipWithIndex.map { case (st, i) =>
-      struct(lit(i + 1).as("stage"), lit(st).as("step"),
-        col(s"u$i").as("sessions"),
-        when(col("u0") > 0, round(col(s"u$i").cast("double") / col("u0"), 6))
-          .as("conv_from_first"))
-    }: _*)))
+    funnelStages(sess, Seq(col(userCol), col("session_id")), tsMicrosCol,
+      typeCol, steps, countLabel = "sessions")
   }
 
   /** Cohort retention over an event log: users cohorted by their first

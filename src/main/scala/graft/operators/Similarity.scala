@@ -25,6 +25,19 @@ import graft.functions.VectorFunctions.array_dot
   */
 object Similarity {
 
+  /** struct(dot, −cell) entries under pinned centroids — THE
+    * cell-assignment expression every IVF / SemDedup path shares:
+    * array_max picks the highest raw dot, ties break to the SMALLEST
+    * cell id via the negated index. ONE definition (r17 review — it was
+    * re-implemented in ivfIndex, ivfProbe, ivfScreenFromClasses, and
+    * assignPinned, whose bit-identical-assignment contract a tie-break
+    * tweak applied to one copy would silently break). */
+  private def centroidEntries(centroids: Array[Array[Double]])(v: Column): Column =
+    array(centroids.zipWithIndex.map { case (cen, i) =>
+      struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
+    }: _*)
+
+
   /** Exact top-k neighbors for each query row (same table by default).
     * Output: (qid, rank, vid, cos) — cosine rounded for stable ordering. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -82,7 +95,12 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     // empty-corpus guard: there is no vector to size the hyperplanes from,
     // and no possible neighbor — return the empty result, correctly shaped
-    val dimRow = corpus.select(size(col(vecCol))).head(1)
+    // probe a NON-NULL vector for the dimension: size(NULL) is NULL and
+    // head.getInt would NPE at plan construction when the first corpus
+    // row happens to carry a null embedding (r17 review); an all-null or
+    // empty corpus takes the empty-result branch below
+    val dimRow = corpus.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
     if (dimRow.isEmpty)
       return corpus.sparkSession.createDataFrame(
         corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -138,7 +156,12 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, bits: Int = 0, tables: Int = 0,
       seed: Long = 42L): DataFrame = {
-    val dimRow = corpus.select(size(col(vecCol))).head(1)
+    // probe a NON-NULL vector for the dimension: size(NULL) is NULL and
+    // head.getInt would NPE at plan construction when the first corpus
+    // row happens to carry a null embedding (r17 review); an all-null or
+    // empty corpus takes the empty-result branch below
+    val dimRow = corpus.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
     if (dimRow.isEmpty) // no vectors → no pairs (and no dim to tune from)
       return corpus.sparkSession.createDataFrame(
         corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -252,10 +275,7 @@ object Similarity {
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one pinned centroid")
     // struct(dot, -cell): array_max → highest dot, ties to SMALLEST cell
-    def entries(v: Column): Column =
-      array(centroids.zipWithIndex.map { case (cen, i) =>
-        struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
-      }: _*)
+    def entries(v: Column): Column = centroidEntries(centroids)(v)
     def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
     val cell = (-array_max(entries(rawV(col(vecCol)))).getField("nc")).as("cell")
     corpus.select(col(idCol).as("vid"), unit_vector(col(vecCol)).as("cvec"), cell)
@@ -271,10 +291,7 @@ object Similarity {
       vecCol: String, k: Int, centroids: Array[Array[Double]],
       nProbe: Int = 4): DataFrame = {
     require(centroids.nonEmpty, "need at least one pinned centroid")
-    def entries(v: Column): Column =
-      array(centroids.zipWithIndex.map { case (cen, i) =>
-        struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
-      }: _*)
+    def entries(v: Column): Column = centroidEntries(centroids)(v)
     def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
     // per-row probe list: sort entries descending (d desc, nc desc ⇒ cell
     // asc on ties), slice nProbe
@@ -364,10 +381,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     require(centroids.nonEmpty, "need at least one pinned centroid")
-    def entries(v: Column): Column =
-      array(centroids.zipWithIndex.map { case (cen, i) =>
-        struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
-      }: _*)
+    def entries(v: Column): Column = centroidEntries(centroids)(v)
     def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
     val probeCells = transform(
       slice(reverse(array_sort(entries(rawV(col("__qv"))))), 1, nProbe),
@@ -548,10 +562,7 @@ object Similarity {
     * argmax ≡ cosine argmax: unit centroids, positive row norm). */
   private def assignPinned(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], passthrough: Seq[String] = Nil): DataFrame = {
-    def entries(v: Column): Column =
-      array(centroids.zipWithIndex.map { case (cen, i) =>
-        struct(array_dot(v, typedLit(cen.toSeq)).as("d"), lit(-i).as("nc"))
-      }: _*)
+    def entries(v: Column): Column = centroidEntries(centroids)(v)
     def rawV(c: Column): Column = graft.functions.VectorFunctions.toDoubleArray(c)
     val cell = (-array_max(entries(rawV(col(vecCol)))).getField("nc")).as("cell")
     df.select(col(idCol).as("vid") +: unit_vector(col(vecCol)).as("uvec") +: cell +:

@@ -824,7 +824,11 @@ object AnalyticsQueriesImpl {
     "q_ab_welch",
     (s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
-      val arm = when(pmod(col("user_id") * 2654435761L + 7L, lit(100)) < 50, "A")
+      // user_id pmod-bounded BEFORE the multiply (identical arm for every
+      // id, no ANSI int64 overflow past ~3.47e9 ids — r17 review, same
+      // fix as prioritySample; the oracle replays the bounded form)
+      val arm = when(
+        pmod(pmod(col("user_id"), lit(100L)) * 2654435761L + 7L, lit(100)) < 50, "A")
         .otherwise("B")
       val g = ev.groupBy(arm.as("arm"))
         .agg(count(lit(1)).cast("double").as("n"),
@@ -844,7 +848,7 @@ object AnalyticsQueriesImpl {
             .as("t_welch"))
     },
     Some("""WITH p AS (
-        SELECT CASE WHEN ((user_id * 2654435761 + 7) % 100 + 100) % 100 < 50
+        SELECT CASE WHEN ((((user_id % 100 + 100) % 100) * 2654435761 + 7) % 100 + 100) % 100 < 50
             THEN 'A' ELSE 'B' END AS arm, value
         FROM events WHERE event_type = 'purchase'),
       g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n, sum(value) AS sv,

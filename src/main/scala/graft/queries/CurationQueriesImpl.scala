@@ -198,7 +198,7 @@ object CurationQueriesImpl {
     Some("""WITH c AS (SELECT md5(text) AS digest, count(*) AS n_copies
         FROM documents GROUP BY 1),
       j AS (SELECT d.source, c.n_copies FROM documents d
-            JOIN c ON md5(d.text) = c.digest)
+            JOIN c ON md5(d.text) IS NOT DISTINCT FROM c.digest)
       SELECT source, n_copies, count(*) AS n,
         round(CAST(count(*) AS DOUBLE) / n_copies, 4) AS effective
       FROM j GROUP BY source, n_copies ORDER BY source, n_copies"""))
@@ -437,7 +437,9 @@ object CurationQueriesImpl {
           CAST(len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) + 1 AS BIGINT) AS wt
         FROM documents),
       p AS (SELECT doc_id, wt,
-          wt * 1000004.0 / CAST(((doc_id * 2654435761 + 12345) % 1000003 + 1000003) % 1000003 + 1 AS DOUBLE) AS pr
+          -- id pmod-bounded BEFORE the multiply, same as the operator:
+          -- identical values for all ids, and neither engine can overflow
+          wt * 1000004.0 / CAST(((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 12345) % 1000003 + 1000003) % 1000003 + 1 AS DOUBLE) AS pr
         FROM w)
       SELECT doc_id, wt, round(pr, 4) AS priority
       FROM p ORDER BY pr DESC, doc_id LIMIT 100"""))

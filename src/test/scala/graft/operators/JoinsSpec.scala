@@ -52,6 +52,22 @@ class JoinsSpec extends AnyFunSuite {
       (300L, None, None)))           // key never quoted
   }
 
+  test("asofJoinBackward: a NULL tieBreak LOSES to any non-null tieBreak " +
+      "at equal time (r17: nulls_last made the null row the fill winner)") {
+    val q = Seq(
+      (1L, ts("2020-01-01 00:00:07"), Some(9L), 1.0),
+      (1L, ts("2020-01-01 00:00:07"), None: Option[Long], 2.0))
+      .toDF("sym", "qt", "quote_id", "px")
+    val t = Seq((1L, ts("2020-01-01 00:00:08"), 500L)).toDF("sym", "t", "trade_id")
+    val out = Joins.asofJoinBackward(t, q,
+        leftKey = "sym", rightKey = "sym", leftTime = "t", rightTime = "qt",
+        leftOut = Seq("trade_id"), rightPayload = Seq("quote_id", "px"),
+        tieBreak = "quote_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2)))
+    assert(out.toSeq === Seq((500L, Some(9L), 1.0)),
+      "the non-null tieBreak row must win the forward fill")
+  }
+
   test("asofJoinBackward plans no nested-loop or cartesian join") {
     val out = Joins.asofJoinBackward(trades, quotes, "sym", "sym", "t", "qt",
       Seq("trade_id"), Seq("quote_id"), "quote_id")
