@@ -68,6 +68,28 @@ CONTENTION_IDX_MAX = 1.35
 UNIFORM_INFLATION_MEDIAN = 1.15
 UNIFORM_INFLATION_MIN_QUERIES = 30
 
+# Continuous load-trace transient classifier (round 18): a flagged mover
+# whose NEW-record span contains >=2 HOT samples is classified an
+# IN-SUITE TRANSIENT — box state visible in the record itself, not a
+# plan change. A sample is hot when EITHER
+#   (a) its ping exceeds PING_TRANSIENT_RATIO x the record's own
+#       baseline (min) ping — cycles were stolen from the sampler
+#       thread itself, which only happens when total demand exceeds the
+#       box (measured r18 on the 32-cpu box: quiet-suite steady-state
+#       pings sit at 1.0-1.3x; 8 external busy threads against a LIGHT
+#       suite leave 24 cores free and the ping reads 1.0-1.14x — cpu
+#       starvation needs over-saturation, hence clause b); or
+#   (b) its 1-min loadavg exceeds the record's box capacity ("cpus"
+#       field) + LOAD_OVER_CAPACITY_MARGIN — demand above what the box
+#       can serve, regardless of whether the sampler thread itself got
+#       scheduled (loadavg also counts D-state, so disk-contention
+#       bursts that never starve a cpu ping still show).
+# >=2 samples (~3 s apart) so a single System.gc() pause between
+# queries cannot masquerade as a burst.
+PING_TRANSIENT_RATIO = 1.4
+LOAD_OVER_CAPACITY_MARGIN = 4.0
+PING_TRANSIENT_MIN_SAMPLES = 2
+
 # Queries that err BY DESIGN at scale fixtures (query -> required message
 # fragment). q_dedup_embedding is the exact all-pairs oracle-baseline tier:
 # its row-cap guard refuses O(N^2) input at the 100x fixture and points at
@@ -159,6 +181,67 @@ def main():
             if idx > CONTENTION_IDX_MAX:
                 contaminated.append((name, f"parallel contention index "
                                      f"{idx:.2f} > {CONTENTION_IDX_MAX}"))
+
+    def trace(d):
+        # [[t, loadavg, ping], ...] every ~3 s, same t origin as t_end
+        out = []
+        for row in d.get("load_trace") or []:
+            if (isinstance(row, list) and len(row) == 3
+                    and all(isinstance(v, (int, float)) for v in row)):
+                out.append(tuple(row))
+        return sorted(out)
+
+    def spans(d):
+        # queries run in name-sorted order (Bench sorts before timing),
+        # so each query's span is (previous query's t_end, its t_end)
+        tend = {k: v for k, v in (d.get("t_end") or {}).items()
+                if isinstance(v, (int, float))}
+        out, prev = {}, 0.0
+        for q in sorted(tend, key=lambda k: tend[k]):
+            out[q] = (prev, tend[q])
+            prev = tend[q]
+        return out
+
+    def span_transient(d, q, tr, base_ping):
+        # >=2 in-span HOT samples (ping starved OR loadavg over box
+        # capacity) => the burst is visible in the record itself.
+        # Returns a description string, or None.
+        span = spans(d).get(q)
+        if span is None or not tr or not base_ping:
+            return None
+        cap = d.get("cpus")
+        load_bar = (cap + LOAD_OVER_CAPACITY_MARGIN
+                    if isinstance(cap, (int, float)) else float("inf"))
+        hits = [(t, l, p) for (t, l, p) in tr
+                if span[0] <= t <= span[1]
+                and (p / base_ping > PING_TRANSIENT_RATIO or l > load_bar)]
+        if len(hits) >= PING_TRANSIENT_MIN_SAMPLES:
+            worst = max(hits, key=lambda s: max(s[2] / base_ping,
+                                                s[1] / max(load_bar, 1.0)))
+            return (f"load_trace: {len(hits)} in-span hot samples "
+                    f"(ping > {PING_TRANSIENT_RATIO}x base or loadavg > "
+                    f"{load_bar:.0f}; worst ping "
+                    f"{worst[2] / base_ping:.2f}x, loadavg {worst[1]:.1f} "
+                    f"at t={worst[0]:.0f}s)")
+        return None
+
+    tr_old, tr_new = trace(old), trace(new)
+    base_old = min((p for (_, _, p) in tr_old), default=None)
+    base_new = min((p for (_, _, p) in tr_new), default=None)
+    for name, d, tr, base in (("OLD", old, tr_old, base_old),
+                              ("NEW", new, tr_new, base_new)):
+        if tr and base:
+            cap = d.get("cpus")
+            load_bar = (cap + LOAD_OVER_CAPACITY_MARGIN
+                        if isinstance(cap, (int, float)) else float("inf"))
+            pings = sorted(p for (_, _, p) in tr)
+            n_hot = sum(1 for (_, l, p) in tr
+                        if p / base > PING_TRANSIENT_RATIO or l > load_bar)
+            print(f"{name}: load_trace {len(tr)} samples, ping base "
+                  f"{base * 1000:.0f}ms median {pings[len(pings) // 2] / base:.2f}x "
+                  f"max {pings[-1] / base:.2f}x, loadavg max "
+                  f"{max(l for (_, l, _) in tr):.1f}/bar {load_bar:.0f}; "
+                  f"{n_hot} hot samples")
 
     def staged(d):
         # BASELINE.md "Staged-view provenance": per-query one-time staged
@@ -289,6 +372,12 @@ def main():
             for name, reason in contaminated:
                 print(f"  ?? {name}: {reason}")
         flagged = []
+        # regression flags whose NEW-record span shows a machine-visible
+        # contention burst in the continuous trace: reported loudly but
+        # NOT failed — the record itself adjudicates them as box state
+        # (a transient on the OLD side would hide regressions, never
+        # fabricate them, so only the NEW side downgrades).
+        transients = []
         for q in only_old:
             flagged.append(f"{q}: present in OLD, missing from NEW")
         for q in sorted(set(qo) & set(qn)):
@@ -319,11 +408,27 @@ def main():
             elif b is None:
                 flagged.append(f"{q}: errs in NEW (old {a}s)")
             elif max(a, b) >= gate_min and a > 0 and b / a > gate_ratio:
-                flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s "
-                               f"({b / a:.2f}x > {gate_ratio}x gate)")
+                tr_hit = span_transient(new, q, tr_new, base_new)
+                if tr_hit:
+                    transients.append(f"{q}: {a:.2f}s -> {b:.2f}s "
+                                      f"({b / a:.2f}x) — {tr_hit}")
+                else:
+                    flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s "
+                                   f"({b / a:.2f}x > {gate_ratio}x gate)")
             elif max(a, b) >= gate_min2 and a > 0 and b / a > gate_ratio2:
-                flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s "
-                               f"({b / a:.2f}x > {gate_ratio2}x tier-2 gate)")
+                tr_hit = span_transient(new, q, tr_new, base_new)
+                if tr_hit:
+                    transients.append(f"{q}: {a:.2f}s -> {b:.2f}s "
+                                      f"({b / a:.2f}x) — {tr_hit}")
+                else:
+                    flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s "
+                                   f"({b / a:.2f}x > {gate_ratio2}x tier-2 gate)")
+        if transients:
+            print(f"\n{len(transients)} flag(s) self-adjudicated as in-suite "
+                  f"transients by the NEW record's load trace (not failed; "
+                  f"re-probe to confirm if the query moved for real):")
+            for t in transients:
+                print(f"  ?? {t}")
         print(f"\nGATE (>= {gate_min}s at > {gate_ratio}x, "
               f"or >= {gate_min2}s at > {gate_ratio2}x): "
               f"{'FAIL' if flagged else 'PASS'}")

@@ -177,4 +177,76 @@ rc, out = run_gate(record({"q_a": 1.0}, calib_pre_sec=0.0, calib_post_sec=0.0),
 check("both-sides zero calib -> no warning, no crash",
       rc == 0 and "not box-comparable" not in out, out)
 
+# --- round-18 continuous load-trace transient classifier ------------------
+
+def trace(*samples):
+    # [[t, loadavg, ping], ...]; baseline ping 0.035s
+    return [list(s) for s in samples]
+
+QUIET = [(t, 31.0, 0.036) for t in range(0, 60, 3)]
+
+# 17. flagged mover whose NEW span holds >=2 hot pings: self-adjudicated
+# as an in-suite transient — reported with ?? but the gate PASSES
+old = record({"q_a": 3.0, "q_slow": 10.0}, **CLEAN_CAL)
+new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL,
+             t_end={"q_a": 8.0, "q_slow": 52.0},
+             load_trace=trace(*[s for s in QUIET if s[0] < 20],
+                              (21, 45.0, 0.080), (24, 44.0, 0.075),
+                              (27, 40.0, 0.070),
+                              *[s for s in QUIET if s[0] > 28]))
+rc, out = run_gate(old, new)
+check("burst in mover's span -> transient, gate PASSES", rc == 0 and
+      "self-adjudicated" in out and "q_slow" in out and
+      "load_trace:" in out, out)
+
+# 18. single hot ping in the span (a System.gc() pause shape): NOT a
+# transient — the regression still gates
+new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL,
+             t_end={"q_a": 8.0, "q_slow": 52.0},
+             load_trace=trace(*[s for s in QUIET if s[0] < 20],
+                              (21, 45.0, 0.080),
+                              *[s for s in QUIET if s[0] > 22]))
+rc, out = run_gate(old, new)
+check("single hot ping -> still FAILS", rc == 1 and "q_slow" in out, out)
+
+# 19. burst entirely OUTSIDE the mover's span: still FAILS (the trace
+# only excuses what it actually covers)
+new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL,
+             t_end={"q_a": 8.0, "q_slow": 52.0},
+             load_trace=trace((1, 45.0, 0.080), (4, 44.0, 0.078),
+                              (7, 43.0, 0.075),
+                              *[s for s in QUIET if s[0] > 8]))
+rc, out = run_gate(old, new)
+check("burst outside span -> still FAILS", rc == 1 and
+      "1.3x gate" in out, out)
+
+# 19b. loadavg-over-capacity clause: normal pings (e.g. a D-state/disk
+# burst that never starves the cpu sampler) but in-span loadavg far over
+# the box's 32 cpus -> transient via clause (b); needs the "cpus" field
+new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL, cpus=32,
+             t_end={"q_a": 8.0, "q_slow": 52.0},
+             load_trace=trace(*[s for s in QUIET if s[0] < 20],
+                              (21, 45.0, 0.037), (24, 44.0, 0.038),
+                              *[s for s in QUIET if s[0] > 25]))
+rc, out = run_gate(old, new)
+check("loadavg-over-capacity burst -> transient, gate PASSES", rc == 0 and
+      "self-adjudicated" in out, out)
+
+# 19c. same loadavg burst WITHOUT the cpus field: the bar is unknowable,
+# clause (b) is off, and the regression still gates
+new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL,
+             t_end={"q_a": 8.0, "q_slow": 52.0},
+             load_trace=trace(*[s for s in QUIET if s[0] < 20],
+                              (21, 45.0, 0.037), (24, 44.0, 0.038),
+                              *[s for s in QUIET if s[0] > 25]))
+rc, out = run_gate(old, new)
+check("loadavg burst without cpus field -> still FAILS", rc == 1, out)
+
+# 20. clean trace -> summary printed, regression gates normally
+new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL,
+             t_end={"q_a": 8.0, "q_slow": 52.0}, load_trace=trace(*QUIET))
+rc, out = run_gate(old, new)
+check("clean trace -> summary + normal FAIL", rc == 1 and
+      "load_trace" in out and "samples" in out, out)
+
 print("all bench_diff gate tests passed")

@@ -40,16 +40,71 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def calibrateChain(seed: Long): Long = {
+  private def calibrateChain(seed: Long): Long = calibrateChainN(seed, 400000000)
+
+  private def calibrateChainN(seed: Long, steps: Int): Long = {
     var x = seed
     var acc = 0L
     var i = 0
-    while (i < 400000000) {
+    while (i < steps) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       acc += x
       i += 1
     }
     acc
+  }
+
+  /** Continuous in-suite contention trace (VERDICT r17 #2). The 25-query
+    * `calib_mid` cadence leaves multi-minute blind spots: round 17's
+    * loadavg-29 burst inflated three codeless queries invisibly to every
+    * interleaved probe and needed manual isolated re-probes to
+    * adjudicate. This daemon thread samples every ~3 s:
+    *   - `t`    — seconds from suite start (same origin as `t_end`, so a
+    *              sample joins directly to the query span it fell in);
+    *   - `load` — 1-min /proc/loadavg (competing DEMAND);
+    *   - `ping` — a 2·10⁷-step serial xorshift chain, 1/20 of
+    *              [[calibrate]]'s (~35 ms): cycles actually DELIVERED to
+    *              one thread at that instant. Measured r18: quiet-suite
+    *              steady state reads 1.0-1.3x its own min; it inflates
+    *              only when total demand OVER-saturates the box (8
+    *              external threads against a light suite leave cores
+    *              free and the ping stays ≤1.14x — which is why the
+    *              bench_diff classifier pairs it with a loadavg-over-
+    *              capacity clause using the `cpus` field).
+    * Emitted detail-line-only as `"load_trace":[[t,load,ping],...]`
+    * (~15 B/sample; a 600 s suite adds ~3 KB to the detail file, nothing
+    * to the compact stdout line). `bench_diff --gate` joins the trace to
+    * flagged movers' spans so an in-suite transient self-adjudicates
+    * from the record alone (BASELINE.md "load trace"). The ping duty
+    * cycle (~1.2% of one core) is below the box's idle jitter; it runs
+    * during the mid-suite calibrations too, whose ~0.8 s windows see at
+    * most one ping (≤4% of one of 32 cores — under their noise floor). */
+  private[graft] final class LoadTrace(t0Nanos: Long, periodMs: Long = 3000)
+      extends Thread("graft-load-trace") {
+    setDaemon(true)
+    @volatile private var stopped = false
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Double, Double, Double)]
+    override def run(): Unit = {
+      // untimed warmup: the first timed ping otherwise measures the
+      // JIT compile of its own loop (observed 129 ms vs 32-42 ms steady
+      // state — a 4x phantom sample on a quiet box)
+      if (calibrateChainN(0x9E3779B97F4A7C15L, 20000000) == 42L) print("")
+      while (!stopped) {
+        val p0 = System.nanoTime()
+        if (calibrateChainN(0x9E3779B97F4A7C15L, 20000000) == 42L) print("")
+        val ping = (System.nanoTime() - p0) / 1e9
+        buf.add(((p0 - t0Nanos) / 1e9, loadavg1(), ping)): Unit
+        try Thread.sleep(periodMs) catch { case _: InterruptedException => () }
+      }
+    }
+    def finish(): Seq[(Double, Double, Double)] = {
+      stopped = true
+      interrupt()
+      join(2000)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toList.sortBy(_._1)
+    }
   }
 
   /** PARALLEL calibration probe: `calibParThreads` threads of the same
@@ -145,6 +200,10 @@ object Bench {
     val calibParPre = calibratePar()
     val cachePre = pageCacheGb()
     val suiteT0 = System.nanoTime()
+    // continuous trace starts AFTER the pre calibrations (its ping must
+    // not perturb them) and stops BEFORE the post ones
+    val loadTrace = new LoadTrace(suiteT0)
+    loadTrace.start()
 
     // best-of-2 per query: the box hosts other work, and the minimum of
     // repeated runs is the standard robust estimator of noise-free cost.
@@ -207,6 +266,7 @@ object Bench {
         val ok = runs.collect { case Right(t) => t }
         name -> (if (ok.nonEmpty) Right(ok.min) else Left(runs.head.swap.getOrElse("error")))
       }.toMap
+    val traceSamples = loadTrace.finish()
     val calibPost = calibrate()
     val calibParPost = calibratePar()
     val loadPost = loadavg1()
@@ -222,7 +282,8 @@ object Bench {
       stagedBuilds = stagedBuilds.toMap,
       calibPar = Some((calibParPre, calibParPost)),
       calibParMid = calibParMid.toList,
-      loadavg = Some((loadPre, loadPost)), loadavgMid = loadMid.toList)
+      loadavg = Some((loadPre, loadPost)), loadavgMid = loadMid.toList,
+      loadTrace = traceSamples)
     val detailPath = detailFile(only.isDefined, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -306,7 +367,8 @@ object Bench {
       calibPar: Option[(Double, Double)] = None,
       calibParMid: Seq[Double] = Nil,
       loadavg: Option[(Double, Double)] = None,
-      loadavgMid: Seq[Double] = Nil): (String, String) = {
+      loadavgMid: Seq[Double] = Nil,
+      loadTrace: Seq[(Double, Double, Double)] = Nil): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -342,6 +404,13 @@ object Bench {
     val loadavgMidField =
       if (loadavgMid.isEmpty) ""
       else loadavgMid.map(fmt).mkString(""","loadavg_mid":[""", ",", "]")
+    // continuous contention trace (detail line only — see LoadTrace):
+    // [t offset, 1-min loadavg, ~35 ms serial ping seconds] every ~3 s
+    val loadTraceField =
+      if (loadTrace.isEmpty) ""
+      else loadTrace.map { case (t, l, p) =>
+        s"[${fmt(t)},${fmt(l)},${fmt(p)}]"
+      }.mkString(""","load_trace":[""", ",", "]")
     // box-state provenance (detail line only): page-cache GiB before and
     // after the suite, so a gate diff across records taken in different
     // cache states is visible as such instead of reading as a plan change
@@ -353,6 +422,9 @@ object Bench {
     // columns; every record since names the full-materialization probe
     // so cross-round totals are never silently compared across probes.
     val probeField = s""","probe":"toRdd""""
+    // box capacity (detail line): the denominator for reading loadavg
+    // samples — a 1-min load above this is demand the box cannot serve
+    val cpusField = s""","cpus":${Runtime.getRuntime.availableProcessors()}"""
     // detail-line-only localization fields (see object doc): per-query
     // completion offset from suite start + interleaved mid-suite
     // calibrations — a contaminated calib_mid[i] brackets the queries
@@ -381,7 +453,7 @@ object Bench {
         }.mkString("{", ",", "}")
       }.mkString(""","staged_views_built":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$calibParField$loadavgField$cacheField$calibMidField$calibParMidField$loadavgMidField$stagedField$tEndField$probeField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$calibParField$loadavgField$cacheField$calibMidField$calibParMidField$loadavgMidField$loadTraceField$stagedField$tEndField$probeField$cpusField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
     // 420-byte queries map keeps the whole line ≤ ~790 B even with the

@@ -312,6 +312,107 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** MinHash/LSH candidate generation + EXACT n-gram Jaccard verification,
+    * fused as ONE text-class collapse — the full near-dup pipeline that
+    * runs at 100 TB (reference: sparkdl near-dup composition; candidates
+    * via [[lshCandidatePairs]], verification via [[sortedGramHashes]] +
+    * the sorted-merge kernel).
+    *
+    * Verification happens on CLASS pairs BEFORE member expansion. The
+    * composed form ([[minhashNearDups]] → rescore) expands candidates to
+    * member level (quadratic in duplicate-group size: 27.3 M rows at the
+    * 100× fixture), then must re-collapse that fact table through two
+    * text-class joins to score each distinct (text, text) pair once.
+    * Here the expansion is the LAST step and carries the verified score
+    * with it, so the member-level volume is never joined, deduped, or
+    * re-collapsed — it is only produced, filtered-by-construction
+    * (survivor classes only), and emitted:
+    *
+    *   - ONE digest aggregate carries rep id, sorted members, and the rep
+    *     TEXT via `min_by` (the r17 verifier recipe — no join-based rep
+    *     selection, which SMJ-ships corpus text; see [[gramClassesPlan]]);
+    *     the signature AND gram kernels run once per DISTINCT text in the
+    *     aggregate's output projection — the 100×-replicated corpus text
+    *     is scanned exactly once end to end (the composed form scanned it
+    *     a second time to build verification grams).
+    *   - LSH band self-join over class reps only; hot-bucket guard and
+    *     `est >= minEstJaccard` apply at class level (same candidate set:
+    *     identical text ⇒ identical signature, so member-level banding
+    *     adds only within-class pairs, handled exactly below).
+    *   - Exact Jaccard scores each surviving class PAIR once; pairs below
+    *     `minJaccard` die before any member expansion.
+    *   - Within-class pairs (identical text) score exactly 1.0 through
+    *     the same kernel ([[sortedGramHashes]] is never empty — empty
+    *     text yields the single hash of "" — so `jaccardSorted(g, g)` is
+    *     identically 1.0); they are emitted as `lit(1.0)` without paying
+    *     the kernel, which `MinhashVerifiedSpec` pins equal.
+    *
+    * Collapse-tier contract: identity tier ([[collapseWorthwhile]] false)
+    * degenerates to doc-level LSH + doc-level verification — outputs are
+    * row-identical either way (CollapseTierQuerySpec).
+    *
+    * Divergence bound vs the composed form: a pair of DISTINCT texts
+    * whose signatures collide in all 64 positions is found here only via
+    * banding (identical signatures co-bucket in all 16 bands), so it is
+    * lost only if every one of its 16 buckets is hot-guarded away —
+    * strictly narrower than the composed form's own hot-bucket carve-out
+    * at member level, and void for identical-gram-set texts (where the
+    * verified score is 1.0 regardless of which path found the pair). */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      minEstJaccard: Double, minJaccard: Double, gramN: Int = 3): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard (the within-class " +
+        "fast path emits identical-text pairs at exactly 1.0)")
+    val base =
+      if (!collapseWorthwhile(docs))
+        docs.select(col(idCol).as("rep"), array(col(idCol)).as("members"),
+          col(textCol).as("__t"))
+      else
+        docs
+          .select(classDigest(col(textCol)).as("fp"), col(idCol).as("doc"),
+            col(textCol).as("__t"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc")).as("rep"),
+            sort_array(collect_list(col("doc"))).as("members"),
+            min_by(col("__t"), col("doc")).as("__t"))
+    // gram arrays ride the class table: the gram kernel is ~1/64 the work
+    // of the signature kernel already paid per distinct text, and keeping
+    // them here (instead of re-deriving from text per candidate) makes
+    // the scoring joins checkpoint-local — no second text scan, no
+    // semi-join staging. NULL text ⇒ NULL signature ⇒ no pairs, exactly
+    // the composed form's `where(mh.isNotNull)` screen.
+    val classes = base
+      .select(col("rep"), col("members"),
+        minhashSignature(col("__t")).as("mh"),
+        sortedGramHashes(col("__t"), gramN).as("grams"))
+      .where(col("mh").isNotNull)
+      .localCheckpoint(true) // six consumers; released with the plan
+    val repPairs = lshCandidatePairs(
+      classes.select(col("rep").as(idCol), col("mh")), idCol, minEstJaccard)
+    // class-pair scoring: candidates are small vs classes, so AQE
+    // broadcasts the candidate side and the gram arrays never shuffle
+    val scored = repPairs
+      .join(classes.select(col("rep").as("a"), col("grams").as("ga")), "a")
+      .join(classes.select(col("rep").as("b"), col("grams").as("gb")), "b")
+      .select(col("a").as("ra"), col("b").as("rb"),
+        round(graft.functions.KernelExpressions.jaccard_sorted(
+          col("ga"), col("gb")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    val cross = scored
+      .join(classes.select(col("rep").as("ra"), col("members").as("mx")), "ra")
+      .join(classes.select(col("rep").as("rb"), col("members").as("my")), "rb")
+      .select(explode(col("mx")).as("a0"), col("my"), col("jaccard"))
+      .select(col("a0"), explode(col("my")).as("b0"), col("jaccard"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"), col("jaccard"))
+    val within = classes.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    within.unionByName(cross)
+  }
+
   // ---- exact n-gram Jaccard (verifier) -----------------------------------
 
   def jaccard(aGrams: Column, bGrams: Column): Column = {

@@ -331,64 +331,19 @@ object DedupQueriesImpl {
     Some(SemDedupOracle.incrementalSql(minCos = 0.8)))
 
   /** The full near-dup pipeline: MinHash/LSH candidates → EXACT n-gram
-    * Jaccard verification of only those pairs (never all-pairs). This is
-    * the composition that runs at 100 TB: candidate generation shuffles
-    * band keys, verification joins the (small) candidate set back to the
-    * documents and scores each pair once with the sorted-merge kernel. */
+    * Jaccard verification of only those pairs (never all-pairs), fused as
+    * one text-class collapse in [[Dedup.minhashVerifiedPairs]]. The r17
+    * form composed [[Dedup.minhashNearDups]] (which EXPANDS candidates to
+    * member level — 27.3 M rows at the 100× fixture) with a rescore that
+    * re-collapsed that fact table through two text-class joins; the fused
+    * operator verifies class pairs BEFORE expansion, so the member-level
+    * volume is produced once, score riding, and never joined or deduped. */
   val minhashVerified = Q(
     "q_dedup_minhash_verified",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val candidates = Dedup.minhashNearDups(docs, "doc_id", "text", 0.35)
-      // Digest-collapse the VERIFICATION (same move as exactJaccardEdges'
-      // exact-collapse-first): the exact Jaccard of a pair depends only
-      // on the two TEXTS, so score each distinct (text-class, text-class)
-      // pair ONCE and map every candidate pair onto that score. On a
-      // duplication-heavy corpus (the population near-dup dedup exists
-      // for) the candidate set is quadratic in group size while the
-      // distinct-content pair set stays corpus-sized: at the 100× fixture
-      // 27.3 M candidates collapse to ~sf-scale rep pairs, and — the plan
-      // shape that matters at 100 TB — the heavy gram ARRAYS are built
-      // for and joined against REPRESENTATIVES only, never shuffled
-      // against the candidate fact table. The candidate-side joins carry
-      // int keys/payloads (AQE broadcasts the rep map when it fits);
-      // measured 1.5× end-to-end vs scoring every candidate directly.
-      // The class mapping IS Dedup.textClasses — one definition of
-      // "text class" in the codebase (r15 inlined an fp/fpRep/docRep
-      // triple here; any digest-semantics change must land exactly once).
-      val docRep = Dedup.textClasses(docs, "doc_id", "text")
-        .select(col("doc").as("doc_id"), col("rep"))
-      // candidates mapped to NORMALIZED rep pairs. Deliberately NOT
-      // materialized despite the two consumers (distinct-pair branch +
-      // final score join): the candidate DAG ends in exchanges that AQE's
-      // ReuseExchange dedups across the consumers, so an eager
-      // localCheckpoint only adds a 27M-row write — measured +7.6 s at
-      // the 100× fixture (26.5 s with vs 18.9 s without).
-      val candR = candidates
-        .join(docRep.select(col("doc_id").as("a"), col("rep").as("ra")), "a")
-        .join(docRep.select(col("doc_id").as("b"), col("rep").as("rb")), "b")
-        .select(col("a"), col("b"),
-          least(col("ra"), col("rb")).as("ru"),
-          greatest(col("ra"), col("rb")).as("rv"))
-      val repPairs = candR.select(col("ru"), col("rv")).distinct()
-      // gram arrays only for docs that represent a scored pair side;
-      // identical-text pairs (ru == rv) score through the same kernel
-      // (gu == gv ⇒ exactly 1.0), no special case.
-      val repIds = repPairs.select(col("ru").as("doc_id"))
-        .union(repPairs.select(col("rv").as("doc_id"))).distinct()
-      val grams = docs.join(repIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), Dedup.sortedGramHashes(col("text"), 3).as("grams"))
-      val scores = repPairs
-        .join(grams.select(col("doc_id").as("ru"), col("grams").as("gu")), "ru")
-        .join(grams.select(col("doc_id").as("rv"), col("grams").as("gv")), "rv")
-        .select(col("ru"), col("rv"),
-          round(graft.functions.KernelExpressions.jaccard_sorted(
-            col("gu"), col("gv")), 4).as("jaccard"))
-      candR.join(scores, Seq("ru", "rv"))
-        .select(col("a"), col("b"), col("jaccard"))
-        .where(col("jaccard") >= 0.5)
-        .orderBy(col("a"), col("b"))
-    },
+    (s, dir) =>
+      Dedup.minhashVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+          minEstJaccard = 0.35, minJaccard = 0.5)
+        .orderBy(col("a"), col("b")),
     Some(MinhashOracle.verifiedSql))
 
   /** The flagship curation pipeline, end to end as ml.Transformer stages:
