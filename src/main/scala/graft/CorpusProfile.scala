@@ -62,19 +62,39 @@ object CorpusProfile {
     * clearly on either side, and a corpus near the boundary is correct
     * (row-identical) under both tiers by construction. Empty corpus →
     * ratio 1.0 (collapse is a no-op either way). */
-  // (canonical corpus path, mtime) → content key: Fixtures.key reads the
-  // source file's edge bytes (and, for a directory corpus, walks every
-  // contained file) — fine once, not once per QUERY CONSTRUCTION, which
-  // is how often Tables.documents calls in here. The mtime in the memo
-  // key keeps the in-place-regeneration story: a rewrite bumps mtime and
-  // re-fingerprints.
+  // (canonical corpus path, metadata signature) → content key:
+  // Fixtures.key reads the source file's edge bytes (and, for a
+  // directory corpus, walks every contained file) — fine once, not once
+  // per QUERY CONSTRUCTION, which is how often Tables.documents calls
+  // in here. The signature is a metadata-only recursive walk (relative
+  // name, length, mtime per child + child count — stat calls, no file
+  // reads): the r17 memo keyed on the TOP-LEVEL entry's mtime alone,
+  // and an in-place rewrite of files inside a parquet directory never
+  // bumps the directory's own mtime (and a single-file rewrite can land
+  // in the same mtime tick), so the dead generation's content key — and
+  // with it a stale tier choice — could be served (ADVICE r17 #1).
   private val keyMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def metaSig(src: java.io.File): String = {
+    val crc = new java.util.zip.CRC32()
+    var count = 0L
+    def walk(d: java.io.File): Unit =
+      Option(d.listFiles()).toSeq.flatten.sortBy(_.getName).foreach { c =>
+        count += 1
+        crc.update(c.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        crc.update(java.nio.ByteBuffer.allocate(16).putLong(c.length())
+          .putLong(c.lastModified()).array())
+        if (c.isDirectory) walk(c)
+      }
+    if (src.isDirectory) walk(src)
+    s"${java.lang.Long.toHexString(crc.getValue)}-$count-${src.length()}-${src.lastModified()}"
+  }
 
   def duplicationRatio(s: SparkSession, sfDir: String): Double = {
     val src = new java.io.File(sfDir, "documents.parquet")
     val key = keyMemo.computeIfAbsent(
-      (canonical(src.getPath), src.lastModified()),
+      (canonical(src.getPath), metaSig(src)),
       _ => Fixtures.key(sfDir, "documents.parquet"))
     val ratio = memo.computeIfAbsent(key, _ => {
       val line = Staging.publishText(
@@ -98,21 +118,27 @@ object CorpusProfile {
   /** Resolve a measured duplication ratio from a DataFrame's OWN scan
     * provenance: the parquet root paths of its plan's file-scan leaves,
     * matched against the registry of measured corpora. Some(ratio) iff
-    * the leaves name exactly ONE measured corpus (a self-join of the
-    * same corpus still resolves; a join of two DIFFERENT measured
-    * corpora is ambiguous → None → caller falls back to the session
-    * conf). Plan-construction-time only, zero jobs. */
+    * EVERY file-scan root resolves to a measurement and they all agree
+    * (a self-join of the same corpus still resolves). None — caller
+    * falls back to the session conf — when any file-scan leaf is
+    * unmeasured (e.g. the corpus unioned with a staged batch: the
+    * combined frame must not tier off the corpus-only measurement,
+    * ADVICE r17 #2) or two DIFFERENT measured corpora join
+    * (ambiguous). Non-file leaves (local relations, checkpoint RDDs)
+    * don't block: they carry no corpus provenance either way.
+    * Plan-construction-time only, zero jobs. */
   def ratioForPlan(df: org.apache.spark.sql.DataFrame): Option[Double] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val ratios = df.queryExecution.analyzed.collectLeaves().flatMap {
+    val fileRoots = df.queryExecution.analyzed.collectLeaves().flatMap {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.flatMap(p =>
-            Option(byPath.get(canonical(p.toUri.getPath))))
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
         case _ => Nil
       }
       case _ => Nil
     }.distinct
-    if (ratios.size == 1) Some(ratios.head) else None
+    val ratios = fileRoots.map(p => Option(byPath.get(canonical(p))))
+    if (fileRoots.nonEmpty && ratios.forall(_.isDefined)
+        && ratios.flatten.distinct.size == 1) Some(ratios.head.get)
+    else None
   }
 }

@@ -98,15 +98,22 @@ object Plans {
     // shuffles). Output row-identity between the tiers is pinned by
     // CollapseTierQuerySpec over every collapse consumer.
     sb.append("\n# Collapse tier comparison — q_dup_gram_coverage\n")
-    for ((mode, note) <- Seq(
-        "always" -> "collapsed tier: ONE fp digest aggregate, ReusedExchange, class mapping joins",
-        "never" -> "identity tier (measured duplication < 1.05): mapping gone, doc-level plan")) {
-      spark.conf.set(graft.operators.Dedup.CollapseModeConf, mode)
-      try {
+    // restore (not unset) any caller-set mode afterwards — unsetting
+    // clobbered a pre-existing override for the rest of the plans run
+    // (ADVICE r17 #5)
+    val priorMode = spark.conf.getOption(graft.operators.Dedup.CollapseModeConf)
+    try {
+      for ((mode, note) <- Seq(
+          "always" -> "collapsed tier: ONE fp digest aggregate, ReusedExchange, class mapping joins",
+          "never" -> "identity tier (measured duplication < 1.05): mapping gone, doc-level plan")) {
+        spark.conf.set(graft.operators.Dedup.CollapseModeConf, mode)
         val df = SparkEntry.queries("q_dup_gram_coverage")(spark, sfDir)
         val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         sb.append(s"\n## collapse.mode=$mode — $note\n\n```\n${redact(plan)}```\n")
-      } finally spark.conf.unset(graft.operators.Dedup.CollapseModeConf)
+      }
+    } finally priorMode match {
+      case Some(m) => spark.conf.set(graft.operators.Dedup.CollapseModeConf, m)
+      case None => spark.conf.unset(graft.operators.Dedup.CollapseModeConf)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -758,7 +758,17 @@ object Dedup {
     * whose rare-first prefixes never post hot grams) or the MinHash tier
     * ([[minhashNearDups]]); this form is the low-threshold workhorse
     * where prefixes stop pruning (at t = 0.35 a prefix still posts 66%
-    * of each doc's grams, so the filter buys little). */
+    * of each doc's grams, so the filter buys little).
+    *
+    * "Exact" caveat (ADVICE r17 #4): since r17 the Jaccard is computed
+    * over 64-bit xxhash GRAM HASHES ([[gramClassReps]]), not gram
+    * strings — exact up to hash injectivity. A cross-gram collision can
+    * only INFLATE an intersection count (never deflate), and the
+    * probability any collision exists among G distinct grams is
+    * birthday-bounded at ~G²/2⁶⁵ (~3·10⁻⁸ for a billion-gram corpus) —
+    * below the rounding noise of the 4-decimal output. Consumers that
+    * need string-exact semantics must re-score pairs over the raw
+    * grams. */
   def exactJaccardEdges(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
@@ -890,6 +900,29 @@ object Dedup {
     * verified partner class, plus the own class for identical texts
     * with non-empty grams), so no doc-pair relation ever materializes —
     * each batch doc gets its min partner through one class join. */
+  /** The ASYMMETRIC prefix screen of [[incrementalDedup]], exposed for
+    * the candidate-volume pin (IncrementalAsymmetrySpec): only
+    * batch-touching classes (`isB`) post prefixes on the probe side, so
+    * candidate volume scales with the BATCH prefixes' document
+    * frequency — corpus×corpus work is structurally absent, which the
+    * output alone cannot witness (corpus-internal pairs never reach the
+    * output either way; the 10%-batch fixture moves only 2.27→2.00 s,
+    * so a regression re-admitting the corpus side would be invisible to
+    * both, VERDICT r17 #5). Input `r` = (doc, isB, grams) class rows. */
+  private[operators] def incrementalCandidatePairs(r: DataFrame,
+      threshold: Double): DataFrame = {
+    val (_, prefix) = postingAndPrefix(r, threshold, extra = Seq("isB"))
+    // x side: batch-touching classes only; y side: everyone (the corpus
+    // partner class need not touch the batch)
+    prefix.where(col("isB")).alias("x")
+      .join(prefix.alias("y"),
+        col("x.gram") === col("y.gram") && col("x.doc") =!= col("y.doc") &&
+          jaccardCandidateBounds(threshold))
+      .select(least(col("x.doc"), col("y.doc")).as("a"),
+        greatest(col("x.doc"), col("y.doc")).as("b"))
+      .dropDuplicates("a", "b")
+  }
+
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
@@ -930,16 +963,7 @@ object Dedup {
     val r = classes.where(size(col("grams")) > 0)
       .select(col("rep").as("doc"), (size(col("batchDocs")) > 0).as("isB"),
         col("grams"))
-    val (_, prefix) = postingAndPrefix(r, threshold, extra = Seq("isB"))
-    // x side: batch-touching classes only; y side: everyone (the corpus
-    // partner class need not touch the batch)
-    val cands = prefix.where(col("isB")).alias("x")
-      .join(prefix.alias("y"),
-        col("x.gram") === col("y.gram") && col("x.doc") =!= col("y.doc") &&
-          jaccardCandidateBounds(threshold))
-      .select(least(col("x.doc"), col("y.doc")).as("a"),
-        greatest(col("x.doc"), col("y.doc")).as("b"))
-      .dropDuplicates("a", "b")
+    val cands = incrementalCandidatePairs(r, threshold)
     val g = r.select(col("doc"), col("grams"))
     val verified = cands
       .join(g.select(col("doc").as("a"), col("grams").as("ga")), "a")

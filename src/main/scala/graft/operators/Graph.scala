@@ -41,6 +41,16 @@ object Graph {
     * broadcast, so triangles stream map-side; past that they are plain
     * shuffle hash joins on vertex keys — never nested-loop. Corners are
     * counted with ONE explode over (x, y, z).
+    *
+    * Cache-lifetime contract (ADVICE r17 #3): the oriented adjacency is
+    * persisted and released after the FIRST Dataset action on the
+    * returned frame ([[graft.CacheLifecycle.releaseAfterFirstAction]]).
+    * A second action recomputes the adjacency uncached — correct but
+    * slower; callers that act repeatedly should persist/checkpoint the
+    * RESULT themselves. Probes that bypass the Dataset action listener
+    * (e.g. counting `queryExecution.toRdd` directly, as Bench does)
+    * never trigger the release, so the entry lives until a
+    * `clearCache()` sweep — which Bench runs between queries.
     */
   def triangleCorners(edges: DataFrame,
       broadcastMaxEdges: Long = 20000000L,
@@ -115,6 +125,12 @@ object Graph {
     * bulk-synchronous PageRank dataflow with the big side's exchange
     * paid once. On an undirected graph every vertex has an in-edge, so
     * no dangling-mass term is needed.
+    *
+    * Cache-lifetime contract (ADVICE r17 #3): same as
+    * [[triangleCorners]] — the persisted adjacency is released after
+    * the FIRST Dataset action on the result; later actions recompute it
+    * uncached, and toRdd-style probes rely on an external
+    * `clearCache()` sweep (Bench's between-query protocol).
     */
   def pagerankFixedPoint(edges: DataFrame, iters: Int,
       dampingPct: Int = 85, scale: Long = 1000000L,

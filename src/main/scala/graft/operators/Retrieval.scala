@@ -48,11 +48,12 @@ object Retrieval {
     * excludes U+000B -- the round-16 sweep missed these two generated
     * oracles; the r17 review closed them). */
   private[graft] def termCountsPerDoc(docs: DataFrame, idCol: String,
-      textCol: String, terms: Seq[String]): DataFrame = {
+      textCol: String, terms: Seq[String],
+      carry: Seq[String] = Nil): DataFrame = {
     val tc = graft.functions.KernelExpressions.term_counts(col(textCol), terms)
-    docs.select(col(idCol), tc.as("tc"))
+    docs.select(col(idCol) +: carry.map(col) :+ tc.as("tc"): _*)
       .select(
-        col(idCol) +:
+        col(idCol) +: carry.map(col) ++:
           element_at(col("tc"), 1).as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
             element_at(col("tc"), i + 2).as(tfCol(t))
@@ -68,6 +69,38 @@ object Retrieval {
       count(lit(1)).as("n") +: sum(col("dl")).as("sum_dl") +:
         terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(dfCol(t)))
     perDoc.crossJoin(broadcast(perDoc.agg(totalCols.head, totalCols.tail: _*)))
+  }
+
+  /** COLLAPSE-AWARE [[scoredBase]] (r18): term counts are a pure
+    * function of the text, so on a duplication-heavy corpus the
+    * TermCounts kernel runs once per DISTINCT text
+    * ([[graft.operators.Dedup.classReps]]), the corpus totals weight
+    * each class by its multiplicity (n = Σm, sum_dl = Σ m·dl, df_t =
+    * Σ m·[tf_t>0] — identical to the doc-level totals by definition),
+    * and the doc-level scoring rows come from the 24-byte class-mapping
+    * join instead of a second kernel pass. The uncollapsed form pays
+    * the kernel TWICE per row (the totals agg recomputes the perDoc
+    * subtree); measured 8.6 → 4.7 s for q_bm25_topk at the 100×
+    * fixture. Identity tier: exactly the r17 doc-level shape — no
+    * mapping join on a ~all-distinct corpus. */
+  private def scoredDocBase(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    if (!graft.operators.Dedup.collapseWorthwhile(docs))
+      return scoredBase(termCountsPerDoc(docs, idCol, textCol, terms), terms)
+    val perClass = termCountsPerDoc(
+      graft.operators.Dedup.classReps(docs, idCol, textCol),
+      "rep", textCol, terms, carry = Seq("m"))
+    val totalCols =
+      sum(col("m")).as("n") +: sum(col("m") * col("dl")).as("sum_dl") +:
+        terms.map(t =>
+          sum(when(col(tfCol(t)) > 0, col("m")).otherwise(0L)).as(dfCol(t)))
+    val totals = perClass.agg(totalCols.head, totalCols.tail: _*)
+    val mapping = graft.operators.Dedup.textClasses(docs, idCol, textCol)
+      .select(col("doc"), col("rep"))
+    mapping.join(perClass.drop("m"), "rep")
+      .crossJoin(broadcast(totals))
+      .drop("rep")
+      .withColumnRenamed("doc", idCol)
   }
 
   /** One term's BM25 contribution over [[scoredBase]] columns — mirrors
@@ -112,8 +145,7 @@ object Retrieval {
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.size == terms.distinct.size,
       s"bm25 needs a non-empty, duplicate-free term set; got $terms")
-    val perDoc = termCountsPerDoc(docs, idCol, textCol, terms)
-    val j = scoredBase(perDoc, terms)
+    val j = scoredDocBase(docs, idCol, textCol, terms)
     // avgdl and the per-term scores mirror the oracle's SQL text token for
     // token: CAST(sum_dl AS DOUBLE)/n, idf = (n - df + 0.5)/(df + 0.5),
     // tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*(dl/avgdl)))
@@ -180,8 +212,7 @@ object Retrieval {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "need at least one query, each with at least one term")
     val allTerms = queries.flatMap(_._2).distinct
-    val perDoc = termCountsPerDoc(docs, idCol, textCol, allTerms)
-    val j = scoredBase(perDoc, allTerms)
+    val j = scoredDocBase(docs, idCol, textCol, allTerms)
     def termScore(t: String): Column = termScoreCol(t)
     val qScores = array(queries.map { case (qid, ts) =>
       struct(lit(qid).as("qid"),

@@ -637,28 +637,48 @@ object CurationQueriesImpl {
   /** Intra-document dedup (the C4/Gopher "remove repeated spans within a
     * page" primitive, at word granularity for this fixture's space-joined
     * corpus): keep each token's FIRST occurrence, reassemble in original
-    * order, count removals. The Spark form is pure per-row codegen'd
-    * array work — `array_distinct(split(...))` preserves first-occurrence
-    * order — so it needs ZERO shuffle at any scale: 100 TB of documents
-    * dedups map-side in one pass with no exchange anywhere in the plan.
-    * The oracle replays the semantics the honest relational way (explode
-    * with ordinality → min(ord) per (doc, word) → ordered string_agg),
-    * which doubles as a cross-engine proof that array_distinct's order
-    * contract matches the explicit first-occurrence query. */
+    * order, count removals. The per-row form is pure codegen'd array
+    * work — `array_distinct(split(...))` preserves first-occurrence
+    * order. The oracle replays the semantics the honest relational way
+    * (explode with ordinality → min(ord) per (doc, word) → ordered
+    * string_agg), which doubles as a cross-engine proof that
+    * array_distinct's order contract matches the explicit
+    * first-occurrence query.
+    *
+    * COLLAPSE-FIRST (r18): dedup_text/n_removed are pure functions of
+    * the text, so the kernel runs once per DISTINCT text
+    * ([[graft.operators.Dedup.classReps]]) and docs expand through the
+    * 24-byte class mapping. The per-row form measured 9.0 s at the 100×
+    * fixture against a 3.9 s unsorted cost — the presentation orderBy's
+    * RANGE-SAMPLING pass re-executes the projection subtree, so the
+    * per-row kernel ran twice; collapsed the same sorted output is
+    * 2.2 s (kernel at class volume, sampling re-runs only the cheap
+    * mapping join). Identity tier: the r17 zero-shuffle per-row plan. */
   val intraDocDedup = Q(
     "q_dedup_intra_doc",
     (s, dir) => {
       val words = split(col("text"), " ")
-      Tables.documents(s, dir)
-        // NULL-text symmetry (r17 review): Spark's concat_ws turns the
-        // NULL word array into '' and emits a row, while the oracle's
-        // unnest produces ZERO rows and drops the doc_id — filter NULLs
-        // on BOTH sides (fixtures carry none; latent-divergence closure)
-        .where(col("text").isNotNull)
-        .select(col("doc_id"),
+      // NULL-text symmetry (r17 review): Spark's concat_ws turns the
+      // NULL word array into '' and emits a row, while the oracle's
+      // unnest produces ZERO rows and drops the doc_id — filter NULLs
+      // on BOTH sides (fixtures carry none; latent-divergence closure)
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      if (!graft.operators.Dedup.collapseWorthwhile(docs))
+        docs.select(col("doc_id"),
           concat_ws(" ", array_distinct(words)).as("dedup_text"),
           (size(words) - size(array_distinct(words))).cast("long").as("n_removed"))
-        .orderBy(col("doc_id"))
+          .orderBy(col("doc_id"))
+      else {
+        val perClass = graft.operators.Dedup.classReps(docs, "doc_id", "text")
+          .select(col("rep"),
+            concat_ws(" ", array_distinct(words)).as("dedup_text"),
+            (size(words) - size(array_distinct(words))).cast("long").as("n_removed"))
+        graft.operators.Dedup.textClasses(docs, "doc_id", "text")
+          .select(col("doc"), col("rep"))
+          .join(perClass, "rep")
+          .select(col("doc").as("doc_id"), col("dedup_text"), col("n_removed"))
+          .orderBy(col("doc_id"))
+      }
     },
     Some("""WITH w AS (
         SELECT doc_id,

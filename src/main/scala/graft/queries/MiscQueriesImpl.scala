@@ -194,6 +194,13 @@ object MiscQueriesImpl {
           (array_max(zip_with(col("features"),
             element_at(col("expected_frames"), col("sample_idx") + 1),
             (a, b) => abs(a - b))) < lit(1e-6f)).as("decode_ok"))
+        // materialize BEFORE the presentation sort: orderBy's range-
+        // sampling pass re-executes its child, and here the child is the
+        // full JPEG decode + verification join — measured 36.6 s sorted
+        // vs 5.8 s unsorted at the 100× fixture; checkpointing the tiny
+        // verdict rows (ints + bool) first makes the sort sample those
+        // instead of re-decoding (6.4 s total, r18)
+        .localCheckpoint(true)
         .orderBy(col("media_id"), col("frame_idx"))
     },
     Some("""WITH v AS (

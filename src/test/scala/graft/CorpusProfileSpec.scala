@@ -132,4 +132,46 @@ class CorpusProfileSpec extends AnyFunSuite {
       Staging.deleteRecursively(new java.io.File(distinctDir))
     }
   }
+
+  test("r18: an in-place rewrite is re-measured even when the TOP-LEVEL " +
+      "directory mtime never moves (memo keyed on child metadata)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile-tick").toString
+    writeCorpus(dir, Seq("p", "p", "q", "q"))                    // ratio 2.0
+    val r1 = CorpusProfile.duplicationRatio(spark, dir)
+    assert(math.abs(r1 - 2.0) < 0.1)
+    val pq = new java.io.File(dir, "documents.parquet")
+    val dirMtime = pq.lastModified()
+    // rewrite with distinct texts, then pin the parquet DIRECTORY's
+    // mtime back to the old generation's — the r17 memo keyed on
+    // exactly (path, this mtime) and would serve the dead ratio; the
+    // r18 metadata signature walks the CHILDREN (names/lengths/mtimes)
+    writeCorpus(dir, (1 to 8).map(i => s"fresh-$i"))
+    assert(pq.setLastModified(dirMtime), "test setup: pin dir mtime")
+    val r2 = CorpusProfile.duplicationRatio(spark, dir)
+    assert(math.abs(r2 - 1.0) < 0.1,
+      s"same-tick in-place rewrite must re-measure (got $r2, stale = $r1)")
+    Staging.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("r18: ratioForPlan refuses a plan that also scans an UNMEASURED " +
+      "parquet source (corpus ∪ staged batch must not tier off the " +
+      "corpus-only measurement); pure self-joins still resolve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile-mixed").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-profile-batch").toString
+    writeCorpus(dir, Seq("m", "m", "n", "n"))
+    CorpusProfile.duplicationRatio(spark, dir)                   // registers
+    (100L to 105L).map(i => (i, s"batch-$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$batchDir/batch.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = spark.read.parquet(s"$batchDir/batch.parquet")
+    assert(CorpusProfile.ratioForPlan(docs).isDefined,
+      "a measured corpus alone must resolve")
+    assert(CorpusProfile.ratioForPlan(
+        docs.alias("x").join(docs.alias("y"), Seq("text"))).isDefined,
+      "a self-join of the measured corpus must still resolve")
+    assert(CorpusProfile.ratioForPlan(docs.unionByName(batch)).isEmpty,
+      "corpus ∪ unmeasured batch must fall back to the session conf")
+    Staging.deleteRecursively(new java.io.File(dir))
+    Staging.deleteRecursively(new java.io.File(batchDir))
+  }
 }

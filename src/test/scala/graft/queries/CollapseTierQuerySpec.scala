@@ -30,7 +30,8 @@ class CollapseTierQuerySpec extends AnyFunSuite {
   private val collapseConsumers = Seq(
     "q_vocab_oov", "q_chunk_overlap", "q_chunk_cdc", "q_distinct_ngrams",
     "q_dup_gram_coverage", "q_decontaminate", "q_text_bigram_lm",
-    "q_bigram_mining", "q_bm25_topk",
+    "q_bigram_mining", "q_bm25_topk", "q_rag_context_budget",
+    "q_dedup_intra_doc",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_verified",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_ngram_jaccard",
     "q_dedup_prefix_join", "q_dedup_containment", "q_dedup_incremental",
