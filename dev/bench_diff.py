@@ -85,7 +85,13 @@ UNIFORM_INFLATION_MIN_QUERIES = 30
 #       scheduled (loadavg also counts D-state, so disk-contention
 #       bursts that never starve a cpu ping still show).
 # >=2 samples (~3 s apart) so a single System.gc() pause between
-# queries cannot masquerade as a burst.
+# queries cannot masquerade as a burst. AND the record must carry >=1
+# hot sample OUTSIDE the mover's own span: an external burst is
+# query-agnostic (the r17 incident spanned three queries plus the gaps
+# between them), while load a regressed plan generates ITSELF — a new
+# spill storm's D-state, a task blowup — starts and stops exactly with
+# the query; without the outside-evidence clause such a regression
+# would self-excuse its own gate flag (r18 review).
 PING_TRANSIENT_RATIO = 1.4
 LOAD_OVER_CAPACITY_MARGIN = 4.0
 PING_TRANSIENT_MIN_SAMPLES = 2
@@ -212,15 +218,18 @@ def main():
         cap = d.get("cpus")
         load_bar = (cap + LOAD_OVER_CAPACITY_MARGIN
                     if isinstance(cap, (int, float)) else float("inf"))
-        hits = [(t, l, p) for (t, l, p) in tr
-                if span[0] <= t <= span[1]
-                and (p / base_ping > PING_TRANSIENT_RATIO or l > load_bar)]
-        if len(hits) >= PING_TRANSIENT_MIN_SAMPLES:
+
+        def hot(s):
+            return s[2] / base_ping > PING_TRANSIENT_RATIO or s[1] > load_bar
+        hits = [s for s in tr if span[0] <= s[0] <= span[1] and hot(s)]
+        outside = [s for s in tr if not span[0] <= s[0] <= span[1] and hot(s)]
+        if len(hits) >= PING_TRANSIENT_MIN_SAMPLES and outside:
             worst = max(hits, key=lambda s: max(s[2] / base_ping,
                                                 s[1] / max(load_bar, 1.0)))
-            return (f"load_trace: {len(hits)} in-span hot samples "
+            return (f"load_trace: {len(hits)} in-span + {len(outside)} "
+                    f"outside-span hot samples "
                     f"(ping > {PING_TRANSIENT_RATIO}x base or loadavg > "
-                    f"{load_bar:.0f}; worst ping "
+                    f"{load_bar:.0f}; worst in-span ping "
                     f"{worst[2] / base_ping:.2f}x, loadavg {worst[1]:.1f} "
                     f"at t={worst[0]:.0f}s)")
         return None

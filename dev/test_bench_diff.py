@@ -185,9 +185,28 @@ def trace(*samples):
 
 QUIET = [(t, 31.0, 0.036) for t in range(0, 60, 3)]
 
-# 17. flagged mover whose NEW span holds >=2 hot pings: self-adjudicated
-# as an in-suite transient — reported with ?? but the gate PASSES
+# 17. flagged mover whose NEW span holds >=2 hot pings AND the burst is
+# visible outside the span too (query-agnostic = external):
+# self-adjudicated as an in-suite transient — reported with ?? but the
+# gate PASSES
 old = record({"q_a": 3.0, "q_slow": 10.0}, **CLEAN_CAL)
+new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL,
+             t_end={"q_a": 8.0, "q_slow": 52.0},
+             load_trace=trace(*[s for s in QUIET if s[0] < 3],
+                              (4, 40.0, 0.078),           # hot in q_a's span
+                              *[s for s in QUIET if 4 < s[0] < 20],
+                              (21, 45.0, 0.080), (24, 44.0, 0.075),
+                              (27, 40.0, 0.070),
+                              *[s for s in QUIET if s[0] > 28]))
+rc, out = run_gate(old, new)
+check("burst in mover's span + outside evidence -> transient, gate PASSES",
+      rc == 0 and "self-adjudicated" in out and "q_slow" in out and
+      "load_trace:" in out, out)
+
+# 17b. burst CONFINED to the mover's own span (quiet everywhere else):
+# indistinguishable from load the regressed plan generates itself — the
+# flag STANDS (r18 review: a spill storm's D-state load starts and
+# stops exactly with the query and must not self-excuse)
 new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL,
              t_end={"q_a": 8.0, "q_slow": 52.0},
              load_trace=trace(*[s for s in QUIET if s[0] < 20],
@@ -195,9 +214,8 @@ new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL,
                               (27, 40.0, 0.070),
                               *[s for s in QUIET if s[0] > 28]))
 rc, out = run_gate(old, new)
-check("burst in mover's span -> transient, gate PASSES", rc == 0 and
-      "self-adjudicated" in out and "q_slow" in out and
-      "load_trace:" in out, out)
+check("burst confined to mover's own span -> still FAILS", rc == 1 and
+      "q_slow" in out, out)
 
 # 18. single hot ping in the span (a System.gc() pause shape): NOT a
 # transient — the regression still gates
@@ -225,7 +243,9 @@ check("burst outside span -> still FAILS", rc == 1 and
 # the box's 32 cpus -> transient via clause (b); needs the "cpus" field
 new = record({"q_a": 3.0, "q_slow": 20.0}, **CLEAN_CAL, cpus=32,
              t_end={"q_a": 8.0, "q_slow": 52.0},
-             load_trace=trace(*[s for s in QUIET if s[0] < 20],
+             load_trace=trace(*[s for s in QUIET if s[0] < 3],
+                              (4, 44.0, 0.037),           # outside evidence
+                              *[s for s in QUIET if 4 < s[0] < 20],
                               (21, 45.0, 0.037), (24, 44.0, 0.038),
                               *[s for s in QUIET if s[0] > 25]))
 rc, out = run_gate(old, new)

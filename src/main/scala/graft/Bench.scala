@@ -142,6 +142,21 @@ object Bench {
     * (taken before the timed suite) discriminates external load on its
     * own; `mid`/`post` are interpretable relative to the suite's own
     * expected load. */
+  /** BOX cpu count from /proc/cpuinfo — the denominator /proc/loadavg is
+    * read against. `availableProcessors()` is the JVM's (possibly
+    * cgroup/taskset-limited) quota, not box capacity: under an 8-of-32
+    * quota it would set the gate's load bar at 12 and mark perfectly
+    * normal box-wide load as a burst (r18 review). Falls back to the
+    * quota when /proc is unreadable (non-Linux). */
+  private[graft] def boxCpus(): Int =
+    try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try {
+        val n = src.getLines().count(_.startsWith("processor"))
+        if (n > 0) n else Runtime.getRuntime.availableProcessors()
+      } finally src.close()
+    } catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
+
   private[graft] def loadavg1(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
@@ -424,7 +439,7 @@ object Bench {
     val probeField = s""","probe":"toRdd""""
     // box capacity (detail line): the denominator for reading loadavg
     // samples — a 1-min load above this is demand the box cannot serve
-    val cpusField = s""","cpus":${Runtime.getRuntime.availableProcessors()}"""
+    val cpusField = s""","cpus":${boxCpus()}"""
     // detail-line-only localization fields (see object doc): per-query
     // completion offset from suite start + interleaved mid-suite
     // calibrations — a contaminated calib_mid[i] brackets the queries

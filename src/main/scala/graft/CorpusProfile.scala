@@ -88,6 +88,25 @@ object CorpusProfile {
         if (c.isDirectory) walk(c)
       }
     if (src.isDirectory) walk(src)
+    else if (src.isFile) {
+      // a PLAIN-file corpus has no children to walk, so (length, mtime)
+      // alone would still miss a same-size same-ms-tick rewrite (the
+      // directory case is naturally protected — Spark overwrites write
+      // fresh UUID part names). Fold the edge bytes in: one ≤16 KB read
+      // per query construction, the same signal Fixtures.key uses.
+      try {
+        val raf = new java.io.RandomAccessFile(src, "r")
+        try {
+          val head = new Array[Byte](math.min(8192L, raf.length()).toInt)
+          raf.readFully(head); crc.update(head)
+          if (raf.length() > 8192) {
+            raf.seek(raf.length() - 8192)
+            val tail = new Array[Byte](8192)
+            raf.readFully(tail); crc.update(tail)
+          }
+        } finally raf.close()
+      } catch { case _: java.io.IOException => () }
+    }
     s"${java.lang.Long.toHexString(crc.getValue)}-$count-${src.length()}-${src.lastModified()}"
   }
 

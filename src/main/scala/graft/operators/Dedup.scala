@@ -295,20 +295,36 @@ object Dedup {
       .localCheckpoint(true) // three consumers; released with the plan
     val repPairs = lshCandidatePairs(
       groups.select(col("rep").as(idCol), col("mh")), idCol, minEstJaccard)
+    expandMemberPairs(groups, repPairs, "est_jaccard")
+  }
+
+  /** Expand rep-level pairs to member level — ONE home for the
+    * explode-members / least-greatest expansion (r18 review: this block
+    * existed in three near-verbatim copies; a fix applied to one and
+    * not the others is exactly how the r16 tokenizer divergence
+    * landed). `groups` = (rep, members, …); `repPairs` = (a, b,
+    * <scoreName>) at rep level. Within-group pairs (identical class
+    * value by construction: same text, or same signature for the
+    * minhash candidate tier) carry exactly 1.0 — for candidates that is
+    * the estimate of an identical signature, for verified pairs the
+    * exact Jaccard of identical text ([[sortedGramHashes]] is never
+    * empty, so `jaccardSorted(g,g) ≡ 1.0`). */
+  private def expandMemberPairs(groups: DataFrame, repPairs: DataFrame,
+      scoreName: String): DataFrame = {
     val within = groups.where(size(col("members")) > 1)
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), lit(1.0).as("est_jaccard"))
+      .select(col("a"), col("b"), lit(1.0).as(scoreName))
     val cross = repPairs
       .join(groups.select(col("rep").as("ra"), col("members").as("mx")),
         col("a") === col("ra"))
       .join(groups.select(col("rep").as("rb"), col("members").as("my")),
         col("b") === col("rb"))
-      .select(explode(col("mx")).as("a0"), col("my"), col("est_jaccard"))
-      .select(col("a0"), explode(col("my")).as("b0"), col("est_jaccard"))
+      .select(explode(col("mx")).as("a0"), col("my"), col(scoreName))
+      .select(col("a0"), explode(col("my")).as("b0"), col(scoreName))
       .select(least(col("a0"), col("b0")).as("a"),
-        greatest(col("a0"), col("b0")).as("b"), col("est_jaccard"))
+        greatest(col("a0"), col("b0")).as("b"), col(scoreName))
     within.unionByName(cross)
   }
 
@@ -347,9 +363,16 @@ object Dedup {
     *     identically 1.0); they are emitted as `lit(1.0)` without paying
     *     the kernel, which `MinhashVerifiedSpec` pins equal.
     *
-    * Collapse-tier contract: identity tier ([[collapseWorthwhile]] false)
-    * degenerates to doc-level LSH + doc-level verification — outputs are
-    * row-identical either way (CollapseTierQuerySpec).
+    * Collapse-tier contract: ONE plan regardless of
+    * [[collapseWorthwhile]] — the composed form always paid a
+    * signature-value groupBy whatever the tier, so the aggregate here
+    * is not avoidable cost, and a doc-level "identity" tier would band
+    * every member of a large identical-text group as its own rep,
+    * driving the group straight into [[lshCandidatePairs]]' hot-bucket
+    * guard (10 001 identical docs → all pairs silently dropped — a
+    * latent tier divergence the single-plan form cannot have; r18
+    * review). On a ~all-distinct corpus the aggregate degenerates to
+    * one doc per class at the same cost class as the old groupBy.
     *
     * Divergence bound vs the composed form: a pair of DISTINCT texts
     * whose signatures collide in all 64 positions is found here only via
@@ -363,25 +386,19 @@ object Dedup {
     require(minJaccard > 0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard (the within-class " +
         "fast path emits identical-text pairs at exactly 1.0)")
-    val base =
-      if (!collapseWorthwhile(docs))
-        docs.select(col(idCol).as("rep"), array(col(idCol)).as("members"),
-          col(textCol).as("__t"))
-      else
-        docs
-          .select(classDigest(col(textCol)).as("fp"), col(idCol).as("doc"),
-            col(textCol).as("__t"))
-          .groupBy(col("fp"))
-          .agg(min(col("doc")).as("rep"),
-            sort_array(collect_list(col("doc"))).as("members"),
-            min_by(col("__t"), col("doc")).as("__t"))
     // gram arrays ride the class table: the gram kernel is ~1/64 the work
     // of the signature kernel already paid per distinct text, and keeping
     // them here (instead of re-deriving from text per candidate) makes
     // the scoring joins checkpoint-local — no second text scan, no
     // semi-join staging. NULL text ⇒ NULL signature ⇒ no pairs, exactly
     // the composed form's `where(mh.isNotNull)` screen.
-    val classes = base
+    val classes = docs
+      .select(classDigest(col(textCol)).as("fp"), col(idCol).as("doc"),
+        col(textCol).as("__t"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc")).as("rep"),
+        sort_array(collect_list(col("doc"))).as("members"),
+        min_by(col("__t"), col("doc")).as("__t"))
       .select(col("rep"), col("members"),
         minhashSignature(col("__t")).as("mh"),
         sortedGramHashes(col("__t"), gramN).as("grams"))
@@ -394,23 +411,11 @@ object Dedup {
     val scored = repPairs
       .join(classes.select(col("rep").as("a"), col("grams").as("ga")), "a")
       .join(classes.select(col("rep").as("b"), col("grams").as("gb")), "b")
-      .select(col("a").as("ra"), col("b").as("rb"),
+      .select(col("a"), col("b"),
         round(graft.functions.KernelExpressions.jaccard_sorted(
           col("ga"), col("gb")), 4).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-    val cross = scored
-      .join(classes.select(col("rep").as("ra"), col("members").as("mx")), "ra")
-      .join(classes.select(col("rep").as("rb"), col("members").as("my")), "rb")
-      .select(explode(col("mx")).as("a0"), col("my"), col("jaccard"))
-      .select(col("a0"), explode(col("my")).as("b0"), col("jaccard"))
-      .select(least(col("a0"), col("b0")).as("a"),
-        greatest(col("a0"), col("b0")).as("b"), col("jaccard"))
-    val within = classes.where(size(col("members")) > 1)
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
-    within.unionByName(cross)
+    expandMemberPairs(classes, scored, "jaccard")
   }
 
   // ---- exact n-gram Jaccard (verifier) -----------------------------------
@@ -877,29 +882,6 @@ object Dedup {
     within.unionByName(cross)
   }
 
-  /** Incremental dedup: screen a NEW batch against an existing corpus —
-    * the shape every production ingest runs (the corpus is already clean;
-    * only arrivals need checking). For each batch doc: the smallest
-    * corpus doc with identical text (`exact_dup_of`), the smallest corpus
-    * doc at word-n-gram Jaccard ≥ threshold (`near_dup_of`), and the
-    * combined `is_dup` verdict. Id sets must be disjoint across the two
-    * inputs (they are row identities, not join keys).
-    *
-    * Exact tier: 16-byte digest join — text never shuffles. Near tier
-    * (r17, ASYMMETRIC): classes are collapsed over corpus ∪ batch with
-    * per-class batch membership and min-corpus-id riding the digest
-    * aggregate, and only BATCH-TOUCHING classes post prefixes into the
-    * candidate join — corpus×corpus candidates never form, so the
-    * screen scales with the batch (×gram df), not the corpus², which is
-    * the whole point of incremental ingest against a 100 TB clean
-    * corpus (the pre-r17 form ran the full self-join and DISCARDED the
-    * corpus-side pairs). Recall: a qualifying (batch, corpus) pair's
-    * first common gram sits in both prefixes (see
-    * [[prefixFilteredJaccardJoin]]), and the batch side's prefix row is
-    * always posted. Partners reduce CLASS-level (min corpus id of each
-    * verified partner class, plus the own class for identical texts
-    * with non-empty grams), so no doc-pair relation ever materializes —
-    * each batch doc gets its min partner through one class join. */
   /** The ASYMMETRIC prefix screen of [[incrementalDedup]], exposed for
     * the candidate-volume pin (IncrementalAsymmetrySpec): only
     * batch-touching classes (`isB`) post prefixes on the probe side, so
@@ -923,6 +905,29 @@ object Dedup {
       .dropDuplicates("a", "b")
   }
 
+  /** Incremental dedup: screen a NEW batch against an existing corpus —
+    * the shape every production ingest runs (the corpus is already clean;
+    * only arrivals need checking). For each batch doc: the smallest
+    * corpus doc with identical text (`exact_dup_of`), the smallest corpus
+    * doc at word-n-gram Jaccard ≥ threshold (`near_dup_of`), and the
+    * combined `is_dup` verdict. Id sets must be disjoint across the two
+    * inputs (they are row identities, not join keys).
+    *
+    * Exact tier: 16-byte digest join — text never shuffles. Near tier
+    * (r17, ASYMMETRIC): classes are collapsed over corpus ∪ batch with
+    * per-class batch membership and min-corpus-id riding the digest
+    * aggregate, and only BATCH-TOUCHING classes post prefixes into the
+    * candidate join — corpus×corpus candidates never form, so the
+    * screen scales with the batch (×gram df), not the corpus², which is
+    * the whole point of incremental ingest against a 100 TB clean
+    * corpus (the pre-r17 form ran the full self-join and DISCARDED the
+    * corpus-side pairs). Recall: a qualifying (batch, corpus) pair's
+    * first common gram sits in both prefixes (see
+    * [[prefixFilteredJaccardJoin]]), and the batch side's prefix row is
+    * always posted. Partners reduce CLASS-level (min corpus id of each
+    * verified partner class, plus the own class for identical texts
+    * with non-empty grams), so no doc-pair relation ever materializes —
+    * each batch doc gets its min partner through one class join. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
