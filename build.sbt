@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 96g default (round 18; was 8g): the box has 125 GiB and the brief's
+  // target shape is local[32]/128 GiB. At 8g the 100x fixture's
+  // aggregation-heavy queries were GC-bound, not plan-bound — q1_agg
+  // measured 13-18s in the forked JVM vs 3.0s for the IDENTICAL plan at
+  // a 100g heap, and per-query times swung 2-4x with heap state. Records
+  // carry "heap_gb" so cross-regime totals can never be silently
+  // compared (BASELINE.md "Heap regime").
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "96g")}",
 )

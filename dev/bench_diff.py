@@ -96,6 +96,18 @@ PING_TRANSIENT_RATIO = 1.4
 LOAD_OVER_CAPACITY_MARGIN = 4.0
 PING_TRANSIENT_MIN_SAMPLES = 2
 
+# Memory-bandwidth sentinel (round 18): records carry calib_bw_* GB/s
+# (single-thread 4x256MiB arraycopy). The CPU probes are register-bound
+# and BLIND to host-side memory-bandwidth contention: r18 measured a
+# bandwidth-bound scan-agg (q1_agg) 24x slower with IDENTICAL code,
+# clean serial+parallel calibrations, the file page-cached and loadavg
+# ~0 — the only abnormal reading was memcpy at 1.5 GB/s. A NEW record
+# whose median bandwidth is >30% BELOW the OLD one's cannot be gated:
+# every scan-heavy regression flag would be bandwidth skew. (NEW faster
+# by >30% only warns: the gate flags regressions, and a faster box can
+# only mask them — same asymmetry as the uniform-inflation rule.)
+BW_SKEW_RATIO = 1.3
+
 # Queries that err BY DESIGN at scale fixtures (query -> required message
 # fragment). q_dedup_embedding is the exact all-pairs oracle-baseline tier:
 # its row-cap guard refuses O(N^2) input at the 100x fixture and points at
@@ -139,6 +151,11 @@ def main():
     if old.get("probe") != new.get("probe"):
         print("!! probe identity differs — totals NOT COMPARABLE "
               "(per-query deltas show the probe skew)")
+    ho, hn = old.get("heap_gb"), new.get("heap_gb")
+    if isinstance(ho, (int, float)) and isinstance(hn, (int, float)) and ho != hn:
+        print(f"!! heap regime differs (OLD {ho}g vs NEW {hn}g) — totals "
+              f"NOT COMPARABLE: at the 100x fixture identical plans "
+              f"measured 2-4x slower GC-bound at 8g than at 96g")
 
     def calib_worst(d):
         # `or []` / `or None`: a record carrying an explicit null for any
@@ -177,6 +194,29 @@ def main():
               f"reading them as plan regressions")
 
     contaminated = []  # (record name, reason) — drives the gate refusal
+
+    def bw_median(d):
+        vals = [v for v in [d.get("calib_bw_pre_gbps"),
+                            d.get("calib_bw_post_gbps")]
+                + list(d.get("calib_bw_mid") or [])
+                if isinstance(v, (int, float)) and v > 0]
+        if not vals:
+            return None
+        return statistics.median(vals)
+
+    bwo, bwn = bw_median(old), bw_median(new)
+    if bwo is not None and bwn is not None:
+        print(f"memory bandwidth: OLD {bwo:.2f} GB/s, NEW {bwn:.2f} GB/s "
+              f"(median of calib_bw samples)")
+        if bwn < bwo / BW_SKEW_RATIO:
+            contaminated.append(
+                ("PAIR", f"bandwidth-skewed pair: NEW moved "
+                 f"{bwn:.2f} GB/s vs OLD {bwo:.2f} — scan-heavy "
+                 f"regression flags would be box noise"))
+        elif bwn > bwo * BW_SKEW_RATIO:
+            print(f"!! NEW bandwidth {bwn:.2f} GB/s is >{BW_SKEW_RATIO}x "
+                  f"OLD {bwo:.2f} — a faster box can MASK regressions; "
+                  f"treat a clean gate as provisional")
     for name, d in (("OLD", old), ("NEW", new)):
         idx = contention_index(d)
         if idx is not None:

@@ -269,4 +269,35 @@ rc, out = run_gate(old, new)
 check("clean trace -> summary + normal FAIL", rc == 1 and
       "load_trace" in out and "samples" in out, out)
 
+# --- round-18 memory-bandwidth sentinel -----------------------------------
+
+# 21. NEW record's bandwidth >30% below OLD's: REFUSED — scan-heavy
+# regression flags would be bandwidth skew, not plans
+old = record({"q_scan": 3.0, "q_b": 1.0}, **CLEAN_CAL,
+             calib_bw_pre_gbps=6.0, calib_bw_post_gbps=6.2)
+new = record({"q_scan": 6.0, "q_b": 1.0}, **CLEAN_CAL,
+             calib_bw_pre_gbps=1.5, calib_bw_post_gbps=1.6)
+rc, out = run_gate(old, new)
+check("bandwidth-skewed pair -> REFUSED", rc == 2 and
+      "bandwidth-skewed" in out, out)
+
+# 22. comparable bandwidth: gates normally (regression still flags)
+new = record({"q_scan": 6.0, "q_b": 1.0}, **CLEAN_CAL,
+             calib_bw_pre_gbps=5.8, calib_bw_post_gbps=6.1)
+rc, out = run_gate(old, new)
+check("comparable bandwidth -> normal gate FAIL", rc == 1 and
+      "bandwidth-skewed" not in out, out)
+
+# 23. NEW much FASTER: warns (masking) but does not refuse
+new = record({"q_scan": 2.9, "q_b": 1.0}, **CLEAN_CAL,
+             calib_bw_pre_gbps=9.0, calib_bw_post_gbps=9.2)
+rc, out = run_gate(old, new)
+check("faster box -> masking warning, no refusal", rc == 0 and
+      "MASK" in out, out)
+
+# 24. records without the field (pre-r18): comparison skipped silently
+rc, out = run_gate(record({"q_a": 1.0}, **CLEAN_CAL),
+                   record({"q_a": 1.0}, **CLEAN_CAL))
+check("bw absent -> skipped", rc == 0 and "memory bandwidth" not in out, out)
+
 print("all bench_diff gate tests passed")

@@ -142,6 +142,40 @@ object Bench {
     * (taken before the timed suite) discriminates external load on its
     * own; `mid`/`post` are interpretable relative to the suite's own
     * expected load. */
+  /** MEMORY-BANDWIDTH sentinel (round 18): GB/s of a single-thread
+    * 4×256 MiB `System.arraycopy` over two PRE-ALLOCATED buffers (no
+    * allocation, no GC inside the timed span). The CPU probes are
+    * register-bound and BLIND to host-side memory-bandwidth
+    * contention: r18 measured `q1_agg` — a bandwidth-bound 60 M-row
+    * scan-aggregate — at 18.5 s isolated vs its committed 0.775 s with
+    * IDENTICAL code (r17-worktree A/B), clean serial AND parallel
+    * calibrations, the file fully page-cached, loadavg ~0; the only
+    * abnormal reading was single-thread memcpy at 1.5 GB/s. A
+    * co-tenant saturating the host's memory controllers steals scan
+    * throughput 1:1 while the xorshift chains run full speed. Emitted
+    * as `calib_bw_pre/post` (both lines, GB/s) and `calib_bw_mid`
+    * (detail, every 25 queries); `bench_diff --gate` refuses pairs
+    * whose bandwidth diverges >30% (scan-heavy movers would be box
+    * noise). */
+  private lazy val bwBufA = new Array[Byte](256 * 1024 * 1024)
+  private lazy val bwBufB = new Array[Byte](256 * 1024 * 1024)
+
+  private[graft] def calibrateBw(): Double = {
+    val passes = 4
+    // one untimed pass: first touch pays page faults, not bandwidth
+    System.arraycopy(bwBufA, 0, bwBufB, 0, bwBufA.length)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < passes) {
+      System.arraycopy(bwBufA, 0, bwBufB, 0, bwBufA.length)
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (bwBufB(0) == 1 && bwBufB(bwBufB.length - 1) == 2) print("") // observe
+    val gb = passes.toDouble * bwBufA.length / (1L << 30)
+    gb / sec
+  }
+
   /** BOX cpu count from /proc/cpuinfo — the denominator /proc/loadavg is
     * read against. `availableProcessors()` is the JVM's (possibly
     * cgroup/taskset-limited) quota, not box capacity: under an 8-of-32
@@ -213,6 +247,7 @@ object Bench {
     val loadPre = loadavg1()
     val calibPre = calibrate()
     val calibParPre = calibratePar()
+    val calibBwPre = calibrateBw()
     val cachePre = pageCacheGb()
     val suiteT0 = System.nanoTime()
     // continuous trace starts AFTER the pre calibrations (its ping must
@@ -236,6 +271,7 @@ object Bench {
     val tEnd = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val calibMid = scala.collection.mutable.ListBuffer.empty[Double]
     val calibParMid = scala.collection.mutable.ListBuffer.empty[Double]
+    val calibBwMid = scala.collection.mutable.ListBuffer.empty[Double]
     val loadMid = scala.collection.mutable.ListBuffer.empty[Double]
     // staged-view provenance (VERDICT r14 #3): any publishParquet build
     // that ran during a query's timed window is attributed to that query
@@ -249,6 +285,7 @@ object Bench {
           loadMid += loadavg1()
           calibMid += calibrate()
           calibParMid += calibratePar()
+          calibBwMid += calibrateBw()
         }
         // progress marker to STDERR (stdout is parsed by the round driver):
         // a task-thread OOM kills the whole local-mode JVM before the detail
@@ -284,6 +321,7 @@ object Bench {
     val traceSamples = loadTrace.finish()
     val calibPost = calibrate()
     val calibParPost = calibratePar()
+    val calibBwPost = calibrateBw()
     val loadPost = loadavg1()
     val cachePost = pageCacheGb()
 
@@ -297,6 +335,8 @@ object Bench {
       stagedBuilds = stagedBuilds.toMap,
       calibPar = Some((calibParPre, calibParPost)),
       calibParMid = calibParMid.toList,
+      calibBw = Some((calibBwPre, calibBwPost)),
+      calibBwMid = calibBwMid.toList,
       loadavg = Some((loadPre, loadPost)), loadavgMid = loadMid.toList,
       loadTrace = traceSamples)
     val detailPath = detailFile(only.isDefined, sfDir)
@@ -383,7 +423,9 @@ object Bench {
       calibParMid: Seq[Double] = Nil,
       loadavg: Option[(Double, Double)] = None,
       loadavgMid: Seq[Double] = Nil,
-      loadTrace: Seq[(Double, Double, Double)] = Nil): (String, String) = {
+      loadTrace: Seq[(Double, Double, Double)] = Nil,
+      calibBw: Option[(Double, Double)] = None,
+      calibBwMid: Seq[Double] = Nil): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -411,6 +453,16 @@ object Bench {
     val calibParField = calibPar.fold("") { case (pre, post) =>
       s""","calib_par_pre_sec":${fmt(pre)},"calib_par_post_sec":${fmt(post)},"calib_par_threads":$calibParThreads"""
     }
+    // memory-bandwidth sentinel (GB/s; see calibrateBw): DETAIL line
+    // only — the one box-state axis the CPU probes cannot see (the
+    // compact line's 800-byte window budget is pinned by BenchLineSpec,
+    // and the gate reads the detail file anyway)
+    val calibBwField = calibBw.fold("") { case (pre, post) =>
+      s""","calib_bw_pre_gbps":${fmt(pre)},"calib_bw_post_gbps":${fmt(post)}"""
+    }
+    val calibBwMidField =
+      if (calibBwMid.isEmpty) ""
+      else calibBwMid.map(fmt).mkString(""","calib_bw_mid":[""", ",", "]")
     // box-load provenance: /proc/loadavg 1-min readings (detail only;
     // mid-suite values include our own Spark work — see loadavg1 doc)
     val loadavgField = loadavg.fold("") { case (pre, post) =>
@@ -440,6 +492,10 @@ object Bench {
     // box capacity (detail line): the denominator for reading loadavg
     // samples — a 1-min load above this is demand the box cannot serve
     val cpusField = s""","cpus":${boxCpus()}"""
+    // heap regime (detail line): totals are only comparable within one
+    // heap size — at the 100x fixture the same plans measured 2-4x
+    // slower GC-bound at 8g than at 96g (BASELINE.md "Heap regime")
+    val heapField = s""","heap_gb":${Runtime.getRuntime.maxMemory() >> 30}"""
     // detail-line-only localization fields (see object doc): per-query
     // completion offset from suite start + interleaved mid-suite
     // calibrations — a contaminated calib_mid[i] brackets the queries
@@ -468,7 +524,7 @@ object Bench {
         }.mkString("{", ",", "}")
       }.mkString(""","staged_views_built":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$calibParField$loadavgField$cacheField$calibMidField$calibParMidField$loadavgMidField$loadTraceField$stagedField$tEndField$probeField$cpusField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$filteredField$calibField$calibParField$loadavgField$cacheField$calibMidField$calibParMidField$loadavgMidField$loadTraceField$calibBwField$calibBwMidField$stagedField$tEndField$probeField$cpusField$heapField,"sf":"$sfDir"}"""
     val slowest = results.toSeq
       .collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
     // 420-byte queries map keeps the whole line ≤ ~790 B even with the

@@ -26,7 +26,7 @@ object AnalyticsQueriesImpl {
           // DECIMAL sum like q_sql_q1/q_cube: a raw double groupBy-sum is
           // order-dependent across partition partials and could round
           // differently per engine at a half-cent boundary (r17 review)
-          sum(col("o_totalprice").cast("decimal(18,2)"))
+          sum(col("o_totalprice").cast("decimal(8,2)"))
             .cast("double").as("sum_price"),
           count(lit(1)).as("n_orders"),
           grouping_id(col("o_year"), col("o_orderpriority")).as("gid"))
@@ -258,7 +258,7 @@ object AnalyticsQueriesImpl {
       Tables.orders(s, dir)
         .where(col("o_custkey") % 100 === 1)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          sum(col("o_totalprice").cast("decimal(8,2)")).over(w)
             .cast("double").as("trailing_spend"),
           count(lit(1)).over(w).as("n_in_window"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -283,7 +283,7 @@ object AnalyticsQueriesImpl {
         .cube(col("o_orderpriority").as("prio"),
           year(col("o_orderdate")).as("yr"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
+          sum(col("o_totalprice").cast("decimal(8,2)"))
             .cast("double").as("sum_price"))
         .orderBy(col("prio").asc_nulls_first, col("yr").asc_nulls_first)
     },
@@ -488,7 +488,7 @@ object AnalyticsQueriesImpl {
     (s, dir) => {
       val o = Tables.orders(s, dir).select(
         to_date(col("o_orderdate")).as("day"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
+        col("o_totalprice").cast("decimal(8,2)").as("p"))
       val daily = o.groupBy(col("day"))
         .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev"))
       val spine = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
@@ -496,7 +496,7 @@ object AnalyticsQueriesImpl {
       val filled = spine.join(daily, Seq("day"), "left")
         .select(col("day"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-          coalesce(col("rev"), lit(0).cast("decimal(28,2)")).as("rev_d"))
+          coalesce(col("rev"), lit(0).cast("decimal(18,2)")).as("rev_d"))
       val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
       filled.select(col("day"), col("n_orders"),
           round(col("rev_d").cast("double"), 2).as("rev"),
@@ -535,7 +535,7 @@ object AnalyticsQueriesImpl {
       def partial(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+            sum(col("o_totalprice").cast("decimal(8,2)")).as("total"),
             min(col("o_orderkey")).as("min_key"),
             max(col("o_orderkey")).as("max_key"))
       val ord = Tables.orders(s, dir)
@@ -595,7 +595,7 @@ object AnalyticsQueriesImpl {
     (s, dir) => {
       val o = Tables.orders(s, dir).select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
+        col("o_totalprice").cast("decimal(8,2)").as("p"))
       val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
       val cells = o.join(cohort, "o_custkey")
         .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
@@ -636,12 +636,12 @@ object AnalyticsQueriesImpl {
     "q_winsorize",
     (s, dir) => {
       val o = Tables.orders(s, dir).select(col("o_orderpriority").as("prio"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
+        col("o_totalprice").cast("decimal(8,2)").as("p"))
       val bounds = o.groupBy(col("prio")).agg(
         round(expr("percentile(CAST(p AS DOUBLE), 0.05)"), 2)
-          .cast("decimal(18,2)").as("lo"),
+          .cast("decimal(8,2)").as("lo"),
         round(expr("percentile(CAST(p AS DOUBLE), 0.95)"), 2)
-          .cast("decimal(18,2)").as("hi"))
+          .cast("decimal(8,2)").as("hi"))
       o.join(broadcast(bounds), "prio")
         .select(col("prio"), col("lo"), col("hi"), col("p"),
           least(greatest(col("p"), col("lo")), col("hi")).as("w"))
@@ -688,8 +688,8 @@ object AnalyticsQueriesImpl {
         .join(Tables.orders(s, dir),
           col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
-        .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
-          lit(0).cast("decimal(28,2)")).as("spend"))
+        .agg(coalesce(sum(col("o_totalprice").cast("decimal(8,2)")),
+          lit(0).cast("decimal(18,2)")).as("spend"))
       val w = Window.orderBy(col("spend"), col("c_custkey"))
       spend.withColumn("decile", ntile(10).over(w))
         .groupBy(col("decile"))
@@ -730,8 +730,8 @@ object AnalyticsQueriesImpl {
         .join(Tables.orders(s, dir),
           col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
-        .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
-          lit(0).cast("decimal(28,2)")).as("spend"))
+        .agg(coalesce(sum(col("o_totalprice").cast("decimal(8,2)")),
+          lit(0).cast("decimal(18,2)")).as("spend"))
         .select(col("c_custkey"), col("spend"),
           col("spend").cast("double").as("spend_d"))
       val edges = spend

@@ -291,7 +291,7 @@ object CurationQueriesImpl {
       val spend = Tables.orders(s, dir)
         .where(col("o_orderpriority") === "1-URGENT")
         .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .agg(sum(col("o_totalprice").cast("decimal(8,2)")).as("spend"))
       Tables.customer(s, dir)
         .join(spend, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_mktsegment"))

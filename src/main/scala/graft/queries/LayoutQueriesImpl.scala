@@ -65,7 +65,7 @@ object LayoutQueriesImpl {
           count(lit(1)).as("n"),
           countDistinct(col("s_suppkey")).as("n_suppliers"),
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
+          sum(col("l_extendedprice").cast("decimal(8,2)"))
             .cast("double").as("sum_price"))
         .orderBy(col("l_returnflag"))
     },

@@ -30,24 +30,28 @@ object Relational {
     * table, map-side partial aggregation, 6-group result: at 100 TB this is
     * a single shuffle of 6 rows per partition.
     *
-    * DECIMAL(18,2) money math like q_sql_q1, not raw double sums: a
+    * DECIMAL money math like q_sql_q1, not raw double sums: a
     * double sum is ORDER-DEPENDENT (Spark merges partition partials in
     * task order, DuckDB sums sequentially), so a group sum near a
     * half-cent boundary could round differently per engine and flake the
     * hash at larger fixtures. Decimal sums are exact; averages divide
-    * the exact sum in double on both sides (r17 review). */
+    * the exact sum in double on both sides (r17 review). DECIMAL(8,2),
+    * not (18,2) — minimal-precision exactness (r18, see q_sql_q1's
+    * scaladoc): value-identical, but the sums stay long-backed instead
+    * of allocating BigDecimal per row (q1_agg was 10–40 s GC-unstable at
+    * the 100× fixture under (18,2); 3.1 s stable under (8,2)). */
   val q1Agg = Q(
     "q1_agg",
     (s, dir) => {
       import s.implicits._
       def dec(c: org.apache.spark.sql.Column) =
-        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        c.cast(org.apache.spark.sql.types.DecimalType(8, 2))
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           sum(dec($"l_quantity")).cast("double").as("sum_qty"),
           sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
-          sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          sum(dec($"l_extendedprice") * (lit(1).cast("decimal(8,2)") - dec($"l_discount")))
             .cast("double").as("sum_disc_price"),
           (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(dec($"l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
@@ -55,12 +59,12 @@ object Relational {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
       count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
@@ -271,8 +275,8 @@ object Relational {
     * entrypoint itself, not just plan semantics. Money math in DECIMAL:
     * a double sum's order-dependence would diverge across engines. */
   private val q3Sql = """SELECT l_orderkey,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS revenue,
       o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -299,8 +303,8 @@ object Relational {
     * broadcast, the date filter pushes below the join tower. Money in
     * DECIMAL; n_name tie-break keeps the order unique. */
   private val q5Sql = """SELECT n_name,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -328,12 +332,12 @@ object Relational {
     * stored bits compare exactly. */
   private val q18Sql = """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
       o_totalprice,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        HAVING sum(CAST(l_quantity AS DECIMAL(8,2))) > 250)
       AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
@@ -357,8 +361,8 @@ object Relational {
       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         year(l_shipdate) AS l_year,
-        CAST(l_extendedprice AS DECIMAL(18,2))
-          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        CAST(l_extendedprice AS DECIMAL(8,2))
+          * (1 - CAST(l_discount AS DECIMAL(8,2))) AS volume
       FROM supplier, lineitem, orders, customer, nation n1, nation n2
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -385,8 +389,8 @@ object Relational {
     * reach the parquet scan as PushedFilters, and the aggregate is a
     * per-partition partial sum + a 1-row exchange. At 100 TB this query
     * is pure scan bandwidth. Revenue in DECIMAL (exact product/sum). */
-  private val q6Sql = """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+  private val q6Sql = """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+        * CAST(l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -410,8 +414,8 @@ object Relational {
     * below the lineitem join and plans the top-20 as
     * TakeOrderedAndProject. */
   private val q10Sql = """SELECT c_custkey, c_name,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS revenue,
       c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey

@@ -68,20 +68,30 @@ object TpchQueriesImpl {
     * form). Averages are sum/count with the division done in double on BOTH
     * sides — round(avg) would put a half-cent boundary through two different
     * rounding paths (Spark's exact-DECIMAL HALF_UP vs DuckDB's
-    * double-nearest). */
+    * double-nearest).
+    *
+    * DECIMAL(8,2), not (18,2) — minimal-precision exactness (r18): every
+    * lineitem money/ratio column is < 10⁶ with 2 decimals, so the (8,2)
+    * cast is value-identical to (18,2) (both exact; ANSI errors loudly on
+    * overflow) while Spark's sum over it stays within MAX_LONG_DIGITS and
+    * keeps the compact long-backed aggregation buffer. The (18,2) sums
+    * (result precision 28) allocate BigDecimal per update — q1_agg
+    * measured 10–40 s (GC-bound, unstable) vs 3.1 s stable at the 100×
+    * fixture for the same bit-identical output. The SQL text runs in
+    * BOTH engines, so the precision change cannot drift between them. */
   private val q1Sql = """SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,2)))
+        * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)
         / count(*) AS DOUBLE) AS avg_qty,
-      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE)
         / count(*) AS DOUBLE) AS avg_price,
-      CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      CAST(CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
         / count(*) AS DOUBLE) AS avg_disc,
       count(*) AS count_order
     FROM lineitem
@@ -114,8 +124,8 @@ object TpchQueriesImpl {
         / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
     FROM (
       SELECT extract(year FROM o_orderdate) AS o_year,
-        CAST(l_extendedprice AS DECIMAL(18,2))
-          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        CAST(l_extendedprice AS DECIMAL(8,2))
+          * (1 - CAST(l_discount AS DECIMAL(8,2))) AS volume,
         n2.n_name AS nation
       FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -140,8 +150,8 @@ object TpchQueriesImpl {
       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
-        CAST(l_extendedprice AS DECIMAL(18,2))
-          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS amount
+        CAST(l_extendedprice AS DECIMAL(8,2))
+          * (1 - CAST(l_discount AS DECIMAL(8,2))) AS amount
       FROM part, supplier, lineitem, orders, nation
       WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -177,10 +187,10 @@ object TpchQueriesImpl {
     * the division happen in double on identical operands. */
   private val q14Sql = """SELECT
       CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-          THEN CAST(l_extendedprice AS DECIMAL(18,2))
-            * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
-        / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS DOUBLE)
+          THEN CAST(l_extendedprice AS DECIMAL(8,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,2))) ELSE 0 END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS DOUBLE)
         AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
@@ -196,8 +206,8 @@ object TpchQueriesImpl {
     * ORDER BY s_suppkey makes multi-row ties deterministic anyway. */
   private val q15Sql = """WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-        sum(CAST(l_extendedprice AS DECIMAL(18,2))
-          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        sum(CAST(l_extendedprice AS DECIMAL(8,2))
+          * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -217,7 +227,7 @@ object TpchQueriesImpl {
     * its double sum is exact in any order, so avg and 0.2*avg are
     * bit-identical in both engines. */
   private val q17Sql = """SELECT
-      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE)
         / 7.0 AS DOUBLE) AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size < 15
@@ -233,8 +243,8 @@ object TpchQueriesImpl {
     * ONE equi-join with the residual OR as a post-join filter — not a
     * nested-loop. */
   private val q19Sql = """SELECT
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(8,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem, part
     WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
         AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
@@ -319,7 +329,7 @@ object TpchQueriesImpl {
   private val psCte = """partsupp AS (
       SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         count(*) AS ps_availqty,
-        min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+        min(CAST(l_extendedprice AS DECIMAL(8,2))) AS ps_supplycost
       FROM lineitem GROUP BY l_partkey, l_suppkey)"""
 
   /** Q2 (minimum-cost supplier): the correlated scalar-MIN subquery over a
